@@ -1,0 +1,367 @@
+"""Fused corpus-scoring + top-k kernels (the FAISS-flat replacement).
+
+Replaces ``faiss.IndexFlatIP`` / ``faiss.IndexFlatL2`` ``.search()``
+(reference utils/vector_store.py:172-198) with TPU-native paths:
+
+* ``exact_search_oracle`` — ``jnp.dot`` + ``jax.lax.top_k``.  The recall-gold
+  reference implementation every kernel is tested against.
+* ``exact_search`` (impl="pallas") — a Pallas kernel that tiles the corpus
+  over HBM→VMEM blocks, scores each block on the MXU, and maintains a
+  running per-query top-k in VMEM scratch.  Scores are never written to
+  HBM: for a 1M×1536 corpus the kernel reads 3 GB of corpus and writes
+  Q×k values.  A per-block threshold test (block max vs. current k-th
+  best) skips the merge for blocks that cannot contribute, so steady-state
+  cost is the MXU matmul + one VPU reduction per block.
+
+Filter semantics (season / time-period / identity masks — the device-side
+analogue of the reference's ES filter clauses, keyword_store.py:286-392)
+enter as an optional ``mask`` operand folded into the scan.
+
+Distance conventions follow FAISS flat indexes (vector_store.py:72-81):
+  metric="cosine"/"ip" → returned ``distances`` are inner products, sorted
+  descending (vectors must be L2-normalized for cosine; see
+  ``l2_normalize``, parity with vector_store.py:83-90).
+  metric="l2" → squared L2 distances, sorted ascending.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-wise L2 normalization (cosine-metric ingest contract,
+    reference vector_store.py:83-90)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _dot_precision(dtype) -> jax.lax.Precision:
+    """float32 operands score at full precision (oracle parity); bf16/int8
+    operands use the fast MXU path."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype).itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def default_block_n(dtype) -> int:
+    """Corpus rows per VMEM block: bigger for narrower dtypes."""
+    return 1024 if jnp.dtype(dtype).itemsize <= 2 else 512
+
+
+# ---------------------------------------------------------------------------
+# Oracle (jnp + lax.top_k)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _oracle_impl(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    count: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    k: int,
+    metric: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = corpus.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(corpus.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=1, keepdims=True)
+        cn = jnp.sum(jnp.square(corpus.astype(jnp.float32)), axis=1)[None, :]
+        scores = -(qn + cn - 2.0 * scores)
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[None, :] > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(scores, k)
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx
+
+
+def exact_search_oracle(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    count: Optional[int] = None,
+    mask: Optional[jnp.ndarray] = None,
+    metric: str = "cosine",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference implementation; see ``exact_search`` for the contract."""
+    queries = jnp.atleast_2d(queries)
+    n = corpus.shape[0]
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    count_arr = jnp.asarray(n if count is None else count, jnp.int32)
+    vals, idx = _oracle_impl(corpus, queries, count_arr, mask, k, metric)
+    if metric == "l2":
+        vals = jnp.where(jnp.isneginf(vals), jnp.inf, -vals)
+    return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _topk_kernel(
+    count_ref,  # SMEM (1, 1) int32 — number of live corpus rows
+    q_ref,      # VMEM (BQ, D)
+    c_ref,      # VMEM (BN, D) corpus block
+    *rest,
+    k: int,
+    kp: int,
+    bq: int,
+    bn: int,
+    metric: str,
+    has_mask: bool,
+):
+    offset = 0
+    cn_ref = rest[offset] if metric == "l2" else None
+    offset += 1 if metric == "l2" else 0
+    mask_ref = rest[offset] if has_mask else None
+    offset += 1 if has_mask else 0
+    outv_ref, outi_ref, rv_ref, ri_ref = rest[offset : offset + 4]
+
+    ni = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(ni == 0)
+    def _init():
+        rv_ref[:] = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+        ri_ref[:] = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+
+    q = q_ref[:]
+    scores = jax.lax.dot_general(
+        q,
+        c_ref[:],
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    col = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    valid = col < count_ref[0, 0]
+    if metric == "l2":
+        qn = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True)
+        scores = -(qn + cn_ref[:] - 2.0 * scores)
+    if has_mask:
+        valid = jnp.logical_and(valid, mask_ref[:] > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    # Merge only when this block can displace a current top-k entry.
+    @pl.when(jnp.max(scores) >= jnp.min(rv_ref[:, k - 1 : k]))
+    def _merge():
+        width = kp + bn
+        comb_v = jnp.concatenate([rv_ref[:], scores], axis=1)
+        comb_i = jnp.concatenate([ri_ref[:], col], axis=1)
+        colw = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
+        colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+        new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+        new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+        # k rounds of (max, first-occurrence select, eliminate).  Running
+        # entries precede the block in `comb_*`, and earlier blocks hold
+        # smaller corpus indices, so first-occurrence tie-breaking matches
+        # lax.top_k's smallest-index-wins rule exactly.
+        for j in range(k):
+            m = jnp.max(comb_v, axis=1, keepdims=True)
+            at_max = comb_v == m
+            first = jnp.min(jnp.where(at_max, colw, width), axis=1, keepdims=True)
+            onehot = colw == first
+            sel_i = jnp.sum(jnp.where(onehot, comb_i, 0), axis=1, keepdims=True)
+            new_v = jnp.where(colk == j, m, new_v)
+            new_i = jnp.where(colk == j, sel_i, new_i)
+            comb_v = jnp.where(onehot, -jnp.inf, comb_v)
+        rv_ref[:] = new_v
+        ri_ref[:] = new_i
+
+    @pl.when(ni == nb - 1)
+    def _emit():
+        outv_ref[:] = rv_ref[:]
+        outi_ref[:] = ri_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_q", "block_n", "interpret", "has_mask"),
+)
+def _pallas_impl(
+    corpus: jnp.ndarray,   # (NP, DP) — padded
+    queries: jnp.ndarray,  # (QP, DP) — padded
+    count: jnp.ndarray,    # (1, 1) int32
+    cnorms: jnp.ndarray,   # (1, NP) float32 (l2 only; zeros otherwise)
+    mask: jnp.ndarray,     # (1, NP) int32 (all ones when has_mask=False)
+    k: int,
+    metric: str,
+    block_q: int,
+    block_n: int,
+    interpret: bool,
+    has_mask: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    np_, dp = corpus.shape
+    qp = queries.shape[0]
+    kp = _round_up(max(k, 1), _LANE)
+    grid = (qp // block_q, np_ // block_n)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda qi, ni: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_q, dp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, dp), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [count, queries, corpus]
+    if metric == "l2":
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(cnorms)
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(mask)
+
+    kernel = functools.partial(
+        _topk_kernel,
+        k=k,
+        kp=kp,
+        bq=block_q,
+        bn=block_n,
+        metric=metric,
+        has_mask=has_mask,
+    )
+    out_vals, out_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, kp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, kp), jnp.float32),
+            pltpu.VMEM((block_q, kp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * dp,
+            bytes_accessed=np_ * dp * corpus.dtype.itemsize + qp * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out_vals, out_idx
+
+
+def exact_search(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    count: Optional[int] = None,
+    mask: Optional[jnp.ndarray] = None,
+    metric: str = "cosine",
+    impl: str = "auto",
+    block_q: Optional[int] = None,
+    block_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN over ``corpus`` for a batch of ``queries``.
+
+    Args:
+      corpus: ``[N, D]`` embedding matrix (rows beyond ``count`` ignored).
+      queries: ``[Q, D]`` or ``[D]``.
+      k: results per query (clamped to N).
+      count: live-row count (for capacity-padded stores); default N.
+      mask: optional ``[N]`` filter; rows with ``mask <= 0`` are excluded.
+      metric: "cosine" | "ip" (inner product, descending) or "l2"
+        (squared distance, ascending).
+      impl: "auto" (pallas on TPU, oracle elsewhere) | "pallas" | "lax".
+
+    Returns:
+      ``(distances [Q, k], indices [Q, k])`` — FAISS-flat conventions;
+      missing slots (k > valid rows) hold index ``-1``.
+    """
+    queries = jnp.atleast_2d(queries)
+    n, d = corpus.shape
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "lax"
+    if impl == "lax":
+        return exact_search_oracle(
+            corpus, queries, k, count=count, mask=mask, metric=metric
+        )
+
+    interpret = not _on_tpu()
+    bn = block_n or default_block_n(corpus.dtype)
+    bq = block_q or 128
+    qn = queries.shape[0]
+    bq = min(bq, _round_up(qn, 8))
+
+    dp = _round_up(d, _LANE)
+    np_ = _round_up(n, bn)
+    qp = _round_up(qn, bq)
+    corpus_p = jnp.pad(corpus, ((0, np_ - n), (0, dp - d)))
+    queries_p = jnp.pad(queries.astype(corpus.dtype), ((0, qp - qn), (0, dp - d)))
+    count_arr = jnp.full((1, 1), n if count is None else count, jnp.int32)
+    if metric == "l2":
+        cnorms = jnp.sum(
+            jnp.square(corpus_p.astype(jnp.float32)), axis=1
+        )[None, :]
+    else:
+        cnorms = jnp.zeros((1, np_), jnp.float32)
+    has_mask = mask is not None
+    if has_mask:
+        mask_p = jnp.pad(mask.astype(jnp.int32), (0, np_ - n))[None, :]
+    else:
+        mask_p = jnp.ones((1, np_), jnp.int32)
+
+    vals, idx = _pallas_impl(
+        corpus_p,
+        queries_p,
+        count_arr,
+        cnorms,
+        mask_p,
+        k,
+        "l2" if metric == "l2" else "ip",
+        bq,
+        bn,
+        interpret,
+        has_mask,
+    )
+    vals = vals[:qn, :k]
+    idx = idx[:qn, :k]
+    empty = jnp.isneginf(vals)
+    idx = jnp.where(empty, -1, idx)
+    if metric == "l2":
+        vals = jnp.where(empty, jnp.inf, -vals)
+    return vals, idx
