@@ -1,0 +1,188 @@
+"""HBM-resident embedding matrix with incremental append.
+
+The device-side analogue of FAISS's internal flat storage
+(reference utils/vector_store.py:143-169 add_item + faiss Index storage).
+Design (SURVEY.md §7.1, §7 hard part 3):
+
+* The corpus lives on device as a capacity-padded ``[capacity, D]`` array
+  (capacity a multiple of the top-k kernel's row block) so searches never
+  re-pad/copy the corpus; ``count`` masks the live rows.
+* Appends update the device buffer in place via a donated
+  ``dynamic_update_slice`` (no full re-upload); capacity grows
+  geometrically with a device-side copy.
+* A float32 host mirror is kept for persistence / ``reconstruct`` —
+  checkpoints are exact regardless of the device storage dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from photo_search_engine_tpu.ops import topk as topk_ops
+
+_DEF_BLOCK_ROWS = 1024
+_APPEND_PAD = 8  # append chunks padded to a multiple of this to bound recompiles
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+@jax.jit
+def _normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
+    return topk_ops.l2_normalize(x)
+
+
+def _update_slice(buf: jnp.ndarray, rows: jnp.ndarray, start) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
+
+
+# Donating `buf` lets XLA update the corpus in place instead of copying GBs.
+_update_slice_jit = jax.jit(_update_slice, donate_argnums=(0,))
+
+
+class EmbeddingStore:
+    """Append-only device embedding matrix + search entry point."""
+
+    def __init__(
+        self,
+        dimension: int,
+        *,
+        metric: str = "cosine",
+        store_dtype: str = "float32",
+        block_rows: int = _DEF_BLOCK_ROWS,
+    ) -> None:
+        if metric not in {"cosine", "l2", "ip"}:
+            raise ValueError("metric must be cosine, l2 or ip")
+        self.dimension = int(dimension)
+        self.metric = metric
+        self.store_dtype = jnp.dtype(store_dtype)
+        self.block_rows = int(block_rows)
+        self._count = 0
+        self._device: Optional[jnp.ndarray] = None  # [capacity, D] store dtype
+        self._host = np.zeros((0, self.dimension), np.float32)
+
+    # ------------------------------------------------------------------
+    @property
+    def count(self) -> int:
+        return self._count
+
+    @property
+    def capacity(self) -> int:
+        return 0 if self._device is None else int(self._device.shape[0])
+
+    def _prepare(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.shape[1] != self.dimension:
+            raise ValueError(
+                f"vector dimension mismatch: {vectors.shape[1]} != {self.dimension}"
+            )
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            # zero vectors stay as-is (reference vector_store.py:86-90)
+            vectors = np.where(norms > 0, vectors / np.maximum(norms, 1e-30), vectors)
+        return vectors
+
+    def _grow_to(self, needed: int) -> None:
+        new_capacity = _round_up(max(needed, 2 * self.capacity), self.block_rows)
+        fresh = jnp.zeros((new_capacity, self.dimension), self.store_dtype)
+        if self._device is not None and self._count > 0:
+            fresh = _update_slice_jit(fresh, self._device[: self.capacity], 0)
+        self._device = fresh
+
+    def append(self, vectors: np.ndarray) -> None:
+        """Append rows (normalizing for cosine) to host mirror + device."""
+        vectors = self._prepare(vectors)
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return
+        self._host = np.concatenate([self._host, vectors], axis=0)
+        needed = self._count + n_new
+        padded_len = _round_up(n_new, _APPEND_PAD)
+        if self._count + padded_len > self.capacity:
+            self._grow_to(self._count + padded_len)
+        # Tail padding writes zeros past count — harmless: count masks them
+        # and later appends overwrite them.
+        chunk = np.zeros((padded_len, self.dimension), np.float32)
+        chunk[:n_new] = vectors
+        self._device = _update_slice_jit(self._device, jnp.asarray(chunk), self._count)
+        self._count = needed
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        mask: Optional[np.ndarray] = None,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over live rows; returns host (distances, indices).
+
+        ``mask`` is a length-``count`` boolean/int filter (device-masked
+        scan — the ES-filter analogue, SURVEY.md §7.1c).
+        """
+        if self._count == 0:
+            q = np.atleast_2d(np.asarray(queries)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        queries = self._prepare(np.asarray(queries, np.float32))
+        mask_dev = None
+        if mask is not None:
+            mask_arr = np.zeros(self.capacity, np.int32)
+            mask_arr[: self._count] = np.asarray(mask[: self._count], np.int32)
+            mask_dev = jnp.asarray(mask_arr)
+        metric = "ip" if self.metric == "cosine" else self.metric
+        dists, idx = topk_ops.exact_search(
+            self._device,
+            jnp.asarray(queries, self.store_dtype),
+            min(k, self._count),
+            count=self._count,
+            mask=mask_dev,
+            metric=metric,
+            impl=impl,
+            block_n=self.block_rows,
+        )
+        return np.asarray(dists), np.asarray(idx)
+
+    # ------------------------------------------------------------------
+    def reconstruct(self, index: int) -> np.ndarray:
+        if not 0 <= index < self._count:
+            raise IndexError(index)
+        return self._host[index].copy()
+
+    def snapshot(self) -> np.ndarray:
+        """Float32 host copy of live rows (for persistence)."""
+        return self._host[: self._count].copy()
+
+    def clear(self) -> None:
+        self._count = 0
+        self._device = None
+        self._host = np.zeros((0, self.dimension), np.float32)
+
+    @classmethod
+    def from_array(
+        cls,
+        array: np.ndarray,
+        *,
+        metric: str = "cosine",
+        store_dtype: str = "float32",
+        block_rows: int = _DEF_BLOCK_ROWS,
+        already_normalized: bool = False,
+    ) -> "EmbeddingStore":
+        store = cls(
+            array.shape[1],
+            metric=metric,
+            store_dtype=store_dtype,
+            block_rows=block_rows,
+        )
+        # Normalization is idempotent, so already-normalized input is safe.
+        del already_normalized
+        store.append(array)
+        return store

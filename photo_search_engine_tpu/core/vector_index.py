@@ -1,0 +1,254 @@
+"""Vector index: metadata-carrying wrapper over the device EmbeddingStore.
+
+API-parity target: reference utils/vector_store.py VectorStore —
+``add_item`` (143-169), ``search`` → ``[{metadata, distance}]`` (172-198),
+``get_embedding_by_photo_path`` cached reconstruct (200-212), ``save/load``
+with a ``<index>.meta.json`` sidecar validated against config on load
+(104-140, 217-260), count-consistency check (255-256), ``clear`` (273).
+
+Differences by design (TPU-first):
+* persistence is ``.npy`` (float32 exact) + JSON sidecars instead of a
+  FAISS binary;
+* ``index_type`` is ``flat`` (exact, recall-gold) or ``ivf``
+  (coarse-quantized, million-scale) — HNSW has no efficient TPU analogue;
+  the IVF path fills the approximate-index role;
+* batched ``search_batch`` and device-masked ``search_masked`` exist for
+  the serving path (filters fused into the top-k scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+
+_FORMAT_VERSION = 1
+
+
+class VectorIndex:
+    """Drop-in functional replacement for the reference VectorStore."""
+
+    def __init__(
+        self,
+        dimension: Optional[int],
+        index_path: str,
+        metadata_path: str,
+        metric: str = "cosine",
+        index_type: str = "flat",
+        store_dtype: str = "float32",
+        ivf_nlist: int = 1024,
+        ivf_nprobe: int = 64,
+    ) -> None:
+        self.dimension = dimension
+        self.index_path = index_path
+        self.metadata_path = metadata_path
+        self.meta_path = f"{self.index_path}.meta.json"
+        self.metric = (metric or "l2").strip().lower()
+        if self.metric not in {"l2", "cosine"}:
+            raise ValueError("metric must be l2 or cosine")
+        self.index_type = (index_type or "flat").strip().lower()
+        if self.index_type not in {"flat", "ivf"}:
+            raise ValueError("index_type must be flat or ivf")
+        self.store_dtype = store_dtype
+        self.ivf_nlist = max(1, int(ivf_nlist))
+        self.ivf_nprobe = max(1, int(ivf_nprobe))
+
+        self.metadata: List[Dict[str, Any]] = []
+        self._store: Optional[EmbeddingStore] = (
+            self._create_store(dimension) if dimension else None
+        )
+        self._path_to_index: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    def _create_store(self, dimension: int) -> EmbeddingStore:
+        return EmbeddingStore(
+            dimension, metric=self.metric, store_dtype=self.store_dtype
+        )
+
+    def _rebuild_path_index(self) -> None:
+        mapping: Dict[str, int] = {}
+        for i, item in enumerate(self.metadata):
+            path = item.get("photo_path")
+            if isinstance(path, str) and path:
+                mapping[path] = i
+        self._path_to_index = mapping
+
+    # ------------------------------------------------------------------
+    def add_item(self, embedding: List[float], metadata: Dict[str, Any]) -> None:
+        """Append one vector + metadata in lockstep
+        (reference vector_store.py:143-169)."""
+        if embedding is None:
+            raise ValueError("embedding must not be empty")
+        if self._store is None:
+            self.dimension = len(embedding)
+            self._store = self._create_store(self.dimension)
+        if len(embedding) != self.dimension:
+            raise ValueError(
+                f"vector dimension mismatch: {len(embedding)} != {self.dimension}"
+            )
+        self._store.append(np.asarray(embedding, np.float32))
+        self.metadata.append(metadata)
+        path = metadata.get("photo_path")
+        if isinstance(path, str) and path:
+            self._path_to_index[path] = len(self.metadata) - 1
+
+    def add_batch(
+        self, embeddings: np.ndarray, metadatas: List[Dict[str, Any]]
+    ) -> None:
+        """Batched append — one device update for the whole batch."""
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim == 1:
+            embeddings = embeddings[None, :]
+        if len(metadatas) != embeddings.shape[0]:
+            raise ValueError("embeddings/metadata length mismatch")
+        if self._store is None:
+            self.dimension = embeddings.shape[1]
+            self._store = self._create_store(self.dimension)
+        if embeddings.shape[1] != self.dimension:
+            raise ValueError(
+                f"vector dimension mismatch: {embeddings.shape[1]} != {self.dimension}"
+            )
+        base = len(self.metadata)
+        self._store.append(embeddings)
+        self.metadata.extend(metadatas)
+        for offset, item in enumerate(metadatas):
+            path = item.get("photo_path")
+            if isinstance(path, str) and path:
+                self._path_to_index[path] = base + offset
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query_embedding: List[float], top_k: int
+    ) -> List[Dict[str, Any]]:
+        """Single-query search → ``[{metadata, distance}]``
+        (reference vector_store.py:172-198)."""
+        batches = self.search_batch(np.asarray(query_embedding, np.float32), top_k)
+        return batches[0] if batches else []
+
+    def search_batch(
+        self,
+        query_embeddings: np.ndarray,
+        top_k: int,
+        mask: Optional[np.ndarray] = None,
+    ) -> List[List[Dict[str, Any]]]:
+        if self._store is None or self._store.count == 0:
+            q = np.atleast_2d(np.asarray(query_embeddings)).shape[0]
+            return [[] for _ in range(q)]
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        if queries.shape[1] != self.dimension:
+            raise ValueError(
+                f"vector dimension mismatch: {queries.shape[1]} != {self.dimension}"
+            )
+        k = min(int(top_k), self._store.count)
+        dists, idx = self._store.search(queries, k, mask=mask)
+        out: List[List[Dict[str, Any]]] = []
+        for row_d, row_i in zip(dists, idx):
+            hits = []
+            for d, i in zip(row_d.tolist(), row_i.tolist()):
+                if i < 0:
+                    continue
+                hits.append({"metadata": self.metadata[i], "distance": float(d)})
+            out.append(hits)
+        return out
+
+    def search_masked(
+        self, query_embedding: List[float], top_k: int, mask: np.ndarray
+    ) -> List[Dict[str, Any]]:
+        """Search with a per-row boolean filter fused into the device scan
+        (replaces ES filter clauses, SURVEY.md §7.1c)."""
+        batches = self.search_batch(
+            np.asarray(query_embedding, np.float32), top_k, mask=mask
+        )
+        return batches[0] if batches else []
+
+    # ------------------------------------------------------------------
+    def get_embedding_by_photo_path(self, photo_path: str) -> Optional[List[float]]:
+        i = self._path_to_index.get(photo_path)
+        if i is None or self._store is None:
+            return None
+        return self._store.reconstruct(i).tolist()
+
+    def has_photo_path(self, photo_path: str) -> bool:
+        return photo_path in self._path_to_index
+
+    def get_total_items(self) -> int:
+        return 0 if self._store is None else self._store.count
+
+    # ------------------------------------------------------------------
+    def _meta_payload(self) -> Dict[str, Any]:
+        return {
+            "format_version": _FORMAT_VERSION,
+            "index_type": self.index_type,
+            "metric": self.metric,
+            "dimension": self.dimension,
+            "store_dtype": str(self.store_dtype),
+            "count": self.get_total_items(),
+            "ivf_nlist": self.ivf_nlist,
+            "ivf_nprobe": self.ivf_nprobe,
+        }
+
+    def save(self) -> None:
+        """Persist embeddings (.npy float32) + metadata + meta sidecar
+        (reference vector_store.py:217-236)."""
+        if self._store is None:
+            raise ValueError("index not initialized")
+        for directory in {
+            os.path.dirname(self.index_path),
+            os.path.dirname(self.metadata_path),
+        }:
+            if directory:
+                os.makedirs(directory, exist_ok=True)
+        with open(self.index_path, "wb") as f:
+            np.save(f, self._store.snapshot())
+        with open(self.meta_path, "w", encoding="utf-8") as f:
+            json.dump(self._meta_payload(), f, ensure_ascii=False, indent=2)
+        with open(self.metadata_path, "w", encoding="utf-8") as f:
+            json.dump(self.metadata, f, ensure_ascii=False, indent=2)
+
+    def load(self) -> bool:
+        """Load and validate; False when absent, ValueError on any
+        config/count mismatch (reference vector_store.py:239-260,
+        125-140)."""
+        if not os.path.exists(self.index_path) or not os.path.exists(
+            self.metadata_path
+        ):
+            return False
+        if not os.path.exists(self.meta_path):
+            raise ValueError("index meta sidecar missing; rebuild the index")
+        with open(self.meta_path, "r", encoding="utf-8") as f:
+            payload = json.load(f)
+        if not isinstance(payload, dict):
+            raise ValueError("index meta sidecar corrupt; rebuild the index")
+        if str(payload.get("index_type") or "").strip().lower() != self.index_type:
+            raise ValueError("index type differs from config; rebuild the index")
+        if str(payload.get("metric") or "").strip().lower() != self.metric:
+            raise ValueError("index metric differs from config; rebuild the index")
+
+        with open(self.index_path, "rb") as f:
+            array = np.load(f)
+        with open(self.metadata_path, "r", encoding="utf-8") as f:
+            self.metadata = json.load(f)
+        if array.shape[0] != len(self.metadata):
+            raise ValueError("index/metadata count mismatch; rebuild the index")
+        expected_count = payload.get("count")
+        if expected_count is not None and int(expected_count) != array.shape[0]:
+            raise ValueError("index row count differs from sidecar; rebuild the index")
+
+        self.dimension = int(array.shape[1]) if array.size else payload.get("dimension")
+        self._store = EmbeddingStore.from_array(
+            array.astype(np.float32),
+            metric=self.metric,
+            store_dtype=self.store_dtype,
+            already_normalized=True,
+        ) if array.size else self._create_store(self.dimension)
+        self._rebuild_path_index()
+        return True
+
+    def clear(self) -> None:
+        self._store = self._create_store(self.dimension) if self.dimension else None
+        self.metadata = []
+        self._path_to_index = {}

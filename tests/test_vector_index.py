@@ -1,0 +1,187 @@
+"""Tests for core/vector_index.py + core/embedding_store.py
+(reference tests/test_vector_store.py: save/load round-trips, meta
+validation, mismatch errors, reconstruct-by-path)."""
+
+import os
+import tempfile
+import unittest
+
+import numpy as np
+
+from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+from photo_search_engine_tpu.core.vector_index import VectorIndex
+
+
+def _mk(tmp, metric="cosine", index_type="flat", dimension=32):
+    return VectorIndex(
+        dimension=dimension,
+        index_path=os.path.join(tmp, "photo_search.index"),
+        metadata_path=os.path.join(tmp, "metadata.json"),
+        metric=metric,
+        index_type=index_type,
+    )
+
+
+class EmbeddingStoreTest(unittest.TestCase):
+    def test_append_grow_and_search(self):
+        rng = np.random.default_rng(0)
+        store = EmbeddingStore(16, metric="ip", block_rows=128)
+        all_rows = []
+        for _ in range(5):
+            batch = rng.normal(size=(7, 16)).astype(np.float32)
+            store.append(batch)
+            all_rows.append(batch)
+        corpus = np.concatenate(all_rows)
+        self.assertEqual(store.count, 35)
+        self.assertGreaterEqual(store.capacity, 35)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        dists, idx = store.search(q, 5)
+        expect = np.argsort(-(q @ corpus.T), axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(idx, expect)
+
+    def test_cosine_normalizes_on_append(self):
+        store = EmbeddingStore(4, metric="cosine")
+        store.append(np.array([[2.0, 0, 0, 0], [0, 3.0, 0, 0]], np.float32))
+        dists, idx = store.search(np.array([1.0, 0, 0, 0], np.float32), 2)
+        self.assertAlmostEqual(float(dists[0][0]), 1.0, places=5)
+        self.assertEqual(int(idx[0][0]), 0)
+
+    def test_reconstruct_and_snapshot(self):
+        store = EmbeddingStore(8, metric="ip")
+        rows = np.arange(24, dtype=np.float32).reshape(3, 8)
+        store.append(rows)
+        np.testing.assert_allclose(store.reconstruct(1), rows[1])
+        np.testing.assert_allclose(store.snapshot(), rows)
+
+    def test_masked_search(self):
+        store = EmbeddingStore(8, metric="ip")
+        rng = np.random.default_rng(1)
+        corpus = rng.normal(size=(50, 8)).astype(np.float32)
+        store.append(corpus)
+        mask = np.zeros(50, bool)
+        mask[10:20] = True
+        _, idx = store.search(corpus[0], 5, mask=mask)
+        self.assertTrue(set(idx[0]).issubset(set(range(10, 20))))
+
+
+class VectorIndexTest(unittest.TestCase):
+    def setUp(self):
+        self.tmp = tempfile.TemporaryDirectory()
+
+    def tearDown(self):
+        self.tmp.cleanup()
+
+    def test_add_and_search_shapes(self):
+        vi = _mk(self.tmp.name, metric="cosine", dimension=8)
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            vi.add_item(rng.normal(size=8).tolist(), {"photo_path": f"/p/{i}.jpg"})
+        results = vi.search(rng.normal(size=8).tolist(), 3)
+        self.assertEqual(len(results), 3)
+        self.assertIn("metadata", results[0])
+        self.assertIn("distance", results[0])
+
+    def test_dimension_mismatch_raises(self):
+        vi = _mk(self.tmp.name, dimension=8)
+        with self.assertRaises(ValueError):
+            vi.add_item([1.0] * 4, {"photo_path": "/x.jpg"})
+        vi.add_item([1.0] * 8, {"photo_path": "/x.jpg"})
+        with self.assertRaises(ValueError):
+            vi.search([1.0] * 4, 3)
+
+    def test_save_load_roundtrip(self):
+        vi = _mk(self.tmp.name, dimension=8)
+        rng = np.random.default_rng(0)
+        vectors = [rng.normal(size=8).tolist() for _ in range(5)]
+        for i, vec in enumerate(vectors):
+            vi.add_item(vec, {"photo_path": f"/p/{i}.jpg", "description": f"d{i}"})
+        expected = vi.search(vectors[0], 3)
+        vi.save()
+
+        vi2 = _mk(self.tmp.name, dimension=8)
+        self.assertTrue(vi2.load())
+        self.assertEqual(vi2.get_total_items(), 5)
+        got = vi2.search(vectors[0], 3)
+        self.assertEqual(
+            [r["metadata"]["photo_path"] for r in got],
+            [r["metadata"]["photo_path"] for r in expected],
+        )
+        # reconstruct-by-path survives reload
+        emb = vi2.get_embedding_by_photo_path("/p/2.jpg")
+        self.assertEqual(len(emb), 8)
+
+    def test_load_missing_returns_false(self):
+        vi = _mk(self.tmp.name)
+        self.assertFalse(vi.load())
+
+    def test_metric_mismatch_raises_on_load(self):
+        vi = _mk(self.tmp.name, metric="cosine", dimension=8)
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.save()
+        vi2 = _mk(self.tmp.name, metric="l2", dimension=8)
+        with self.assertRaises(ValueError):
+            vi2.load()
+
+    def test_index_type_mismatch_raises_on_load(self):
+        vi = _mk(self.tmp.name, index_type="flat", dimension=8)
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.save()
+        vi2 = _mk(self.tmp.name, index_type="ivf", dimension=8)
+        with self.assertRaises(ValueError):
+            vi2.load()
+
+    def test_count_mismatch_raises_on_load(self):
+        vi = _mk(self.tmp.name, dimension=8)
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.add_item([2.0] * 8, {"photo_path": "/b.jpg"})
+        vi.save()
+        import json
+
+        with open(vi.metadata_path, "w") as f:
+            json.dump([{"photo_path": "/a.jpg"}], f)
+        vi2 = _mk(self.tmp.name, dimension=8)
+        with self.assertRaises(ValueError):
+            vi2.load()
+
+    def test_missing_meta_sidecar_raises(self):
+        vi = _mk(self.tmp.name, dimension=8)
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.save()
+        os.remove(vi.meta_path)
+        vi2 = _mk(self.tmp.name, dimension=8)
+        with self.assertRaises(ValueError):
+            vi2.load()
+
+    def test_clear(self):
+        vi = _mk(self.tmp.name, dimension=8)
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.clear()
+        self.assertEqual(vi.get_total_items(), 0)
+        self.assertEqual(vi.search([1.0] * 8, 3), [])
+
+    def test_l2_distances_ascending(self):
+        vi = _mk(self.tmp.name, metric="l2", dimension=4)
+        vi.add_item([0.0, 0, 0, 0], {"photo_path": "/a.jpg"})
+        vi.add_item([1.0, 0, 0, 0], {"photo_path": "/b.jpg"})
+        vi.add_item([5.0, 0, 0, 0], {"photo_path": "/c.jpg"})
+        results = vi.search([0.9, 0, 0, 0], 3)
+        paths = [r["metadata"]["photo_path"] for r in results]
+        self.assertEqual(paths, ["/b.jpg", "/a.jpg", "/c.jpg"])
+        dists = [r["distance"] for r in results]
+        self.assertEqual(dists, sorted(dists))
+
+    def test_masked_search_excludes(self):
+        vi = _mk(self.tmp.name, metric="cosine", dimension=4)
+        rng = np.random.default_rng(3)
+        for i in range(10):
+            vi.add_item(rng.normal(size=4).tolist(), {"photo_path": f"/p/{i}.jpg"})
+        mask = np.zeros(10, bool)
+        mask[[2, 5]] = True
+        results = vi.search_masked(rng.normal(size=4).tolist(), 5, mask)
+        got = {r["metadata"]["photo_path"] for r in results}
+        self.assertTrue(got.issubset({"/p/2.jpg", "/p/5.jpg"}))
+        self.assertEqual(len(results), 2)
+
+
+if __name__ == "__main__":
+    unittest.main()
