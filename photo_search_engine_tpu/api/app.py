@@ -1,0 +1,330 @@
+"""Composition root + server entry point.
+
+Behavior-parity target: reference main.py —
+* ``initialize_services`` (42-247): construct every service from config
+  with constructor injection; optional services (keyword store, query
+  formatter, reranks) fail soft with a warning → graceful degradation is
+  the design rule
+* ``create_app`` (250-277): register routes + JSON 404/500 handlers
+* required-config validation (280-288) — here only PHOTO_DIR is truly
+  required because every LLM-backed service has a deterministic local
+  backend
+* port-bind probing with automatic fallback ports (291-330, 346-362)
+* ``--index-worker`` CLI mode (365-381).
+
+Run:  python -m photo_search_engine_tpu.api.app
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+from photo_search_engine_tpu.api.routes import register_routes
+from photo_search_engine_tpu.api.wsgi import App
+from photo_search_engine_tpu.config import get_config
+from photo_search_engine_tpu.core.indexer import Indexer
+from photo_search_engine_tpu.core.keyword_index import KeywordIndex
+from photo_search_engine_tpu.core.searcher import Searcher
+from photo_search_engine_tpu.core.vector_index import VectorIndex
+from photo_search_engine_tpu.models.hash_embedder import HashingEmbeddingService
+from photo_search_engine_tpu.services.embedding import (
+    DeviceTextRerankService,
+    OpenAICompatibleEmbeddingService,
+    TextRerankService,
+)
+from photo_search_engine_tpu.services.query_formatter import QueryFormatter
+from photo_search_engine_tpu.services.rerank import (
+    LocalVisualRerankService,
+    VisualRerankService,
+)
+from photo_search_engine_tpu.services.time_parser import TimeParser
+from photo_search_engine_tpu.services.vision import LocalVisionService, OpenAIVisionService
+
+
+def _build_embedding_service(config: Dict[str, Any]):
+    backend = str(config.get("EMBEDDING_BACKEND") or "auto").strip().lower()
+    if backend == "auto":
+        backend = "openai" if config.get("EMBEDDING_BASE_URL") else "local"
+    if backend == "openai":
+        return OpenAICompatibleEmbeddingService(
+            api_key=config.get("EMBEDDING_API_KEY") or "",
+            model_name=config["EMBEDDING_MODEL"],
+            base_url=config["EMBEDDING_BASE_URL"],
+            timeout=config["TIMEOUT"],
+            max_retries=config["MAX_RETRIES"],
+            dimension=config.get("EMBEDDING_DIMENSION"),
+        )
+    return HashingEmbeddingService(dimension=config.get("EMBEDDING_DIMENSION") or 1536)
+
+
+def _build_vision_service(config: Dict[str, Any]):
+    backend = str(config.get("VISION_BACKEND") or "auto").strip().lower()
+    if backend == "auto":
+        backend = (
+            "openai"
+            if config.get("VISION_BASE_URL") and config.get("VISION_API_KEY")
+            else "local"
+        )
+    if backend == "openai":
+        return OpenAIVisionService(
+            api_key=config.get("VISION_API_KEY") or "",
+            model_name=config["VISION_MODEL"],
+            base_url=config["VISION_BASE_URL"],
+            timeout=config["TIMEOUT"],
+            max_retries=config["MAX_RETRIES"],
+            image_max_size=config["IMAGE_MAX_SIZE"],
+            image_quality=config["IMAGE_QUALITY"],
+            image_format=config["IMAGE_FORMAT"],
+            reasoning_effort=config["VISION_REASONING_EFFORT"],
+            enhanced_reasoning_effort=config["VISION_ENHANCED_REASONING_EFFORT"],
+            base_max_output_tokens=config["VISION_BASE_MAX_TOKENS"],
+            enhanced_max_output_tokens=config["VISION_ENHANCED_MAX_TOKENS"],
+            repair_max_output_tokens=config["VISION_REPAIR_MAX_TOKENS"],
+            enhanced_analysis_enabled=config["ENHANCED_ANALYSIS_ENABLED"],
+        )
+    return LocalVisionService()
+
+
+def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Construct + wire everything; optional pieces degrade to None or a
+    local backend with a warning."""
+    config = config or get_config()
+
+    embedding_service = _build_embedding_service(config)
+    vision_service = _build_vision_service(config)
+
+    vector_index = VectorIndex(
+        dimension=config.get("EMBEDDING_DIMENSION"),
+        index_path=config["INDEX_PATH"],
+        metadata_path=config["METADATA_PATH"],
+        metric=config["VECTOR_METRIC"],
+        index_type=config["VECTOR_INDEX_TYPE"],
+        store_dtype=config.get("STORE_DTYPE", "float32"),
+        ivf_nlist=config.get("IVF_NLIST", 1024),
+        ivf_nprobe=config.get("IVF_NPROBE", 64),
+    )
+
+    keyword_index = None
+    if str(config.get("KEYWORD_BACKEND") or "builtin").lower() == "builtin":
+        try:
+            keyword_index = KeywordIndex(config["KEYWORD_INDEX_PATH"])
+            keyword_index.load()
+        except Exception as exc:
+            print(f"[WARN] keyword index disabled: {exc}")
+            keyword_index = None
+
+    time_parser = TimeParser(
+        api_key=config.get("TIME_PARSE_API_KEY") or "",
+        model_name=config["TIME_PARSE_MODEL"],
+        base_url=config.get("TIME_PARSE_BASE_URL") or "",
+        reasoning_effort=config["TIME_PARSE_REASONING_EFFORT"],
+        max_retries=config["MAX_RETRIES"],
+        backend=config.get("TIME_PARSE_BACKEND", "auto"),
+    )
+
+    query_formatter = None
+    if config.get("QUERY_FORMAT_ENABLED", True):
+        try:
+            query_formatter = QueryFormatter(
+                api_key=config.get("QUERY_FORMAT_API_KEY") or "",
+                model_name=config["QUERY_FORMAT_MODEL"],
+                base_url=config.get("QUERY_FORMAT_BASE_URL") or "",
+                reasoning_effort=config["QUERY_FORMAT_REASONING_EFFORT"],
+                max_retries=config["MAX_RETRIES"],
+                backend=config.get("QUERY_FORMAT_BACKEND", "auto"),
+            )
+        except Exception as exc:
+            print(f"[WARN] query formatter disabled: {exc}")
+            query_formatter = None
+
+    text_rerank_service = None
+    try:
+        backend = str(config.get("TEXT_RERANK_BACKEND") or "auto").strip().lower()
+        if backend in {"api", "chat"} or (
+            backend == "auto" and config.get("TEXT_RERANK_BASE_URL")
+        ):
+            text_rerank_service = TextRerankService(
+                api_key=config.get("TEXT_RERANK_API_KEY") or "",
+                model_name=config["TEXT_RERANK_MODEL"],
+                base_url=config["TEXT_RERANK_BASE_URL"],
+                timeout=config["TEXT_RERANK_TIMEOUT"],
+                max_retries=config["MAX_RETRIES"],
+                backend=backend,
+            )
+        else:  # device: deterministic embedding cross-similarity
+            text_rerank_service = DeviceTextRerankService(
+                dimension=config.get("EMBEDDING_DIMENSION") or 1536
+            )
+    except Exception as exc:
+        print(f"[WARN] text rerank disabled: {exc}")
+        text_rerank_service = None
+
+    visual_rerank_service = None
+    if config.get("VISUAL_RERANK_ENABLED", True):
+        try:
+            if config.get("VISUAL_RERANK_BASE_URL") and config.get("VISUAL_RERANK_API_KEY"):
+                visual_rerank_service = VisualRerankService(
+                    api_key=config["VISUAL_RERANK_API_KEY"],
+                    model_name=config["VISUAL_RERANK_MODEL"],
+                    base_url=config["VISUAL_RERANK_BASE_URL"],
+                    reasoning_effort=config["VISUAL_RERANK_REASONING_EFFORT"],
+                    timeout=config["VISUAL_RERANK_TIMEOUT"],
+                    max_retries=config["MAX_RETRIES"],
+                    image_max_size=config["RERANK_IMAGE_MAX_SIZE"],
+                    image_quality=config["RERANK_IMAGE_QUALITY"],
+                    image_format=config["RERANK_IMAGE_FORMAT"],
+                    max_images=config["RERANK_MAX_IMAGES"],
+                )
+            else:
+                visual_rerank_service = LocalVisualRerankService(
+                    dimension=config.get("EMBEDDING_DIMENSION") or 1536
+                )
+        except Exception as exc:
+            print(f"[WARN] visual rerank disabled: {exc}")
+            visual_rerank_service = None
+
+    indexer = Indexer(
+        photo_dir=config.get("PHOTO_DIR") or "",
+        vector_index=vector_index,
+        vision_service=vision_service,
+        embedding_service=embedding_service,
+        keyword_index=keyword_index,
+        batch_size=config["BATCH_SIZE"],
+        max_retries=config["MAX_RETRIES"],
+        timeout=config["TIMEOUT"],
+        data_dir=config["RUNTIME_DATA_DIR"],
+        background_mode=config["INDEX_BACKGROUND_MODE"],
+        worker_python_executable=sys.executable,
+        worker_entrypoint=["-m", "photo_search_engine_tpu.api.app"],
+    )
+    searcher = Searcher(
+        embedding=embedding_service,
+        time_parser=time_parser,
+        vector_index=vector_index,
+        keyword_index=keyword_index,
+        query_formatter=query_formatter,
+        data_dir=config["RUNTIME_DATA_DIR"],
+        top_k=config["TOP_K"],
+        vector_weight=config["VECTOR_WEIGHT"],
+        keyword_weight=config["KEYWORD_WEIGHT"],
+        query_expansion_enabled=config["QUERY_EXPANSION_ENABLED"],
+        query_expansion_max_alternatives=config["QUERY_EXPANSION_MAX_ALTERNATIVES"],
+        query_multi_round_enabled=config["QUERY_MULTI_ROUND_ENABLED"],
+        query_reflection_enabled=config["QUERY_REFLECTION_ENABLED"],
+        query_max_reflection_rounds=config["QUERY_MAX_REFLECTION_ROUNDS"],
+        query_dynamic_threshold_floor=config["QUERY_DYNAMIC_THRESHOLD_FLOOR"],
+        query_strict_floor_min=config["QUERY_STRICT_FLOOR_MIN"],
+        query_broad_floor_min=config["QUERY_BROAD_FLOOR_MIN"],
+        time_parse_strategy=config["TIME_PARSE_STRATEGY"],
+        validate_file_exists=config["SEARCH_VALIDATE_FILE_EXISTS"],
+        query_cache_enabled=config["QUERY_CACHE_ENABLED"],
+        query_cache_size=config["QUERY_CACHE_SIZE"],
+        embedding_cache_enabled=config["EMBEDDING_CACHE_ENABLED"],
+        embedding_cache_size=config["EMBEDDING_CACHE_SIZE"],
+        default_search_mode=config["DEFAULT_SEARCH_MODE"],
+    )
+    return {
+        "config": config,
+        "embedding_service": embedding_service,
+        "vision_service": vision_service,
+        "vector_index": vector_index,
+        "keyword_index": keyword_index,
+        "time_parser": time_parser,
+        "query_formatter": query_formatter,
+        "text_rerank_service": text_rerank_service,
+        "visual_rerank_service": visual_rerank_service,
+        "indexer": indexer,
+        "searcher": searcher,
+    }
+
+
+def create_app(services: Optional[Dict[str, Any]] = None) -> App:
+    services = services or initialize_services()
+    app = App()
+    register_routes(
+        app,
+        indexer=services["indexer"],
+        searcher=services["searcher"],
+        config=services["config"],
+        text_rerank_service=services.get("text_rerank_service"),
+        visual_rerank_service=services.get("visual_rerank_service"),
+    )
+    return app
+
+
+def _validate_required_config(config: Dict[str, Any]) -> None:
+    if not config.get("PHOTO_DIR"):
+        raise ValueError("PHOTO_DIR 未配置，请设置要索引的照片目录")
+
+
+def _probe_port(host: str, port: int) -> bool:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as probe:
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        try:
+            probe.bind((host, port))
+            return True
+        except OSError:
+            return False
+
+
+def pick_port(host: str, preferred: int, attempts: int = 10) -> Tuple[int, bool]:
+    """Preferred port, else next free one (reference main.py:291-330)."""
+    if _probe_port(host, preferred):
+        return preferred, False
+    for offset in range(1, attempts + 1):
+        candidate = preferred + offset
+        if _probe_port(host, candidate):
+            return candidate, True
+    raise OSError(f"no free port near {preferred}")
+
+
+def run_index_worker(force_rebuild: bool) -> int:
+    """Detached index-build worker (reference main.py:365-381)."""
+    services = initialize_services()
+    status = services["indexer"].build_index(
+        force_rebuild=force_rebuild, lock_already_held=True
+    )
+    return 0 if status.get("status") in {"success", "ready"} else 1
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(description="photo_search_engine_tpu server")
+    parser.add_argument("--index-worker", action="store_true")
+    parser.add_argument("--force-rebuild", action="store_true")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    config = get_config()
+    _validate_required_config(config)
+
+    if args.index_worker:
+        return run_index_worker(force_rebuild=args.force_rebuild)
+
+    services = initialize_services(config)
+    app = create_app(services)
+    host = args.host or config["SERVER_HOST"]
+    port, fell_back = pick_port(host, args.port or config["SERVER_PORT"])
+    if fell_back:
+        print(f"[WARN] preferred port busy; falling back to {port}")
+
+    from wsgiref.simple_server import WSGIServer, make_server
+    from socketserver import ThreadingMixIn
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    server = make_server(host, port, app, server_class=ThreadingWSGIServer)
+    print(f"[INFO] serving on http://{host}:{port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
