@@ -1,0 +1,102 @@
+"""Headline benchmark: exact-search throughput at the BASELINE.md north-star
+scale (1M × 1536-d vectors, top-10, batch 128) on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+
+``vs_baseline`` is against the north-star target of 10k QPS on a v5e-8
+(BASELINE.md targets table) — i.e. value / 10000.  The reference itself
+publishes no search-throughput numbers (SURVEY.md §6).
+
+Methodology: N dependency-chained search iterations inside ONE jitted
+``lax.scan`` whose final scalar depends on every iteration, timed at two
+N values and differenced.  This cancels dispatch/fetch latency and
+defeats async-dispatch pipelining artifacts (on some remote-attached
+device runtimes, ``block_until_ready`` on queued results returns early,
+inflating naive loop timings by >10x — measured on this machine).
+
+Scale knobs via env: BENCH_ROWS, BENCH_DIM, BENCH_Q, BENCH_K, BENCH_ITERS.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+
+def main() -> None:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from photo_search_engine_tpu.ops.topk import _pallas_impl, l2_normalize
+
+    rows = int(os.getenv("BENCH_ROWS", 1_000_000))
+    dim = int(os.getenv("BENCH_DIM", 1536))
+    n_queries = int(os.getenv("BENCH_Q", 128))
+    k = int(os.getenv("BENCH_K", 10))
+    iters = int(os.getenv("BENCH_ITERS", 40))
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    block_n = 1024 if dtype == jnp.bfloat16 else 512
+    block_q = min(128, max(8, -(-n_queries // 8) * 8))
+    capacity = -(-rows // block_n) * block_n
+
+    # build the corpus in chunks to bound normalization memory
+    chunks = []
+    for i in range(8):
+        chunks.append(
+            l2_normalize(jax.random.normal(jax.random.PRNGKey(i), (capacity // 8, dim), dtype))
+        )
+    corpus = jnp.concatenate(chunks)
+    del chunks
+    corpus.block_until_ready()
+
+    count = jnp.full((1, 1), rows, jnp.int32)
+    cnorms = jnp.zeros((1, capacity), jnp.float32)
+    mask = jnp.ones((1, capacity), jnp.int32)
+    qstack = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(99), (iters + 2, n_queries, dim), dtype)
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(corpus, qstack, n):
+        def body(carry, queries):
+            queries = queries + carry.astype(queries.dtype) * 0  # serialize
+            vals, idx = _pallas_impl(
+                corpus, queries, count, cnorms, mask,
+                k, "ip", block_q, block_n, not on_tpu, False,
+            )
+            return jnp.sum(vals[:, :k]).astype(jnp.float32), 0
+        carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+        return carry
+
+    # warm both shapes (compile)
+    float(chained(corpus, qstack, 2))
+    float(chained(corpus, qstack, iters + 2))
+
+    started = time.perf_counter()
+    float(chained(corpus, qstack, 2))
+    t_short = time.perf_counter() - started
+    started = time.perf_counter()
+    float(chained(corpus, qstack, iters + 2))
+    t_long = time.perf_counter() - started
+    per_batch = max((t_long - t_short) / iters, 1e-9)
+    qps = n_queries / per_batch
+
+    print(
+        json.dumps(
+            {
+                "metric": f"exact_search_qps_{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / 10_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Sharded retrieval over a device mesh.
+
+Design (BASELINE.md north star; SURVEY.md §5 distributed-comm statement):
+* the embedding matrix is sharded on the row axis across the ``data``
+  mesh axis (1 chip = degenerate mesh, same code path);
+* each chip runs the fused scoring+top-k kernel on its shard → partial
+  (values, local indices);
+* local indices are rebased to global row ids, partials are
+  ``all_gather``-ed over ICI (tiny: D×Q×k values), and a final top-k
+  merges them — replicated on every chip.
+
+Also provides the sharded k-means step (the IVF coarse-quantizer
+training step): data-parallel assignment on each shard + ``psum`` of
+per-centroid sums/counts — this is the framework's "training step" and
+what ``__graft_entry__.dryrun_multichip`` exercises.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from photo_search_engine_tpu.ops import topk as topk_ops
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def _local_topk(
+    corpus_shard: jnp.ndarray,
+    queries: jnp.ndarray,
+    counts: jnp.ndarray,  # [n_shards] live rows per shard
+    k: int,
+    metric: str,
+    impl: str,
+    axis: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shard_id = jax.lax.axis_index(axis)
+    shard_rows = corpus_shard.shape[0]
+    count = counts[shard_id]
+    if impl == "pallas":
+        vals, idx = topk_ops.exact_search(
+            corpus_shard, queries, k, count=None, metric=metric, impl="pallas"
+        )
+        # mask rows beyond this shard's live count
+        valid = idx < count
+        vals = jnp.where(valid, vals, -jnp.inf)
+        idx = jnp.where(valid, idx, -1)
+    else:
+        scores = jax.lax.dot_general(
+            queries.astype(corpus_shard.dtype),
+            corpus_shard,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+            cn = jnp.sum(jnp.square(corpus_shard.astype(jnp.float32)), 1)[None, :]
+            scores = -(qn + cn - 2.0 * scores)
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(rows < count, scores, -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, k)
+        idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+    return vals, global_idx
+
+
+def _merge_partials(
+    vals: jnp.ndarray, idx: jnp.ndarray, k: int, axis: str
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # all_gather over ICI: [n_shards, Q, k] — tiny payload
+    all_vals = jax.lax.all_gather(vals, axis)
+    all_idx = jax.lax.all_gather(idx, axis)
+    n_shards, q, kk = all_vals.shape
+    flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q, n_shards * kk)
+    flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * kk)
+    merged_vals, positions = jax.lax.top_k(flat_vals, k)
+    merged_idx = jnp.take_along_axis(flat_idx, positions, axis=1)
+    merged_idx = jnp.where(jnp.isneginf(merged_vals), -1, merged_idx)
+    return merged_vals, merged_idx
+
+
+def sharded_exact_search(
+    corpus: jnp.ndarray,   # [n_shards * shard_rows, D] (row-sharded or host)
+    queries: jnp.ndarray,  # [Q, D]
+    k: int,
+    mesh: Mesh,
+    *,
+    counts: Optional[np.ndarray] = None,  # live rows per shard
+    metric: str = "ip",
+    impl: str = "auto",
+    axis: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN over a row-sharded corpus; returns replicated
+    (distances, global indices) with FAISS conventions."""
+    n_shards = mesh.shape[axis]
+    total_rows, dim = corpus.shape
+    if total_rows % n_shards:
+        raise ValueError(
+            f"corpus rows {total_rows} must divide evenly over {n_shards} shards"
+        )
+    shard_rows = total_rows // n_shards
+    if counts is None:
+        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
+    else:
+        counts_arr = jnp.asarray(counts, jnp.int32)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "lax"
+    queries = jnp.atleast_2d(queries)
+    k = min(k, total_rows)
+    kernel_metric = "ip" if metric == "cosine" else metric
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(corpus_shard, queries_rep, counts_rep):
+        vals, idx = _local_topk(
+            corpus_shard, queries_rep, counts_rep, k, kernel_metric, impl, axis
+        )
+        return _merge_partials(vals, idx, k, axis)
+
+    vals, idx = jax.jit(run)(corpus, queries, counts_arr)
+    if metric == "l2":
+        empty = jnp.isneginf(vals)
+        vals = jnp.where(empty, jnp.inf, -vals)
+    return vals, idx
+
+
+def sharded_kmeans_step(
+    corpus: jnp.ndarray,     # [rows, D] row-sharded over mesh
+    centroids: jnp.ndarray,  # [nlist, D] replicated
+    mesh: Mesh,
+    *,
+    counts: Optional[np.ndarray] = None,
+    axis: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One Lloyd iteration, data-parallel: local assignment on each shard,
+    ``psum`` of per-centroid sums/counts over ICI, replicated update.
+    Empty centroids keep their previous position.
+
+    Returns (new_centroids [nlist, D] f32, assignment_counts [nlist])."""
+    n_shards = mesh.shape[axis]
+    total_rows, dim = corpus.shape
+    if total_rows % n_shards:
+        raise ValueError("corpus rows must divide evenly over shards")
+    shard_rows = total_rows // n_shards
+    nlist = centroids.shape[0]
+    if counts is None:
+        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
+    else:
+        counts_arr = jnp.asarray(counts, jnp.int32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(corpus_shard, cents, counts_rep):
+        shard_id = jax.lax.axis_index(axis)
+        live = counts_rep[shard_id]
+        x = corpus_shard.astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            x, cents.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cn = jnp.sum(jnp.square(cents.astype(jnp.float32)), axis=1)[None, :]
+        # nearest by (squared) L2: argmax of 2<x,c> - |c|^2
+        assign = jnp.argmax(2.0 * scores - cn, axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],), 0)
+        valid = rows < live
+        onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
+        onehot = onehot * valid[:, None].astype(jnp.float32)
+        local_sums = jax.lax.dot_general(
+            onehot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [nlist, D]
+        local_counts = jnp.sum(onehot, axis=0)  # [nlist]
+        sums = jax.lax.psum(local_sums, axis)
+        totals = jax.lax.psum(local_counts, axis)
+        new_cents = jnp.where(
+            totals[:, None] > 0, sums / jnp.maximum(totals[:, None], 1.0),
+            cents.astype(jnp.float32),
+        )
+        return new_cents, totals
+
+    return jax.jit(step)(corpus, centroids, counts_arr)
+
+
+class ShardedEmbeddingStore:
+    """Row-sharded corpus placed over a mesh with the search entry point.
+
+    Capacity per shard stays equal (padding rows masked via per-shard
+    counts), so appends never re-layout existing shards: new rows go to
+    the shard with the fewest live rows (round-robin fill)."""
+
+    def __init__(
+        self,
+        dimension: int,
+        mesh: Optional[Mesh] = None,
+        *,
+        metric: str = "cosine",
+        store_dtype: str = "float32",
+        shard_block: int = 1024,
+    ) -> None:
+        self.dimension = int(dimension)
+        self.mesh = mesh or make_mesh()
+        self.metric = metric
+        self.store_dtype = jnp.dtype(store_dtype)
+        self.shard_block = int(shard_block)
+        self.n_shards = self.mesh.shape[DATA_AXIS]
+        self._host_shards = [
+            np.zeros((0, self.dimension), np.float32) for _ in range(self.n_shards)
+        ]
+        self._device: Optional[jnp.ndarray] = None
+        self._dirty = True
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.array([shard.shape[0] for shard in self._host_shards], np.int32)
+
+    @property
+    def count(self) -> int:
+        return int(self.counts.sum())
+
+    def append(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows; returns the global row ids assigned."""
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = np.where(norms > 0, vectors / np.maximum(norms, 1e-30), vectors)
+        ids = []
+        for row in vectors:
+            target = int(np.argmin(self.counts))
+            local = self._host_shards[target].shape[0]
+            self._host_shards[target] = np.concatenate(
+                [self._host_shards[target], row[None, :]]
+            )
+            ids.append(target * self._shard_capacity_hint() + local)
+        self._dirty = True
+        return np.asarray(ids)
+
+    def _shard_capacity_hint(self) -> int:
+        rows = max((s.shape[0] for s in self._host_shards), default=0)
+        return max(self.shard_block, -(-rows // self.shard_block) * self.shard_block)
+
+    def _sync(self) -> Tuple[jnp.ndarray, int]:
+        capacity = self._shard_capacity_hint()
+        if self._dirty or self._device is None or self._device.shape[0] != capacity * self.n_shards:
+            stacked = np.zeros(
+                (self.n_shards * capacity, self.dimension), np.float32
+            )
+            for shard_id, shard in enumerate(self._host_shards):
+                stacked[shard_id * capacity : shard_id * capacity + shard.shape[0]] = shard
+            sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            self._device = jax.device_put(
+                jnp.asarray(stacked, self.store_dtype), sharding
+            )
+            self._dirty = False
+        return self._device, capacity
+
+    def search(
+        self, queries: np.ndarray, k: int, impl: str = "auto"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (distances, global row ids) where the global id encodes
+        (shard, local row) using the current shard capacity."""
+        if self.count == 0:
+            q = np.atleast_2d(queries).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        corpus, _ = self._sync()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.metric == "cosine":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
+        vals, idx = sharded_exact_search(
+            corpus,
+            jnp.asarray(queries, self.store_dtype),
+            min(k, self.count),
+            self.mesh,
+            counts=self.counts,
+            metric=self.metric,
+            impl=impl,
+        )
+        return np.asarray(vals), np.asarray(idx)
+
+    def global_id_to_shard_local(self, global_id: int) -> Tuple[int, int]:
+        capacity = self._shard_capacity_hint()
+        return global_id // capacity, global_id % capacity
+
+    def reconstruct(self, global_id: int) -> np.ndarray:
+        shard_id, local = self.global_id_to_shard_local(int(global_id))
+        return self._host_shards[shard_id][local].copy()

@@ -1,0 +1,143 @@
+"""Tests for parallel/sharded.py on the 8-virtual-device CPU mesh
+(SURVEY.md §4 TPU test strategy: multi-chip logic without a pod)."""
+
+import unittest
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from photo_search_engine_tpu.parallel import (
+    ShardedEmbeddingStore,
+    make_mesh,
+    sharded_exact_search,
+    sharded_kmeans_step,
+)
+
+
+class ShardedSearchTest(unittest.TestCase):
+    def setUp(self):
+        self.mesh = make_mesh()
+        self.n_dev = len(jax.devices())
+        self.assertEqual(self.n_dev, 8)  # conftest forces 8 CPU devices
+        rng = np.random.default_rng(0)
+        self.rows = 8 * 64
+        self.dim = 32
+        self.corpus = rng.normal(size=(self.rows, self.dim)).astype(np.float32)
+        self.queries = rng.normal(size=(5, self.dim)).astype(np.float32)
+
+    def _oracle(self, k, counts=None, metric="ip"):
+        corpus = self.corpus.copy()
+        if counts is not None:
+            shard_rows = self.rows // self.n_dev
+            mask = np.zeros(self.rows, bool)
+            for shard, count in enumerate(counts):
+                mask[shard * shard_rows : shard * shard_rows + count] = True
+        else:
+            mask = np.ones(self.rows, bool)
+        scores = self.queries @ corpus.T
+        if metric == "l2":
+            qn = (self.queries**2).sum(1, keepdims=True)
+            cn = (corpus**2).sum(1)[None, :]
+            scores = -(qn + cn - 2 * scores)
+        scores = np.where(mask[None, :], scores, -np.inf)
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        if metric == "l2":
+            vals = -vals
+        return vals, idx
+
+    def test_matches_global_oracle(self):
+        vals, idx = sharded_exact_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 10, self.mesh
+        )
+        ref_vals, ref_idx = self._oracle(10)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-4)
+
+    def test_per_shard_counts_mask_tails(self):
+        counts = np.array([64, 30, 64, 0, 10, 64, 5, 64], np.int32)
+        vals, idx = sharded_exact_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 10, self.mesh,
+            counts=counts,
+        )
+        ref_vals, ref_idx = self._oracle(10, counts=counts)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+    def test_l2_metric(self):
+        vals, idx = sharded_exact_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 5, self.mesh,
+            metric="l2",
+        )
+        ref_vals, ref_idx = self._oracle(5, metric="l2")
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-4)
+
+    def test_uneven_rows_rejected(self):
+        with self.assertRaises(ValueError):
+            sharded_exact_search(
+                jnp.asarray(self.corpus[:100]), jnp.asarray(self.queries), 5, self.mesh
+            )
+
+
+class ShardedKmeansTest(unittest.TestCase):
+    def test_one_step_moves_centroids_toward_clusters(self):
+        mesh = make_mesh()
+        rng = np.random.default_rng(1)
+        # two well-separated blobs, 8-shardable row count
+        blob_a = rng.normal(loc=+5.0, size=(128, 16)).astype(np.float32)
+        blob_b = rng.normal(loc=-5.0, size=(128, 16)).astype(np.float32)
+        corpus = np.concatenate([blob_a, blob_b])
+        rng.shuffle(corpus)
+        centroids = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+        for _ in range(5):
+            centroids, counts = sharded_kmeans_step(
+                jnp.asarray(corpus), centroids, mesh
+            )
+        counts = np.asarray(counts)
+        self.assertEqual(counts.sum(), 256)
+        centers = np.sort(np.asarray(centroids).mean(axis=1))
+        np.testing.assert_allclose(centers, [-5.0, 5.0], atol=0.5)
+
+    def test_empty_centroid_keeps_position(self):
+        mesh = make_mesh()
+        corpus = np.ones((64, 8), np.float32)
+        centroids = jnp.asarray(
+            np.stack([np.ones(8, np.float32), np.full(8, 100.0, np.float32)])
+        )
+        new_cents, counts = sharded_kmeans_step(jnp.asarray(corpus), centroids, mesh)
+        self.assertEqual(int(np.asarray(counts)[1]), 0)
+        np.testing.assert_allclose(np.asarray(new_cents)[1], 100.0)
+
+
+class ShardedStoreTest(unittest.TestCase):
+    def test_append_and_search_roundtrip(self):
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        rng = np.random.default_rng(2)
+        vectors = rng.normal(size=(20, 16)).astype(np.float32)
+        ids = store.append(vectors)
+        self.assertEqual(store.count, 20)
+        self.assertEqual(len(set(ids.tolist())), 20)
+        dists, found = store.search(vectors[3], 1)
+        np.testing.assert_allclose(
+            store.reconstruct(int(found[0][0])), vectors[3], rtol=1e-5
+        )
+
+    def test_incremental_appends_keep_searchable(self):
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        rng = np.random.default_rng(3)
+        first = rng.normal(size=(10, 16)).astype(np.float32)
+        store.append(first)
+        _, idx1 = store.search(first[0], 1)
+        second = rng.normal(size=(30, 16)).astype(np.float32)
+        store.append(second)
+        self.assertEqual(store.count, 40)
+        _, idx2 = store.search(second[7], 1)
+        np.testing.assert_allclose(
+            store.reconstruct(int(idx2[0][0])), second[7], rtol=1e-5
+        )
+
+
+if __name__ == "__main__":
+    unittest.main()
