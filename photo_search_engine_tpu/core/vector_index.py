@@ -62,6 +62,8 @@ class VectorIndex:
             self._create_store(dimension) if dimension else None
         )
         self._path_to_index: Dict[str, int] = {}
+        self._ivf = None
+        self._ivf_built_at = -1
 
     # ------------------------------------------------------------------
     def _create_store(self, dimension: int) -> EmbeddingStore:
@@ -129,6 +131,25 @@ class VectorIndex:
         batches = self.search_batch(np.asarray(query_embedding, np.float32), top_k)
         return batches[0] if batches else []
 
+    def _ensure_ivf(self):
+        """Build (or refresh after appends) the IVF layout from the host
+        mirror.  Incremental IVF appends are future work — at album scale
+        rebuilds are instant; at million scale builds are an offline step."""
+        from photo_search_engine_tpu.models.ivf import IVFIndex
+
+        count = self._store.count
+        if self._ivf is not None and self._ivf_built_at == count:
+            return self._ivf
+        nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
+        self._ivf = IVFIndex.build(
+            self._store.snapshot(),
+            nlist=nlist,
+            metric="ip" if self.metric == "cosine" else self.metric,
+            store_dtype=self.store_dtype,
+        )
+        self._ivf_built_at = count
+        return self._ivf
+
     def search_batch(
         self,
         query_embeddings: np.ndarray,
@@ -144,7 +165,15 @@ class VectorIndex:
                 f"vector dimension mismatch: {queries.shape[1]} != {self.dimension}"
             )
         k = min(int(top_k), self._store.count)
-        dists, idx = self._store.search(queries, k, mask=mask)
+        if self.index_type == "ivf" and mask is None:
+            # masked (time-filtered) searches stay on the exact path so
+            # filter semantics never lose recall (SURVEY.md §7 hard part 2)
+            if self.metric == "cosine":
+                norms = np.linalg.norm(queries, axis=1, keepdims=True)
+                queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
+            dists, idx = self._ensure_ivf().search(queries, k, nprobe=self.ivf_nprobe)
+        else:
+            dists, idx = self._store.search(queries, k, mask=mask)
         out: List[List[Dict[str, Any]]] = []
         for row_d, row_i in zip(dists, idx):
             hits = []
@@ -252,3 +281,5 @@ class VectorIndex:
         self._store = self._create_store(self.dimension) if self.dimension else None
         self.metadata = []
         self._path_to_index = {}
+        self._ivf = None
+        self._ivf_built_at = -1

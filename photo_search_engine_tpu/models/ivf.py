@@ -1,0 +1,514 @@
+"""IVF coarse-quantized index for million-scale corpora.
+
+The reference's only approximate index is HNSW (utils/vector_store.py:72-81),
+a pointer-chasing graph with no efficient TPU analogue.  The TPU-native
+approximate path (BASELINE.md north star, SURVEY.md §7.7) is IVF:
+
+* ``train_kmeans`` — Lloyd iterations on device (assignment matmul on the
+  MXU, one-hot reduction for centroid sums).
+* Balanced cluster-major layout: every cluster gets a fixed row capacity
+  ``L`` (slack × mean size); overflow rows spill to their next-nearest
+  cluster with space, so HBM overhead is bounded and the kernel's block
+  shape is static.
+* ``ivf_search`` — stage 1 scores queries against centroids and picks
+  ``nprobe`` lists per query; stage 2 scans ONLY the union of probed
+  clusters via a scalar-prefetch Pallas kernel (the grid's block index
+  map reads the selected-cluster ids, so unprobed clusters are never
+  DMA'd), with per-query probe masks and the same running-top-k merge as
+  the exact kernel.  Stored vectors are full precision, so recall loss
+  comes only from cluster pruning (exact search stays the recall oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+# ---------------------------------------------------------------------------
+# k-means training (device)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _lloyd_step(data: jnp.ndarray, centroids: jnp.ndarray, nlist: int):
+    x = data.astype(jnp.float32)
+    cents = centroids.astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        x, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cn = jnp.sum(jnp.square(cents), axis=1)[None, :]
+    assign = jnp.argmax(2.0 * scores - cn, axis=1)
+    onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
+    sums = jax.lax.dot_general(
+        onehot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    counts = jnp.sum(onehot, axis=0)
+    new_cents = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cents)
+    return new_cents, counts
+
+
+def train_kmeans(
+    data: np.ndarray,
+    nlist: int,
+    iters: int = 10,
+    seed: int = 0,
+    sample_per_list: int = 256,
+) -> np.ndarray:
+    """Train ``nlist`` centroids with Lloyd iterations on device.
+
+    Training subsamples to ``nlist * sample_per_list`` rows (FAISS-style
+    practice) so training cost is independent of corpus size."""
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    nlist = min(nlist, n)
+    rng = np.random.default_rng(seed)
+    sample_size = min(n, nlist * sample_per_list)
+    sample = data[rng.choice(n, size=sample_size, replace=False)]
+    centroids = jnp.asarray(sample[rng.choice(sample_size, size=nlist, replace=False)])
+    sample_dev = jnp.asarray(sample)
+    for _ in range(iters):
+        centroids, _ = _lloyd_step(sample_dev, centroids, nlist)
+    return np.asarray(centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_chunk(chunk_data: jnp.ndarray, centroids: jnp.ndarray, chunk: int):
+    del chunk
+    x = chunk_data.astype(jnp.float32)
+    cents = centroids.astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        x, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cn = jnp.sum(jnp.square(cents), axis=1)[None, :]
+    adjusted = 2.0 * scores - cn
+    # top-3 nearest for spill candidates
+    vals, idx = jax.lax.top_k(adjusted, min(3, cents.shape[0]))
+    return idx
+
+
+def assign_clusters(data: np.ndarray, centroids: np.ndarray, chunk: int = 131072) -> np.ndarray:
+    """Top-3 nearest centroids per row (device, chunked) → [N, 3] int32."""
+    data = np.asarray(data, np.float32)
+    cents = jnp.asarray(centroids, jnp.float32)
+    n = data.shape[0]
+    outs = []
+    for start in range(0, n, chunk):
+        part = jnp.asarray(data[start : start + chunk])
+        outs.append(np.asarray(_assign_chunk(part, cents, chunk)))
+    ranked = np.concatenate(outs) if outs else np.zeros((0, 1), np.int32)
+    if ranked.shape[1] < 3:  # tiny nlist: repeat the only choices
+        ranked = np.concatenate([ranked] * 3, axis=1)[:, :3]
+    return ranked
+
+
+def balanced_layout(
+    ranked: np.ndarray, nlist: int, slack: float = 1.5
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Place each row into its nearest cluster with remaining capacity
+    (capacity = slack × mean size); truly overflowing rows round-robin
+    into any cluster with space.  Returns (cluster_of_row, perm rows in
+    cluster-major order with -1 padding, capacity L)."""
+    n = ranked.shape[0]
+    capacity = max(1, int(np.ceil(slack * n / nlist)))
+    capacity = _round_up(capacity, _LANE)  # lane alignment for kernel blocks
+    fill = np.zeros(nlist, np.int64)
+    cluster_of_row = np.full(n, -1, np.int64)
+    spill = []
+    for row in range(n):
+        placed = False
+        for choice in ranked[row]:
+            if fill[choice] < capacity:
+                cluster_of_row[row] = choice
+                fill[choice] += 1
+                placed = True
+                break
+        if not placed:
+            spill.append(row)
+    for row in spill:
+        target = int(np.argmin(fill))
+        cluster_of_row[row] = target
+        fill[target] += 1
+    capacity = max(capacity, int(fill.max()))
+    capacity = _round_up(capacity, _LANE)
+    perm = np.full(nlist * capacity, -1, np.int64)
+    cursor = np.zeros(nlist, np.int64)
+    for row in range(n):
+        cluster = cluster_of_row[row]
+        perm[cluster * capacity + cursor[cluster]] = row
+        cursor[cluster] += 1
+    return cluster_of_row, perm, capacity
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 Pallas kernel: scan only selected clusters
+# ---------------------------------------------------------------------------
+
+def _ivf_kernel(
+    sel_ref,        # scalar-prefetch [S] int32 — selected cluster ids
+    count_ref,      # SMEM (1,1) — number of genuinely selected clusters
+    q_ref,          # VMEM (BQ, D)
+    c_ref,          # VMEM (L, D) — rows of cluster sel[j]
+    probe_ref,      # VMEM (BQ, nlist) int32 — per-query probe flags
+    valid_ref,      # VMEM (1, L) int32 — live rows of cluster sel[j]
+    outv_ref,
+    outi_ref,
+    rv_ref,
+    ri_ref,
+    *,
+    k: int,
+    kp: int,
+    bq: int,
+    lrows: int,
+    precision,
+):
+    j = pl.program_id(1)
+    n_sel = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        rv_ref[:] = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+        ri_ref[:] = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+
+    cluster_id = sel_ref[j]
+    is_live_block = j < count_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    col = cluster_id * lrows + jax.lax.broadcasted_iota(jnp.int32, (bq, lrows), 1)
+    # per-query probe flag for this cluster: one-hot select along nlist
+    nlist = probe_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nlist), 1)
+    row_probe = jnp.sum(
+        jnp.where(lane == cluster_id, probe_ref[:], 0), axis=1, keepdims=True
+    )
+    keep = jnp.logical_and(valid_ref[:] > 0, row_probe > 0)
+    keep = jnp.logical_and(keep, is_live_block)
+    scores = jnp.where(keep, scores, -jnp.inf)
+
+    @pl.when(jnp.max(scores) >= jnp.min(rv_ref[:, k - 1 : k]))
+    def _merge():
+        width = kp + lrows
+        comb_v = jnp.concatenate([rv_ref[:], scores], axis=1)
+        comb_i = jnp.concatenate([ri_ref[:], col], axis=1)
+        colw = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
+        colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+        new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+        new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+        for slot in range(k):
+            m = jnp.max(comb_v, axis=1, keepdims=True)
+            at_max = comb_v == m
+            first = jnp.min(jnp.where(at_max, colw, width), axis=1, keepdims=True)
+            onehot = colw == first
+            sel_i = jnp.sum(jnp.where(onehot, comb_i, 0), axis=1, keepdims=True)
+            new_v = jnp.where(colk == slot, m, new_v)
+            new_i = jnp.where(colk == slot, sel_i, new_i)
+            comb_v = jnp.where(onehot, -jnp.inf, comb_v)
+        rv_ref[:] = new_v
+        ri_ref[:] = new_i
+
+    @pl.when(j == n_sel - 1)
+    def _emit():
+        outv_ref[:] = rv_ref[:]
+        outi_ref[:] = ri_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bq", "lrows", "s_max", "interpret"),
+)
+def _ivf_pallas(
+    corpus_ivf: jnp.ndarray,   # [nlist * L, DP]
+    queries: jnp.ndarray,      # [QP, DP]
+    selected: jnp.ndarray,     # [S] int32
+    sel_count: jnp.ndarray,    # (1,1) int32
+    probe_matrix: jnp.ndarray, # [QP, nlist] int32
+    row_valid: jnp.ndarray,    # [1, nlist * L] int32
+    k: int,
+    bq: int,
+    lrows: int,
+    s_max: int,
+    interpret: bool,
+):
+    qp, dp = queries.shape
+    kp = _round_up(max(k, 1), _LANE)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(corpus_ivf.dtype).itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _ivf_kernel, k=k, kp=kp, bq=bq, lrows=lrows, precision=precision
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp // bq, s_max),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda qi, j, sel: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, dp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (lrows, dp), lambda qi, j, sel: (sel[j], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bq, probe_matrix.shape[1]),
+                lambda qi, j, sel: (qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lrows), lambda qi, j, sel: (0, sel[j]), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((bq, kp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, kp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, kp), jnp.float32),
+            pltpu.VMEM((bq, kp), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, kp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(selected, sel_count, queries, corpus_ivf, probe_matrix, row_valid)
+
+
+# ---------------------------------------------------------------------------
+# IVFIndex
+# ---------------------------------------------------------------------------
+
+class IVFIndex:
+    """Cluster-pruned exact-scoring index (layout + search)."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        corpus_ivf: np.ndarray,   # [nlist * L, D] float32, padding rows zero
+        perm: np.ndarray,         # [nlist * L] original row id or -1
+        capacity: int,
+        *,
+        metric: str = "ip",
+        store_dtype: str = "float32",
+    ) -> None:
+        self.centroids = np.asarray(centroids, np.float32)
+        self.nlist = self.centroids.shape[0]
+        self.capacity = int(capacity)
+        self.perm = np.asarray(perm, np.int64)
+        self.metric = metric
+        dim = corpus_ivf.shape[1]
+        self.dim = dim
+        dp = _round_up(dim, _LANE)
+        padded = np.zeros((corpus_ivf.shape[0], dp), np.float32)
+        padded[:, :dim] = corpus_ivf
+        self._corpus = jnp.asarray(padded, jnp.dtype(store_dtype))
+        self._centroids_dev = jnp.asarray(
+            np.pad(self.centroids, ((0, 0), (0, dp - dim)))
+        )
+        self._row_valid = jnp.asarray((self.perm >= 0).astype(np.int32))[None, :]
+        self._dp = dp
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        corpus: np.ndarray,
+        nlist: int,
+        *,
+        metric: str = "ip",
+        store_dtype: str = "float32",
+        train_iters: int = 10,
+        slack: float = 1.5,
+        seed: int = 0,
+    ) -> "IVFIndex":
+        corpus = np.asarray(corpus, np.float32)
+        n = corpus.shape[0]
+        nlist = max(1, min(nlist, n))
+        centroids = train_kmeans(corpus, nlist, iters=train_iters, seed=seed)
+        ranked = assign_clusters(corpus, centroids)
+        _, perm, capacity = balanced_layout(ranked, nlist, slack=slack)
+        laid_out = np.zeros((nlist * capacity, corpus.shape[1]), np.float32)
+        live = perm >= 0
+        laid_out[live] = corpus[perm[live]]
+        return cls(
+            centroids, laid_out, perm, capacity, metric=metric, store_dtype=store_dtype
+        )
+
+    @classmethod
+    def build_on_device(
+        cls,
+        corpus_dev: jnp.ndarray,
+        nlist: int,
+        *,
+        metric: str = "ip",
+        train_iters: int = 10,
+        slack: float = 1.5,
+        seed: int = 0,
+    ) -> "IVFIndex":
+        """Device-resident build: the corpus never round-trips to the host.
+        Only the [N, 3] assignment table (12 MB at 1M rows) is fetched and
+        the [nlist*L] permutation (8 MB) uploaded; the cluster-major layout
+        is produced by one device gather.  This matters on hosts where
+        device↔host transfers are slow relative to HBM."""
+        n, dim = corpus_dev.shape
+        nlist = max(1, min(nlist, n))
+        rng = np.random.default_rng(seed)
+        sample_size = min(n, nlist * 256)
+        sample_ids = jnp.asarray(rng.choice(n, size=sample_size, replace=False))
+        sample = jnp.take(corpus_dev, sample_ids, axis=0).astype(jnp.float32)
+        centroids = jnp.take(
+            sample, jnp.asarray(rng.choice(sample_size, size=nlist, replace=False)), axis=0
+        )
+        for _ in range(train_iters):
+            centroids, _ = _lloyd_step(sample, centroids, nlist)
+
+        ranked_parts = []
+        chunk = 131072
+        for start in range(0, n, chunk):
+            part = jax.lax.dynamic_slice_in_dim(
+                corpus_dev, start, min(chunk, n - start), axis=0
+            )
+            ranked_parts.append(np.asarray(_assign_chunk(part, centroids, chunk)))
+        ranked = np.concatenate(ranked_parts)
+        if ranked.shape[1] < 3:
+            ranked = np.concatenate([ranked] * 3, axis=1)[:, :3]
+        _, perm, capacity = balanced_layout(ranked, nlist, slack=slack)
+
+        perm_dev = jnp.asarray(np.clip(perm, 0, n - 1).astype(np.int32))
+        live_dev = jnp.asarray((perm >= 0).astype(corpus_dev.dtype))[:, None]
+        laid_out = jnp.take(corpus_dev, perm_dev, axis=0) * live_dev
+        index = cls.__new__(cls)
+        index.centroids = np.asarray(centroids)
+        index.nlist = nlist
+        index.capacity = int(capacity)
+        index.perm = np.asarray(perm, np.int64)
+        index.metric = metric
+        index.dim = dim
+        dp = _round_up(dim, _LANE)
+        index._dp = dp
+        index._corpus = jnp.pad(laid_out, ((0, 0), (0, dp - dim)))
+        index._centroids_dev = jnp.pad(
+            centroids.astype(jnp.float32), ((0, 0), (0, dp - dim))
+        )
+        index._row_valid = jnp.asarray((index.perm >= 0).astype(np.int32))[None, :]
+        return index
+
+    # -- probing --------------------------------------------------------
+    def _probe(self, queries: jnp.ndarray, nprobe: int):
+        """Stage 1: per-query probed clusters + union selection."""
+        nprobe = max(1, min(nprobe, self.nlist))
+        scores = jax.lax.dot_general(
+            queries.astype(jnp.float32),
+            self._centroids_dev,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if self.metric == "l2":
+            qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+            cn = jnp.sum(jnp.square(self._centroids_dev), 1)[None, :]
+            scores = -(qn + cn - 2.0 * scores)
+        _, probe_ids = jax.lax.top_k(scores, nprobe)  # [Q, nprobe]
+        q = queries.shape[0]
+        probe_matrix = jnp.zeros((q, self.nlist), jnp.int32)
+        probe_matrix = jax.vmap(lambda row, ids: row.at[ids].set(1))(
+            probe_matrix, probe_ids
+        )
+        any_probe = jnp.sum(probe_matrix, axis=0)  # [nlist]
+        s_max = min(self.nlist, q * nprobe)
+        # order clusters by probe popularity; the first `sel_count` are live
+        selected = jnp.argsort(-any_probe)[:s_max].astype(jnp.int32)
+        sel_count = jnp.sum((any_probe > 0).astype(jnp.int32))
+        return probe_matrix, selected, sel_count, s_max
+
+    # -- search ---------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int = 64,
+        *,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (distances, ORIGINAL row ids), -1 for missing slots."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, self._corpus.dtype))
+        q, dim = queries.shape
+        queries = jnp.pad(queries, ((0, 0), (0, self._dp - dim)))
+        total_live = int((self.perm >= 0).sum())
+        k = min(k, total_live)
+        if k == 0:
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "lax"
+
+        probe_matrix, selected, sel_count, s_max = self._probe(queries, nprobe)
+
+        if impl == "lax":
+            scores = jax.lax.dot_general(
+                queries, self._corpus, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST
+                if jnp.dtype(self._corpus.dtype).itemsize >= 4
+                else jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            if self.metric == "l2":
+                qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+                cn = jnp.sum(jnp.square(self._corpus.astype(jnp.float32)), 1)[None, :]
+                scores = -(qn + cn - 2.0 * scores)
+            cluster_of_slot = (
+                jnp.arange(self.nlist * self.capacity, dtype=jnp.int32) // self.capacity
+            )
+            probed = jnp.take(probe_matrix, cluster_of_slot, axis=1) > 0
+            keep = jnp.logical_and(probed, self._row_valid > 0)
+            scores = jnp.where(keep, scores, -jnp.inf)
+            vals, idx = jax.lax.top_k(scores, k)
+        else:
+            bq = min(128, _round_up(q, 8))
+            qp = _round_up(q, bq)
+            queries_p = jnp.pad(queries, ((0, qp - q), (0, 0)))
+            probe_p = jnp.pad(probe_matrix, ((0, qp - q), (0, 0)))
+            vals, idx = _ivf_pallas(
+                self._corpus,
+                queries_p,
+                selected,
+                jnp.reshape(sel_count, (1, 1)),
+                probe_p,
+                self._row_valid,
+                k,
+                bq,
+                self.capacity,
+                s_max,
+                interpret=jax.default_backend() != "tpu",
+            )
+            vals = vals[:q, :k]
+            idx = idx[:q, :k]
+
+        vals_np = np.asarray(vals)
+        idx_np = np.asarray(idx)
+        empty = ~np.isfinite(vals_np) if self.metric == "ip" else np.isneginf(vals_np)
+        original = np.where(
+            (idx_np >= 0) & ~empty, self.perm[np.clip(idx_np, 0, len(self.perm) - 1)], -1
+        )
+        if self.metric == "l2":
+            vals_np = np.where(empty, np.inf, -vals_np)
+        else:
+            vals_np = np.where(empty, -np.inf, vals_np)
+        return vals_np, original

@@ -1,0 +1,133 @@
+"""Tests for models/ivf.py — IVF layout, k-means, recall vs exact oracle."""
+
+import unittest
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from photo_search_engine_tpu.models.ivf import (
+    IVFIndex,
+    balanced_layout,
+    train_kmeans,
+)
+from photo_search_engine_tpu.ops import exact_search_oracle
+
+
+class KmeansTest(unittest.TestCase):
+    def test_centroids_recover_blobs(self):
+        rng = np.random.default_rng(0)
+        blobs = np.concatenate(
+            [rng.normal(loc=c, scale=0.3, size=(200, 8)) for c in (-4.0, 0.0, 4.0)]
+        ).astype(np.float32)
+        centroids = train_kmeans(blobs, nlist=3, iters=15, seed=1)
+        means = np.sort(centroids.mean(axis=1))
+        np.testing.assert_allclose(means, [-4.0, 0.0, 4.0], atol=0.3)
+
+    def test_nlist_clamped_to_n(self):
+        data = np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32)
+        centroids = train_kmeans(data, nlist=100, iters=2)
+        self.assertEqual(centroids.shape[0], 5)
+
+
+class LayoutTest(unittest.TestCase):
+    def test_balanced_layout_respects_capacity(self):
+        rng = np.random.default_rng(1)
+        # all rows prefer cluster 0 -> must spill
+        ranked = np.zeros((100, 3), np.int64)
+        ranked[:, 1] = 1
+        ranked[:, 2] = 2
+        cluster_of_row, perm, capacity = balanced_layout(ranked, nlist=4, slack=1.2)
+        self.assertEqual((perm >= 0).sum(), 100)
+        fills = [
+            (cluster_of_row == c).sum() for c in range(4)
+        ]
+        self.assertTrue(all(f <= capacity for f in fills))
+        # every original row appears exactly once
+        live = perm[perm >= 0]
+        self.assertEqual(len(set(live.tolist())), 100)
+        del rng
+
+
+class IVFSearchTest(unittest.TestCase):
+    def setUp(self):
+        rng = np.random.default_rng(2)
+        self.corpus = rng.normal(size=(2000, 64)).astype(np.float32)
+        self.corpus /= np.linalg.norm(self.corpus, axis=1, keepdims=True)
+        self.queries = self.corpus[rng.choice(2000, size=8, replace=False)] + \
+            rng.normal(scale=0.05, size=(8, 64)).astype(np.float32)
+        self.queries /= np.linalg.norm(self.queries, axis=1, keepdims=True)
+        self.index = IVFIndex.build(self.corpus, nlist=32, seed=0)
+
+    def _recall(self, found, k):
+        exact_v, exact_i = exact_search_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), k
+        )
+        exact_i = np.asarray(exact_i)
+        hits = sum(
+            len(set(found[q].tolist()) & set(exact_i[q].tolist()))
+            for q in range(found.shape[0])
+        )
+        return hits / (found.shape[0] * k)
+
+    def test_full_probe_matches_exact(self):
+        """nprobe = nlist -> identical result set to exact search."""
+        vals, idx = self.index.search(self.queries, 10, nprobe=32, impl="lax")
+        self.assertEqual(self._recall(idx, 10), 1.0)
+
+    def test_partial_probe_recall_uniform_data(self):
+        # uniform random vectors are the worst case for IVF; half the lists
+        # must still recover most of the exact top-10
+        vals, idx = self.index.search(self.queries, 10, nprobe=16, impl="lax")
+        self.assertGreaterEqual(self._recall(idx, 10), 0.8)
+
+    def test_partial_probe_recall_clustered_data(self):
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(20, 64)).astype(np.float32) * 3
+        corpus = np.concatenate(
+            [c + rng.normal(scale=0.2, size=(100, 64)).astype(np.float32) for c in centers]
+        )
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = corpus[rng.choice(2000, 8, replace=False)]
+        index = IVFIndex.build(corpus, nlist=32, seed=0)
+        vals, idx = index.search(queries, 10, nprobe=4, impl="lax")
+        exact_v, exact_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(queries), 10
+        )
+        exact_i = np.asarray(exact_i)
+        hits = sum(
+            len(set(idx[q].tolist()) & set(exact_i[q].tolist())) for q in range(8)
+        )
+        # clustered data: 4/32 lists recover nearly everything
+        self.assertGreaterEqual(hits / 80.0, 0.9)
+
+    def test_pallas_matches_lax_path(self):
+        v_lax, i_lax = self.index.search(self.queries, 10, nprobe=8, impl="lax")
+        v_pl, i_pl = self.index.search(self.queries, 10, nprobe=8, impl="pallas")
+        np.testing.assert_array_equal(np.sort(i_lax, 1), np.sort(i_pl, 1))
+        np.testing.assert_allclose(
+            np.sort(v_lax, 1), np.sort(v_pl, 1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_returns_original_row_ids(self):
+        vals, idx = self.index.search(self.corpus[42], 1, nprobe=8, impl="lax")
+        self.assertEqual(int(idx[0][0]), 42)
+
+    def test_k_clamped_to_live_rows(self):
+        tiny = IVFIndex.build(self.corpus[:6], nlist=2, seed=0)
+        vals, idx = tiny.search(self.queries[:1], 50, nprobe=2, impl="lax")
+        self.assertEqual(idx.shape[1], 6)
+
+    def test_l2_metric(self):
+        index = IVFIndex.build(self.corpus, nlist=16, metric="l2", seed=0)
+        vals, idx = index.search(self.queries, 5, nprobe=16, impl="lax")
+        exact_v, exact_i = exact_search_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 5, metric="l2"
+        )
+        np.testing.assert_array_equal(idx, np.asarray(exact_i))
+        # l2 distances ascending
+        self.assertTrue((np.diff(vals, axis=1) >= -1e-5).all())
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -1,0 +1,76 @@
+"""VectorIndex with index_type=ivf: end-to-end behavior."""
+
+import os
+import tempfile
+import unittest
+
+import numpy as np
+
+from photo_search_engine_tpu.core.vector_index import VectorIndex
+
+
+class IvfVectorIndexTest(unittest.TestCase):
+    def setUp(self):
+        self.tmp = tempfile.TemporaryDirectory()
+        self.vi = VectorIndex(
+            dimension=32,
+            index_path=os.path.join(self.tmp.name, "ps.index"),
+            metadata_path=os.path.join(self.tmp.name, "metadata.json"),
+            index_type="ivf",
+            ivf_nlist=8,
+            ivf_nprobe=8,
+        )
+        rng = np.random.default_rng(0)
+        self.vectors = rng.normal(size=(120, 32)).astype(np.float32)
+        metas = [{"photo_path": f"/p/{i}.jpg"} for i in range(120)]
+        self.vi.add_batch(self.vectors, metas)
+
+    def tearDown(self):
+        self.tmp.cleanup()
+
+    def test_full_probe_finds_self(self):
+        results = self.vi.search(self.vectors[17].tolist(), 1)
+        self.assertEqual(results[0]["metadata"]["photo_path"], "/p/17.jpg")
+
+    def test_append_invalidates_ivf(self):
+        self.vi.search(self.vectors[0].tolist(), 1)  # builds IVF
+        new_vec = np.random.default_rng(9).normal(size=32).astype(np.float32)
+        self.vi.add_item(new_vec.tolist(), {"photo_path": "/p/new.jpg"})
+        results = self.vi.search(new_vec.tolist(), 1)
+        self.assertEqual(results[0]["metadata"]["photo_path"], "/p/new.jpg")
+
+    def test_masked_search_uses_exact_path(self):
+        mask = np.zeros(121 if self.vi.get_total_items() == 121 else 120, bool)
+        mask[:120][[3, 7]] = True
+        results = self.vi.search_masked(self.vectors[3].tolist(), 5, mask)
+        got = {r["metadata"]["photo_path"] for r in results}
+        self.assertTrue(got.issubset({"/p/3.jpg", "/p/7.jpg"}))
+
+    def test_save_load_roundtrip_keeps_ivf_type(self):
+        self.vi.save()
+        vi2 = VectorIndex(
+            dimension=32,
+            index_path=self.vi.index_path,
+            metadata_path=self.vi.metadata_path,
+            index_type="ivf",
+            ivf_nlist=8,
+            ivf_nprobe=8,
+        )
+        self.assertTrue(vi2.load())
+        results = vi2.search(self.vectors[5].tolist(), 1)
+        self.assertEqual(results[0]["metadata"]["photo_path"], "/p/5.jpg")
+
+    def test_flat_loader_rejects_ivf_files(self):
+        self.vi.save()
+        vi2 = VectorIndex(
+            dimension=32,
+            index_path=self.vi.index_path,
+            metadata_path=self.vi.metadata_path,
+            index_type="flat",
+        )
+        with self.assertRaises(ValueError):
+            vi2.load()
+
+
+if __name__ == "__main__":
+    unittest.main()
