@@ -31,7 +31,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from photo_search_engine_tpu.ops.topk import _pallas_impl, l2_normalize
+    from photo_search_engine_tpu.ops.topk import _pallas_twophase_impl, l2_normalize
 
     rows = int(os.getenv("BENCH_ROWS", 1_000_000))
     dim = int(os.getenv("BENCH_DIM", 1536))
@@ -65,7 +65,7 @@ def main() -> None:
     def chained(corpus, qstack, n):
         def body(carry, queries):
             queries = queries + carry.astype(queries.dtype) * 0  # serialize
-            vals, idx = _pallas_impl(
+            vals, idx = _pallas_twophase_impl(
                 corpus, queries, count, cnorms, mask,
                 k, "ip", block_q, block_n, not on_tpu, False,
             )

