@@ -226,6 +226,15 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         embedding_cache_size=config["EMBEDDING_CACHE_SIZE"],
         default_search_mode=config["DEFAULT_SEARCH_MODE"],
     )
+    if config.get("SEARCH_MICROBATCH_ENABLED"):
+        from photo_search_engine_tpu.core.batcher import attach_microbatcher
+
+        attach_microbatcher(
+            vector_index,
+            max_batch=config.get("SEARCH_MICROBATCH_MAX_BATCH", 128),
+            window_s=config.get("SEARCH_MICROBATCH_WINDOW_MS", 3.0) / 1000.0,
+        )
+
     return {
         "config": config,
         "embedding_service": embedding_service,

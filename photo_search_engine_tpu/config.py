@@ -179,6 +179,10 @@ def load_config() -> Dict[str, Any]:
             "KEYWORD_INDEX_PATH", os.path.join(runtime_data_dir, "keyword_index.json")
         ),
         "SEARCH_VALIDATE_FILE_EXISTS": _get_bool("SEARCH_VALIDATE_FILE_EXISTS", False),
+        # serving-path request micro-batching (core/batcher.py)
+        "SEARCH_MICROBATCH_ENABLED": _get_bool("SEARCH_MICROBATCH_ENABLED", False),
+        "SEARCH_MICROBATCH_WINDOW_MS": _get_float("SEARCH_MICROBATCH_WINDOW_MS", 3.0),
+        "SEARCH_MICROBATCH_MAX_BATCH": _get_int("SEARCH_MICROBATCH_MAX_BATCH", 128),
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),
         # --- TPU retrieval-core knobs (no reference equivalent) ---
         "STORE_DTYPE": os.getenv("STORE_DTYPE", "float32"),  # float32|bfloat16
