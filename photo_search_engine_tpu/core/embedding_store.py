@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from photo_search_engine_tpu.ops import topk as topk_ops
 
-_DEF_BLOCK_ROWS = 1024
 _APPEND_PAD = 8  # append chunks padded to a multiple of this to bound recompiles
 
 
@@ -55,14 +54,19 @@ class EmbeddingStore:
         *,
         metric: str = "cosine",
         store_dtype: str = "float32",
-        block_rows: int = _DEF_BLOCK_ROWS,
+        block_rows: Optional[int] = None,
     ) -> None:
         if metric not in {"cosine", "l2", "ip"}:
             raise ValueError("metric must be cosine, l2 or ip")
         self.dimension = int(dimension)
         self.metric = metric
         self.store_dtype = jnp.dtype(store_dtype)
-        self.block_rows = int(block_rows)
+        # kernel block = capacity alignment; VMEM-budget-aware by dim/dtype
+        self.block_rows = int(
+            block_rows
+            if block_rows is not None
+            else topk_ops.default_block_n(self.store_dtype, self.dimension)
+        )
         self._count = 0
         self._device: Optional[jnp.ndarray] = None  # [capacity, D] store dtype
         self._host = np.zeros((0, self.dimension), np.float32)
@@ -173,7 +177,7 @@ class EmbeddingStore:
         *,
         metric: str = "cosine",
         store_dtype: str = "float32",
-        block_rows: int = _DEF_BLOCK_ROWS,
+        block_rows: Optional[int] = None,
         already_normalized: bool = False,
     ) -> "EmbeddingStore":
         store = cls(

@@ -63,9 +63,17 @@ def _dot_precision(dtype) -> jax.lax.Precision:
     )
 
 
-def default_block_n(dtype) -> int:
-    """Corpus rows per VMEM block: bigger for narrower dtypes."""
-    return 1024 if jnp.dtype(dtype).itemsize <= 2 else 512
+_VMEM_CORPUS_BUDGET = 8 * 1024 * 1024  # double-buffered corpus block bytes
+
+
+def default_block_n(dtype, dim: int = 1536) -> int:
+    """Corpus rows per VMEM block, sized so the double-buffered block fits
+    the ~16MB VMEM scope with headroom for queries + merge buffers.
+    1024×1536 bf16 measured fastest at the north-star shape."""
+    per_row = -(-dim // _LANE) * _LANE * jnp.dtype(dtype).itemsize
+    rows = _VMEM_CORPUS_BUDGET // (2 * per_row)
+    rows = max(128, min(1024, (rows // 128) * 128))
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +473,7 @@ def exact_search(
         )
 
     interpret = not _on_tpu()
-    bn = block_n or default_block_n(corpus.dtype)
+    bn = block_n or default_block_n(corpus.dtype, d)
     bq = block_q or 128
     qn = queries.shape[0]
     bq = min(bq, _round_up(qn, 8))
