@@ -494,6 +494,16 @@ class IVFIndex:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "lax"
+        if impl == "pallas":
+            # VMEM guard: the kernel double-buffers one whole cluster block
+            # plus the probe matrix; oversized layouts (huge L×D or nlist)
+            # fall back to the XLA path.  Sub-blocking clusters is future
+            # work for very large dims.
+            itemsize = jnp.dtype(self._corpus.dtype).itemsize
+            block_bytes = 2 * self.capacity * self._dp * itemsize
+            probe_bytes = 2 * 128 * self.nlist * 4
+            if block_bytes + probe_bytes > 12 * 1024 * 1024:
+                impl = "lax"
 
         probe_matrix, selected, sel_count, s_max = self._probe(queries, nprobe)
 
