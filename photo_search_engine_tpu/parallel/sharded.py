@@ -64,6 +64,7 @@ def _local_topk(
             queries.astype(corpus_shard.dtype),
             corpus_shard,
             (((1,), (1,)), ((), ())),
+            precision=topk_ops._dot_precision(corpus_shard.dtype),
             preferred_element_type=jnp.float32,
         )
         if metric == "l2":
@@ -180,6 +181,7 @@ def sharded_kmeans_step(
         x = corpus_shard.astype(jnp.float32)
         scores = jax.lax.dot_general(
             x, cents.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         cn = jnp.sum(jnp.square(cents.astype(jnp.float32)), axis=1)[None, :]
@@ -307,3 +309,67 @@ class ShardedEmbeddingStore:
     def reconstruct(self, global_id: int) -> np.ndarray:
         shard_id, local = self.global_id_to_shard_local(int(global_id))
         return self._host_shards[shard_id][local].copy()
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (SURVEY.md §5: the TPU-scale analogue of the
+    # reference's FAISS-binary + sidecar persistence — one .npy per shard
+    # plus a manifest, so multi-host deployments can write/read shards in
+    # parallel and resume with per-shard granularity.)
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for shard_id, shard in enumerate(self._host_shards):
+            with open(os.path.join(directory, f"shard_{shard_id:04d}.npy"), "wb") as f:
+                np.save(f, shard)
+        manifest = {
+            "format_version": 1,
+            "dimension": self.dimension,
+            "metric": self.metric,
+            "store_dtype": str(self.store_dtype),
+            "shard_block": self.shard_block,
+            "n_shards": self.n_shards,
+            "counts": self.counts.tolist(),
+        }
+        with open(os.path.join(directory, "manifest.json"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+
+    def load(self, directory: str) -> bool:
+        import json
+        import os
+
+        manifest_path = os.path.join(directory, "manifest.json")
+        if not os.path.exists(manifest_path):
+            return False
+        with open(manifest_path, "r", encoding="utf-8") as f:
+            manifest = json.load(f)
+        if manifest.get("dimension") != self.dimension:
+            raise ValueError("checkpoint dimension differs; rebuild the store")
+        saved_shards = int(manifest.get("n_shards", 0))
+        shards: list = []
+        for shard_id in range(saved_shards):
+            path = os.path.join(directory, f"shard_{shard_id:04d}.npy")
+            if not os.path.exists(path):
+                raise ValueError(f"checkpoint shard missing: {path}")
+            with open(path, "rb") as f:
+                shards.append(np.load(f))
+        counts = manifest.get("counts") or []
+        for shard, count in zip(shards, counts):
+            if shard.shape[0] != count:
+                raise ValueError("checkpoint shard count mismatch; rebuild")
+        if saved_shards == self.n_shards:
+            self._host_shards = shards
+        else:
+            # re-shard: mesh size changed between save and load
+            rows = np.concatenate([s for s in shards if s.size]) if shards else \
+                np.zeros((0, self.dimension), np.float32)
+            self._host_shards = [
+                np.zeros((0, self.dimension), np.float32) for _ in range(self.n_shards)
+            ]
+            if rows.size:
+                splits = np.array_split(rows, self.n_shards)
+                self._host_shards = [np.ascontiguousarray(s, np.float32) for s in splits]
+        self._dirty = True
+        return True

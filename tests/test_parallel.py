@@ -141,3 +141,48 @@ class ShardedStoreTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class ShardedCheckpointTest(unittest.TestCase):
+    def test_save_load_roundtrip(self):
+        import tempfile
+
+        rng = np.random.default_rng(4)
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        vectors = rng.normal(size=(20, 16)).astype(np.float32)
+        store.append(vectors)
+        with tempfile.TemporaryDirectory() as tmp:
+            store.save(tmp)
+            fresh = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+            self.assertTrue(fresh.load(tmp))
+            self.assertEqual(fresh.count, 20)
+            _, idx = fresh.search(vectors[5], 1)
+            np.testing.assert_allclose(
+                fresh.reconstruct(int(idx[0][0])), vectors[5], rtol=1e-5
+            )
+
+    def test_load_missing_returns_false(self):
+        import tempfile
+
+        store = ShardedEmbeddingStore(16, make_mesh())
+        with tempfile.TemporaryDirectory() as tmp:
+            self.assertFalse(store.load(tmp))
+
+    def test_reshard_on_mesh_change(self):
+        import tempfile
+
+        rng = np.random.default_rng(5)
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        vectors = rng.normal(size=(24, 16)).astype(np.float32)
+        store.append(vectors)
+        with tempfile.TemporaryDirectory() as tmp:
+            store.save(tmp)
+            smaller = ShardedEmbeddingStore(
+                16, make_mesh(4), metric="ip", shard_block=8
+            )
+            self.assertTrue(smaller.load(tmp))
+            self.assertEqual(smaller.count, 24)
+            _, idx = smaller.search(vectors[3], 1)
+            np.testing.assert_allclose(
+                smaller.reconstruct(int(idx[0][0])), vectors[3], rtol=1e-5
+            )
