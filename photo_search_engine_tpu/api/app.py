@@ -105,6 +105,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         store_dtype=config.get("STORE_DTYPE", "float32"),
         ivf_nlist=config.get("IVF_NLIST", 1024),
         ivf_nprobe=config.get("IVF_NPROBE", 64),
+        store_block_rows=config.get("TOPK_BLOCK_N") or None,
     )
 
     keyword_index = None

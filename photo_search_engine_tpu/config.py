@@ -186,9 +186,8 @@ def load_config() -> Dict[str, Any]:
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),
         # --- TPU retrieval-core knobs (no reference equivalent) ---
         "STORE_DTYPE": os.getenv("STORE_DTYPE", "float32"),  # float32|bfloat16
-        "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 1024),
-        "TOPK_BLOCK_Q": _get_int("TOPK_BLOCK_Q", 128),
-        "MESH_DATA_AXIS": _get_int("MESH_DATA_AXIS", 0),  # 0 = all devices
+        # kernel corpus-block rows; 0 = auto (VMEM-budget-aware by dim/dtype)
+        "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 0),
         "IVF_NLIST": _get_int("IVF_NLIST", 1024),
         "IVF_NPROBE": _get_int("IVF_NPROBE", 64),
     }

@@ -126,19 +126,13 @@ def attach_microbatcher(
     """Route a VectorIndex's unmasked single-query searches through a
     shared MicroBatcher.  Masked searches (per-query filters) bypass it."""
 
-    plain_search_batch = vector_index.search_batch
-
     def run_batch(queries: np.ndarray, k: int):
-        hit_lists = plain_search_batch(queries, k)
-        batch_size = queries.shape[0]
-        dists = np.full((batch_size, k), -np.inf, np.float32)
-        idx = np.full((batch_size, k), -1, np.int64)
-        for row, hits in enumerate(hit_lists):
-            for col, hit in enumerate(hits[:k]):
-                dists[row, col] = hit["distance"]
-                idx[row, col] = vector_index._path_to_index.get(
-                    hit["metadata"].get("photo_path", ""), -1
-                )
+        # zero-copy path: (distances, row indices) straight from the store
+        dists, idx = vector_index.raw_search_batch(queries, k)
+        if dists.shape[1] < k:  # store clamped k to its live count
+            pad = k - dists.shape[1]
+            dists = np.pad(dists, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         return dists, idx
 
     batcher = MicroBatcher(run_batch, max_batch=max_batch, window_s=window_s)

@@ -1178,7 +1178,6 @@ class Searcher:
             user_query=query, base_intent=base_intent, max_alternatives=max_rounds
         )
         merged = [dict(i) for i in base_results]
-        best_results = base_results
         final_results = base_results
         if alternatives:
             debug["expansion_triggered"] = True
@@ -1212,10 +1211,6 @@ class Searcher:
                         reason=str(alt.get("reason") or "").strip(),
                     )
                 )
-                if alt_results:
-                    best = float(best_results[0].get("score", 0.0)) if best_results else 0.0
-                    if float(alt_results[0].get("score", 0.0)) > best:
-                        best_results = alt_results
                 merged.extend(dict(i) for i in alt_results)
             merged = self._deduplicate(merged)
             merged = self._sort_for_merge(merged)

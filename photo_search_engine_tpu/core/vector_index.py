@@ -42,6 +42,7 @@ class VectorIndex:
         store_dtype: str = "float32",
         ivf_nlist: int = 1024,
         ivf_nprobe: int = 64,
+        store_block_rows: Optional[int] = None,
     ) -> None:
         self.dimension = dimension
         self.index_path = index_path
@@ -56,6 +57,7 @@ class VectorIndex:
         self.store_dtype = store_dtype
         self.ivf_nlist = max(1, int(ivf_nlist))
         self.ivf_nprobe = max(1, int(ivf_nprobe))
+        self.store_block_rows = store_block_rows or None
 
         self.metadata: List[Dict[str, Any]] = []
         self._store: Optional[EmbeddingStore] = (
@@ -68,7 +70,10 @@ class VectorIndex:
     # ------------------------------------------------------------------
     def _create_store(self, dimension: int) -> EmbeddingStore:
         return EmbeddingStore(
-            dimension, metric=self.metric, store_dtype=self.store_dtype
+            dimension,
+            metric=self.metric,
+            store_dtype=self.store_dtype,
+            block_rows=self.store_block_rows,
         )
 
     def _rebuild_path_index(self) -> None:
@@ -184,6 +189,21 @@ class VectorIndex:
             out.append(hits)
         return out
 
+    def raw_search_batch(
+        self,
+        query_embeddings: np.ndarray,
+        top_k: int,
+        mask: Optional[np.ndarray] = None,
+    ):
+        """Batched search returning (distances, row indices) directly —
+        the zero-copy path for the serving micro-batcher."""
+        if self._store is None or self._store.count == 0:
+            q = np.atleast_2d(np.asarray(query_embeddings)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        k = min(int(top_k), self._store.count)
+        return self._store.search(queries, k, mask=mask)
+
     def search_masked(
         self, query_embedding: List[float], top_k: int, mask: np.ndarray
     ) -> List[Dict[str, Any]]:
@@ -267,11 +287,14 @@ class VectorIndex:
         if expected_count is not None and int(expected_count) != array.shape[0]:
             raise ValueError("index row count differs from sidecar; rebuild the index")
 
+        self._ivf = None
+        self._ivf_built_at = -1
         self.dimension = int(array.shape[1]) if array.size else payload.get("dimension")
         self._store = EmbeddingStore.from_array(
             array.astype(np.float32),
             metric=self.metric,
             store_dtype=self.store_dtype,
+            block_rows=self.store_block_rows,
             already_normalized=True,
         ) if array.size else self._create_store(self.dimension)
         self._rebuild_path_index()

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+_PALLAS_MAX_K = 64
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -467,6 +468,12 @@ def exact_search(
 
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "lax"
+    if impl != "lax" and k > _PALLAS_MAX_K:
+        # the in-kernel extraction loop is unrolled k times; large candidate
+        # sets (searcher candidate_k up to ~1000) would explode compile time
+        # and VPU work, so they take the XLA path (scores materialize, which
+        # is fine at large k / small Q)
+        impl = "lax"
     if impl == "lax":
         return exact_search_oracle(
             corpus, queries, k, count=count, mask=mask, metric=metric

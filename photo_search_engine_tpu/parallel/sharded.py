@@ -51,14 +51,18 @@ def _local_topk(
     shard_id = jax.lax.axis_index(axis)
     shard_rows = corpus_shard.shape[0]
     count = counts[shard_id]
+    k = min(k, shard_rows)  # a shard can contribute at most shard_rows hits
     if impl == "pallas":
+        # the live-count mask must ride INSIDE the scan (padding rows score
+        # 0 for ip and would displace real hits before any post-mask)
         vals, idx = topk_ops.exact_search(
-            corpus_shard, queries, k, count=None, metric=metric, impl="pallas"
+            corpus_shard, queries, k, count=count, metric=metric, impl="pallas"
         )
-        # mask rows beyond this shard's live count
-        valid = idx < count
-        vals = jnp.where(valid, vals, -jnp.inf)
-        idx = jnp.where(valid, idx, -1)
+        if metric == "l2":
+            # merge ranks by descending score; exact_search returned
+            # ascending distances (+inf for empty slots) — re-negate.
+            empty = jnp.isposinf(vals)
+            vals = jnp.where(empty, -jnp.inf, -vals)
     else:
         scores = jax.lax.dot_general(
             queries.astype(corpus_shard.dtype),
@@ -242,8 +246,13 @@ class ShardedEmbeddingStore:
     def count(self) -> int:
         return int(self.counts.sum())
 
+    # Stable id encoding: shard * _ID_STRIDE + local row.  Independent of
+    # the (growing) device capacity, so ids stored by callers stay valid
+    # across appends and re-syncs.
+    _ID_STRIDE = 1 << 40
+
     def append(self, vectors: np.ndarray) -> np.ndarray:
-        """Append rows; returns the global row ids assigned."""
+        """Append rows; returns stable global row ids."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         if self.metric == "cosine":
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
@@ -255,9 +264,9 @@ class ShardedEmbeddingStore:
             self._host_shards[target] = np.concatenate(
                 [self._host_shards[target], row[None, :]]
             )
-            ids.append(target * self._shard_capacity_hint() + local)
+            ids.append(target * self._ID_STRIDE + local)
         self._dirty = True
-        return np.asarray(ids)
+        return np.asarray(ids, np.int64)
 
     def _shard_capacity_hint(self) -> int:
         rows = max((s.shape[0] for s in self._host_shards), default=0)
@@ -281,12 +290,11 @@ class ShardedEmbeddingStore:
     def search(
         self, queries: np.ndarray, k: int, impl: str = "auto"
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (distances, global row ids) where the global id encodes
-        (shard, local row) using the current shard capacity."""
+        """Returns (distances, stable global row ids); -1 for empty slots."""
         if self.count == 0:
             q = np.atleast_2d(queries).shape[0]
-            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
-        corpus, _ = self._sync()
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+        corpus, capacity = self._sync()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
@@ -300,11 +308,15 @@ class ShardedEmbeddingStore:
             metric=self.metric,
             impl=impl,
         )
-        return np.asarray(vals), np.asarray(idx)
+        # rebase transient (capacity-relative) device indices to stable ids
+        raw = np.asarray(idx, np.int64)
+        shard = raw // capacity
+        local = raw % capacity
+        stable = np.where(raw >= 0, shard * self._ID_STRIDE + local, -1)
+        return np.asarray(vals), stable
 
     def global_id_to_shard_local(self, global_id: int) -> Tuple[int, int]:
-        capacity = self._shard_capacity_hint()
-        return global_id // capacity, global_id % capacity
+        return global_id // self._ID_STRIDE, global_id % self._ID_STRIDE
 
     def reconstruct(self, global_id: int) -> np.ndarray:
         shard_id, local = self.global_id_to_shard_local(int(global_id))
