@@ -7,10 +7,20 @@ as a single fused Pallas kernel (tiled MXU dot-product with an on-chip
 running top-k), so the full score vector is never materialized in HBM.
 """
 
+from photo_search_engine_tpu.ops.grouped_mask import (
+    grouped_mask_oracle,
+    grouped_mask_search,
+)
 from photo_search_engine_tpu.ops.topk import (
     exact_search,
     exact_search_oracle,
     l2_normalize,
 )
 
-__all__ = ["exact_search", "exact_search_oracle", "l2_normalize"]
+__all__ = [
+    "exact_search",
+    "exact_search_oracle",
+    "grouped_mask_oracle",
+    "grouped_mask_search",
+    "l2_normalize",
+]

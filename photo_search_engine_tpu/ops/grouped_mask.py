@@ -1,0 +1,239 @@
+"""Per-query filtered exact search via grouped masks.
+
+The base kernel (ops/topk.py) supports one shared corpus mask.  Batched
+serving, however, mixes queries with DIFFERENT filters (different
+season / time-of-day / date predicates).  Shipping a dense per-query
+mask would cost Q×N bytes per batch (128 MB at the north-star shape), but
+real batches draw from a handful of distinct predicates — so the filter
+state is factored as:
+
+* ``mask_table`` — [M, N] int8, one row per distinct predicate
+  (M ≤ 8 typical; row 0 conventionally all-ones for unfiltered queries);
+* ``mask_ids`` — [Q] int32, each query's predicate row.
+
+Inside the kernel each corpus block selects every query's mask row with a
+one-hot [BQ, M] × [M, BN] matmul — MXU work, no gathers.  Everything else
+(local top-k extraction, two-phase merge) matches the exact kernel, and
+results are bit-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from photo_search_engine_tpu.ops.topk import (
+    _INT_MAX,
+    _LANE,
+    _PALLAS_MAX_K,
+    _dot_precision,
+    _on_tpu,
+    _round_up,
+    default_block_n,
+)
+
+
+def grouped_mask_oracle(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    mask_table: jnp.ndarray,
+    mask_ids: jnp.ndarray,
+    k: int,
+    *,
+    count: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp reference: per-query masked inner-product top-k."""
+    queries = jnp.atleast_2d(queries)
+    n = corpus.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(corpus.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    per_query_mask = jnp.take(mask_table, mask_ids, axis=0) > 0  # [Q, N]
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < (n if count is None else count)
+    scores = jnp.where(jnp.logical_and(per_query_mask, valid), scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(scores, k)
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx
+
+
+def _grouped_kernel(
+    count_ref,     # SMEM (1, 1)
+    q_ref,         # VMEM (BQ, D)
+    c_ref,         # VMEM (BN, D)
+    ids_ref,       # VMEM (BQ, LANE) int32 — per-query mask id in lane 0
+    table_ref,     # VMEM (M, BN) — mask rows for this corpus block
+    outv_ref,
+    outi_ref,
+    *,
+    k: int,
+    kp: int,
+    bq: int,
+    bn: int,
+    n_masks: int,
+):
+    ni = pl.program_id(1)
+    q = q_ref[:]
+    scores = jax.lax.dot_general(
+        q,
+        c_ref[:],
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    col = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    valid = col < count_ref[0, 0]
+
+    # one-hot select each query's mask row: [BQ, M] @ [M, BN] on the MXU
+    mask_cols = jax.lax.broadcasted_iota(jnp.int32, (bq, n_masks), 1)
+    wanted = (mask_cols == ids_ref[:, 0:1]).astype(jnp.float32)
+    per_query = jax.lax.dot_general(
+        wanted,
+        table_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, BN]
+    valid = jnp.logical_and(valid, per_query > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    colw = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+    comb = scores
+    for slot in range(k):
+        m = jnp.max(comb, axis=1, keepdims=True)
+        at_max = comb == m
+        first = jnp.min(jnp.where(at_max, colw, bn), axis=1, keepdims=True)
+        onehot = colw == first
+        sel = jnp.sum(jnp.where(onehot, col, 0), axis=1, keepdims=True)
+        new_v = jnp.where(colk == slot, m, new_v)
+        new_i = jnp.where(colk == slot, sel, new_i)
+        comb = jnp.where(onehot, -jnp.inf, comb)
+    outv_ref[:] = new_v
+    outi_ref[:] = new_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "n_masks", "interpret")
+)
+def _grouped_impl(
+    corpus: jnp.ndarray,      # (NP, DP)
+    queries: jnp.ndarray,     # (QP, DP)
+    mask_table: jnp.ndarray,  # (M, NP) int8
+    mask_ids: jnp.ndarray,    # (QP,) int32
+    count: jnp.ndarray,       # (1, 1)
+    k: int,
+    block_q: int,
+    block_n: int,
+    n_masks: int,
+    interpret: bool,
+):
+    np_, dp = corpus.shape
+    qp = queries.shape[0]
+    kp = _round_up(max(k, 1), _LANE)
+    nb = np_ // block_n
+    ids_wide = jnp.broadcast_to(mask_ids[:, None], (qp, _LANE)).astype(jnp.int32)
+    kernel = functools.partial(
+        _grouped_kernel, k=k, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks
+    )
+    part_vals, part_idx = pl.pallas_call(
+        kernel,
+        grid=(qp // block_q, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda qi, ni: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (block_q, dp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_n, dp), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_q, _LANE), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_masks, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(count, queries, corpus, ids_wide, mask_table)
+    vals = part_vals.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
+    idx = part_idx.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
+    merged_vals, positions = jax.lax.top_k(vals, k)
+    merged_idx = jnp.take_along_axis(idx, positions, axis=1)
+    return merged_vals, merged_idx
+
+
+def grouped_mask_search(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    mask_table: jnp.ndarray,  # [M, N] bool/int
+    mask_ids: jnp.ndarray,    # [Q] int
+    k: int,
+    *,
+    count: Optional[int] = None,
+    impl: str = "auto",
+    block_q: Optional[int] = None,
+    block_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched per-query filtered top-k (inner-product metric).
+
+    Returns FAISS-style (distances desc, indices; -1 for empty slots)."""
+    queries = jnp.atleast_2d(queries)
+    n, d = corpus.shape
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "lax"
+    if impl != "lax" and k > _PALLAS_MAX_K:
+        impl = "lax"
+    if impl == "lax":
+        return grouped_mask_oracle(
+            corpus, queries, mask_table, mask_ids, k, count=count
+        )
+
+    interpret = not _on_tpu()
+    bn = block_n or default_block_n(corpus.dtype, d)
+    bq = min(block_q or 128, _round_up(queries.shape[0], 8))
+    dp = _round_up(d, _LANE)
+    np_ = _round_up(n, bn)
+    qp = _round_up(queries.shape[0], bq)
+    qn = queries.shape[0]
+    n_masks = int(mask_table.shape[0])
+
+    corpus_p = jnp.pad(corpus, ((0, np_ - n), (0, dp - d)))
+    queries_p = jnp.pad(queries.astype(corpus.dtype), ((0, qp - qn), (0, dp - d)))
+    table_p = jnp.pad(mask_table.astype(jnp.int8), ((0, 0), (0, np_ - n)))
+    ids_p = jnp.pad(mask_ids.astype(jnp.int32), (0, qp - qn))
+    count_arr = jnp.full((1, 1), n if count is None else count, jnp.int32)
+
+    vals, idx = _grouped_impl(
+        corpus_p, queries_p, table_p, ids_p, count_arr,
+        k, bq, bn, n_masks, interpret,
+    )
+    vals = vals[:qn, :k]
+    idx = idx[:qn, :k]
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx

@@ -1,0 +1,111 @@
+"""Tests for ops/grouped_mask.py — per-query filtered batched search."""
+
+import unittest
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from photo_search_engine_tpu.ops.grouped_mask import (
+    grouped_mask_oracle,
+    grouped_mask_search,
+)
+
+
+class GroupedMaskTest(unittest.TestCase):
+    def setUp(self):
+        rng = np.random.default_rng(0)
+        self.corpus = rng.normal(size=(300, 64)).astype(np.float32)
+        self.queries = rng.normal(size=(9, 64)).astype(np.float32)
+        # 3 predicates: all rows; even rows; rows 100..199
+        table = np.zeros((3, 300), np.int8)
+        table[0, :] = 1
+        table[1, ::2] = 1
+        table[2, 100:200] = 1
+        self.table = table
+        self.ids = np.array([0, 1, 2, 0, 1, 2, 0, 1, 2], np.int32)
+
+    def _numpy_ref(self, k, count=None):
+        scores = self.queries @ self.corpus.T
+        mask = self.table[self.ids] > 0
+        n = self.corpus.shape[0]
+        valid = np.arange(n)[None, :] < (n if count is None else count)
+        scores = np.where(mask & valid, scores, -np.inf)
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        idx = np.where(np.isneginf(vals), -1, idx)
+        return vals, idx
+
+    def test_pallas_matches_numpy(self):
+        ref_v, ref_i = self._numpy_ref(7)
+        for impl in ("lax", "pallas"):
+            vals, idx = grouped_mask_search(
+                jnp.asarray(self.corpus),
+                jnp.asarray(self.queries),
+                jnp.asarray(self.table),
+                jnp.asarray(self.ids),
+                7,
+                impl=impl,
+                block_n=128,
+                block_q=8,
+            )
+            np.testing.assert_array_equal(np.asarray(idx), ref_i, err_msg=impl)
+            np.testing.assert_allclose(
+                np.asarray(vals), ref_v, rtol=1e-5, atol=1e-5, err_msg=impl
+            )
+
+    def test_each_query_respects_its_predicate(self):
+        _, idx = grouped_mask_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), 10,
+            impl="pallas", block_n=128, block_q=8,
+        )
+        idx = np.asarray(idx)
+        for q, mask_id in enumerate(self.ids):
+            hits = idx[q][idx[q] >= 0]
+            if mask_id == 1:
+                self.assertTrue((hits % 2 == 0).all())
+            elif mask_id == 2:
+                self.assertTrue(((hits >= 100) & (hits < 200)).all())
+
+    def test_count_limit(self):
+        ref_v, ref_i = self._numpy_ref(5, count=150)
+        vals, idx = grouped_mask_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), 5,
+            count=150, impl="pallas", block_n=128, block_q=8,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+    def test_empty_predicate_yields_empty_slots(self):
+        table = np.zeros((2, 300), np.int8)
+        table[0, :] = 1  # predicate 1 matches nothing
+        ids = np.array([0, 1], np.int32)
+        vals, idx = grouped_mask_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries[:2]),
+            jnp.asarray(table), jnp.asarray(ids), 5,
+            impl="pallas", block_n=128, block_q=8,
+        )
+        idx = np.asarray(idx)
+        self.assertTrue((idx[0] >= 0).all())
+        self.assertTrue((idx[1] == -1).all())
+
+    def test_large_k_routes_to_oracle(self):
+        ref_v, ref_i = self._numpy_ref(200)
+        vals, idx = grouped_mask_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), 200,
+            impl="pallas",
+        )
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+    def test_oracle_shapes(self):
+        vals, idx = grouped_mask_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), 3,
+        )
+        self.assertEqual(idx.shape, (9, 3))
+
+
+if __name__ == "__main__":
+    unittest.main()
