@@ -300,7 +300,23 @@ def run_index_worker(force_rebuild: bool) -> int:
     return 0 if status.get("status") in {"success", "ready"} else 1
 
 
+def _apply_platform_override() -> None:
+    """Honor PSE_PLATFORM=cpu|tpu before any device use.  Needed because
+    some hosts' site customizations override JAX_PLATFORMS."""
+    import os
+
+    wanted = (os.environ.get("PSE_PLATFORM") or "").strip().lower()
+    if wanted:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", wanted)
+        except Exception as exc:
+            print(f"[WARN] PSE_PLATFORM={wanted} not applied: {exc}")
+
+
 def main(argv: Optional[list] = None) -> int:
+    _apply_platform_override()
     parser = argparse.ArgumentParser(description="photo_search_engine_tpu server")
     parser.add_argument("--index-worker", action="store_true")
     parser.add_argument("--force-rebuild", action="store_true")
