@@ -918,6 +918,33 @@ class Searcher:
             item["rank"] = rank
         return self._sanitize(final) if strip_internal else final
 
+    @staticmethod
+    def _constraints_key(constraints: Dict[str, Any]) -> Tuple[Any, ...]:
+        return tuple(
+            (field, constraints.get(field))
+            for field in ("year", "month", "day", "season", "time_period",
+                          "start_date", "end_date")
+        )
+
+    def _constraints_mask(self, constraints: Dict[str, Any]) -> np.ndarray:
+        """Boolean row mask for a time-constraint predicate, LRU-cached per
+        predicate (masks are reused heavily: the season/time-of-day
+        vocabulary is tiny)."""
+        key = ("constraints_mask", self._constraints_key(constraints),
+               self.vector_index.get_total_items())
+        if self.query_cache_enabled:
+            cached = self._cache_get(self._query_cache, key)
+            if cached is not None:
+                return cached
+        mask = np.fromiter(
+            (check_time_match(item, constraints) for item in self.vector_index.metadata),
+            dtype=bool,
+            count=len(self.vector_index.metadata),
+        )
+        if self.query_cache_enabled:
+            self._cache_put(self._query_cache, key, mask, self.query_cache_size)
+        return mask
+
     # ------------------------------------------------------------------
     # Round controller
     # ------------------------------------------------------------------
@@ -955,6 +982,17 @@ class Searcher:
                 media_terms=media_terms,
                 identity_terms=identity_terms,
                 strict_identity_filter=strict_identity_filter,
+            )
+        elif has_filter and hasattr(self.vector_index, "search_masked"):
+            # TPU-first improvement over the reference's over-fetch
+            # heuristic (searcher.py:814-817): ride the time filter as a
+            # device mask inside the top-k scan, so highly selective
+            # filters cannot starve the candidate set (SURVEY.md §7 hard
+            # part 2).  check_time_match in finalize stays as a no-op
+            # safety net (mask ⊆ time-match).
+            mask = self._constraints_mask(constraints)
+            combined = self._vector_results_to_combined(
+                self.vector_index.search_masked(query_embedding, candidate_k, mask)
             )
         else:
             combined = self._vector_results_to_combined(

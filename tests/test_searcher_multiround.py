@@ -173,3 +173,62 @@ class MultiRoundFixture(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class DeviceMaskedFilterTest(unittest.TestCase):
+    """Selective time filters must not starve the candidate set: the
+    no-keyword path rides the filter as a device mask inside the scan
+    (the reference's over-fetch heuristic would return nothing here)."""
+
+    def test_selective_filter_recall(self):
+        import tempfile as _tempfile
+
+        tmp = _tempfile.TemporaryDirectory()
+        self.addCleanup(tmp.cleanup)
+        vi = VectorIndex(
+            dimension=DIM,
+            index_path=os.path.join(tmp.name, "ps.index"),
+            metadata_path=os.path.join(tmp.name, "m.json"),
+        )
+        rng = np.random.default_rng(0)
+        query_vec = np.zeros(DIM, np.float32); query_vec[0] = 1.0
+        # 600 docs: ranks 0..599 by similarity to the query; ONLY the two
+        # least similar docs carry the summer tag
+        n = 600
+        for i in range(n):
+            vec = np.zeros(DIM, np.float32)
+            vec[0] = 1.0 - i * 0.001
+            vec[1] = np.sqrt(max(0.0, 1 - vec[0] ** 2))
+            summer = i >= n - 2
+            vi.add_item(
+                vec.tolist(),
+                {
+                    "photo_path": f"/p/{i}.jpg",
+                    "description": f"doc {i}",
+                    "retrieval_text": f"doc {i}",
+                    "media_types": ["photo"],
+                    "identity_names": [],
+                    "time_info": {"season": "夏天"} if summer else {},
+                    "exif_data": {"datetime": "2023-07-01T10:00:00"} if summer else {},
+                },
+            )
+        parser = FakeTimeParser({
+            "夏天": {"start_date": None, "end_date": None, "precision": "none"},
+        })
+        formatter = FakeQueryFormatter(
+            mapping={"夏天 目标": {"search_text": "目标", "season": "夏天"}}
+        )
+        searcher = Searcher(
+            embedding=MappedEmbeddingService({"目标": query_vec.tolist()}, DIM),
+            time_parser=parser,
+            vector_index=vi,
+            query_formatter=formatter,
+            data_dir=tmp.name,
+        )
+        searcher.index_loaded = True
+        searcher._refresh_metadata_cache()
+        results = searcher.search("夏天 目标", top_k=5)
+        paths = {r["photo_path"] for r in results}
+        # candidate_k would be ~50 of 600; the two summer docs rank ~#598
+        # and are only reachable because the mask rides the device scan
+        self.assertEqual(paths, {"/p/598.jpg", "/p/599.jpg"})
