@@ -35,13 +35,13 @@ def main() -> None:
 
     rows = int(os.getenv("BENCH_ROWS", 1_000_000))
     dim = int(os.getenv("BENCH_DIM", 1536))
-    n_queries = int(os.getenv("BENCH_Q", 128))
+    n_queries = int(os.getenv("BENCH_Q", 256))
     k = int(os.getenv("BENCH_K", 10))
     iters = int(os.getenv("BENCH_ITERS", 40))
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
-    block_q = min(128, max(8, -(-n_queries // 8) * 8))
+    block_q = min(256, max(8, -(-n_queries // 8) * 8))
     capacity = -(-rows // block_n) * block_n
 
     # build the corpus in chunks to bound normalization memory
