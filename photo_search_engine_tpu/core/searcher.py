@@ -290,6 +290,40 @@ class Searcher:
             if path:
                 cache[path] = item
         self._metadata_by_path = cache
+        # predicate-mask state is derived from metadata: rebuild lazily
+        self._mask_cache: Dict[Any, Any] = {}
+        self._time_columns = None
+
+    def _refresh_time_columns(self) -> None:
+        """Columnar time fields for vectorized predicate masks (one Python
+        pass per index (re)load; predicates then evaluate in NumPy)."""
+        metadata = self.vector_index.metadata or []
+        n = len(metadata)
+        season = np.empty(n, object)
+        period = np.empty(n, object)
+        year = np.full(n, -1, np.int32)
+        month = np.full(n, -1, np.int32)
+        epoch = np.full(n, np.nan, np.float64)
+        has_exif = np.zeros(n, bool)
+        for i, item in enumerate(metadata):
+            time_info = item.get("time_info") or {}
+            exif_dt = (item.get("exif_data") or {}).get("datetime")
+            has_exif[i] = bool(exif_dt)
+            season[i] = time_info.get("season")
+            period[i] = time_info.get("time_period")
+            if time_info.get("year") is not None:
+                year[i] = int(time_info["year"])
+            if time_info.get("month") is not None:
+                month[i] = int(time_info["month"])
+            stamp = time_info.get("datetime_str") or exif_dt
+            if stamp:
+                parsed = parse_flexible_date(stamp)
+                if parsed is not None:
+                    epoch[i] = parsed.timestamp()
+        self._time_columns = {
+            "season": season, "time_period": period, "year": year,
+            "month": month, "epoch": epoch, "has_exif": has_exif,
+        }
 
     def load_index(self) -> bool:
         if not self.vector_index.load():
@@ -926,23 +960,44 @@ class Searcher:
                           "start_date", "end_date")
         )
 
+    _MASK_CACHE_CAPACITY = 64
+
     def _constraints_mask(self, constraints: Dict[str, Any]) -> np.ndarray:
-        """Boolean row mask for a time-constraint predicate, LRU-cached per
-        predicate (masks are reused heavily: the season/time-of-day
-        vocabulary is tiny)."""
-        key = ("constraints_mask", self._constraints_key(constraints),
-               self.vector_index.get_total_items())
-        if self.query_cache_enabled:
-            cached = self._cache_get(self._query_cache, key)
-            if cached is not None:
-                return cached
-        mask = np.fromiter(
-            (check_time_match(item, constraints) for item in self.vector_index.metadata),
-            dtype=bool,
-            count=len(self.vector_index.metadata),
-        )
-        if self.query_cache_enabled:
-            self._cache_put(self._query_cache, key, mask, self.query_cache_size)
+        """Boolean row mask for a time-constraint predicate.
+
+        Evaluated vectorized over columnar time fields (NumPy, not a
+        per-row Python loop) and cached in a dedicated dict that
+        _refresh_metadata_cache clears — index rebuilds can never serve a
+        stale mask, even at unchanged row counts."""
+        key = self._constraints_key(constraints)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        if self._time_columns is None:
+            self._refresh_time_columns()
+        cols = self._time_columns
+        n = len(self.vector_index.metadata or [])
+        mask = np.ones(n, bool)
+        for field in ("season", "time_period"):
+            wanted = constraints.get(field)
+            if wanted:
+                mask &= cols["has_exif"] & (cols[field] == wanted)
+        for field in ("year", "month"):
+            wanted = constraints.get(field)
+            if wanted:
+                mask &= cols["has_exif"] & (cols[field] == int(wanted))
+        start = parse_flexible_date(constraints.get("start_date"))
+        end = parse_flexible_date(constraints.get("end_date"), is_end_date=True)
+        if start is not None or end is not None:
+            epoch = cols["epoch"]
+            mask &= ~np.isnan(epoch)
+            if start is not None:
+                mask &= epoch >= start.timestamp()
+            if end is not None:
+                mask &= epoch <= end.timestamp()
+        if len(self._mask_cache) >= self._MASK_CACHE_CAPACITY:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[key] = mask
         return mask
 
     # ------------------------------------------------------------------

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from photo_search_engine_tpu.ops.topk import _extract_block_topk
+
 _LANE = 128
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -239,22 +241,11 @@ def _ivf_kernel(
 
     @pl.when(jnp.max(scores) >= jnp.min(rv_ref[:, k - 1 : k]))
     def _merge():
-        width = kp + lrows
         comb_v = jnp.concatenate([rv_ref[:], scores], axis=1)
         comb_i = jnp.concatenate([ri_ref[:], col], axis=1)
-        colw = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
-        colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
-        new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
-        new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
-        for slot in range(k):
-            m = jnp.max(comb_v, axis=1, keepdims=True)
-            at_max = comb_v == m
-            first = jnp.min(jnp.where(at_max, colw, width), axis=1, keepdims=True)
-            onehot = colw == first
-            sel_i = jnp.sum(jnp.where(onehot, comb_i, 0), axis=1, keepdims=True)
-            new_v = jnp.where(colk == slot, m, new_v)
-            new_i = jnp.where(colk == slot, sel_i, new_i)
-            comb_v = jnp.where(onehot, -jnp.inf, comb_v)
+        new_v, new_i = _extract_block_topk(
+            comb_v, comb_i, k, kp, bq, kp + lrows
+        )
         rv_ref[:] = new_v
         ri_ref[:] = new_i
 

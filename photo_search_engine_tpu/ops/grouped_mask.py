@@ -28,10 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from photo_search_engine_tpu.ops.topk import (
-    _INT_MAX,
     _LANE,
     _PALLAS_MAX_K,
     _dot_precision,
+    _extract_block_topk,
     _on_tpu,
     _round_up,
     default_block_n,
@@ -103,21 +103,7 @@ def _grouped_kernel(
     )  # [BQ, BN]
     valid = jnp.logical_and(valid, per_query > 0)
     scores = jnp.where(valid, scores, -jnp.inf)
-
-    colw = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
-    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
-    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
-    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
-    comb = scores
-    for slot in range(k):
-        m = jnp.max(comb, axis=1, keepdims=True)
-        at_max = comb == m
-        first = jnp.min(jnp.where(at_max, colw, bn), axis=1, keepdims=True)
-        onehot = colw == first
-        sel = jnp.sum(jnp.where(onehot, col, 0), axis=1, keepdims=True)
-        new_v = jnp.where(colk == slot, m, new_v)
-        new_i = jnp.where(colk == slot, sel, new_i)
-        comb = jnp.where(onehot, -jnp.inf, comb)
+    new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
     outv_ref[:] = new_v
     outi_ref[:] = new_i
 

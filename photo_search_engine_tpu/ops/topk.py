@@ -149,6 +149,33 @@ def exact_search_oracle(
 #     constrained deployments (no [Q, NB*128] partial buffers).
 # ---------------------------------------------------------------------------
 
+
+def _extract_block_topk(scores, col, k, kp, bq, bn):
+    """Block-local top-k extraction shared by every kernel variant.
+
+    k rounds of max → first-occurrence select → eliminate (all 2-D VPU
+    ops).  First-occurrence tie-breaking + ascending block order is what
+    makes the two-phase merge bit-exact vs lax.top_k; any change here
+    must keep tests/test_topk.py and the grouped/IVF variants in sync.
+    Returns ([bq, kp] values, [bq, kp] indices) padded with -inf/INT_MAX.
+    """
+    colw = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+    comb = scores
+    for slot in range(k):
+        m = jnp.max(comb, axis=1, keepdims=True)
+        at_max = comb == m
+        first = jnp.min(jnp.where(at_max, colw, bn), axis=1, keepdims=True)
+        onehot = colw == first
+        sel = jnp.sum(jnp.where(onehot, col, 0), axis=1, keepdims=True)
+        new_v = jnp.where(colk == slot, m, new_v)
+        new_i = jnp.where(colk == slot, sel, new_i)
+        comb = jnp.where(onehot, -jnp.inf, comb)
+    return new_v, new_i
+
+
 def _block_topk_kernel(
     count_ref,  # SMEM (1, 1) int32 — number of live corpus rows
     q_ref,      # VMEM (BQ, D)
@@ -186,21 +213,7 @@ def _block_topk_kernel(
     if has_mask:
         valid = jnp.logical_and(valid, mask_ref[:] > 0)
     scores = jnp.where(valid, scores, -jnp.inf)
-
-    colw = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
-    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
-    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
-    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
-    comb = scores
-    for slot in range(k):
-        m = jnp.max(comb, axis=1, keepdims=True)
-        at_max = comb == m
-        first = jnp.min(jnp.where(at_max, colw, bn), axis=1, keepdims=True)
-        onehot = colw == first
-        sel = jnp.sum(jnp.where(onehot, col, 0), axis=1, keepdims=True)
-        new_v = jnp.where(colk == slot, m, new_v)
-        new_i = jnp.where(colk == slot, sel, new_i)
-        comb = jnp.where(onehot, -jnp.inf, comb)
+    new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
     outv_ref[:] = new_v
     outi_ref[:] = new_i
 

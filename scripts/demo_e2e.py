@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import subprocess
 import sys
 import tempfile
@@ -69,23 +70,32 @@ def main() -> int:
     os.makedirs(data_dir)
     make_library(photo_dir)
 
+    # pick a genuinely free port so we never talk to a stranger's service
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
     env = dict(os.environ)
     env.update(
         PHOTO_DIR=photo_dir,
         DATA_DIR=data_dir,
         RUNTIME_DATA_DIR=data_dir,
         EMBEDDING_DIMENSION="256",
-        SERVER_PORT="10901",
+        SERVER_PORT=str(port),
         PSE_PLATFORM=os.environ.get("PSE_PLATFORM", "cpu"),
     )
+    # file-backed output: a PIPE would deadlock the server once its
+    # unread output exceeds the OS pipe buffer on larger libraries
+    log_path = os.path.join(tmp, "server.log")
+    log_file = open(log_path, "w")
     server = subprocess.Popen(
         [sys.executable, "-m", "photo_search_engine_tpu.api.app"],
         env=env,
-        stdout=subprocess.PIPE,
+        stdout=log_file,
         stderr=subprocess.STDOUT,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
-    base = "http://127.0.0.1:10901"
+    base = f"http://127.0.0.1:{port}"
+    print(f"server: {base} (log: {log_path})")
     try:
         for _ in range(60):
             try:
@@ -134,6 +144,7 @@ def main() -> int:
             server.wait(timeout=5)
         except subprocess.TimeoutExpired:
             server.kill()
+        log_file.close()
 
 
 if __name__ == "__main__":

@@ -232,3 +232,65 @@ class DeviceMaskedFilterTest(unittest.TestCase):
         # candidate_k would be ~50 of 600; the two summer docs rank ~#598
         # and are only reachable because the mask rides the device scan
         self.assertEqual(paths, {"/p/598.jpg", "/p/599.jpg"})
+
+
+class MaskCacheInvalidationTest(unittest.TestCase):
+    """A rebuild with the SAME row count must not serve a stale predicate
+    mask (review-confirmed staleness scenario)."""
+
+    def test_rebuild_same_count_refreshes_mask(self):
+        import tempfile as _tempfile
+
+        tmp = _tempfile.TemporaryDirectory()
+        self.addCleanup(tmp.cleanup)
+        vi = VectorIndex(
+            dimension=DIM,
+            index_path=os.path.join(tmp.name, "ps.index"),
+            metadata_path=os.path.join(tmp.name, "m.json"),
+        )
+
+        def fill(summer_doc):
+            vi.clear()
+            for i in range(4):
+                summer = i == summer_doc
+                vi.add_item(
+                    _axis(i),
+                    {
+                        "photo_path": f"/p/{i}.jpg",
+                        "description": f"doc {i}",
+                        "retrieval_text": f"doc {i}",
+                        "media_types": ["photo"],
+                        "identity_names": [],
+                        "time_info": {"season": "夏天"} if summer else {},
+                        "exif_data": {"datetime": "2023-07-01T10:00:00"}
+                        if summer else {},
+                    },
+                )
+
+        fill(summer_doc=0)
+        parser = FakeTimeParser({
+            "夏天": {"start_date": None, "end_date": None, "precision": "none"},
+        })
+        formatter = FakeQueryFormatter(
+            mapping={"夏天 hits0": {"search_text": "hits0", "season": "夏天"},
+                     "夏天 hits1": {"search_text": "hits1", "season": "夏天"}}
+        )
+        searcher = Searcher(
+            embedding=MappedEmbeddingService(
+                {"hits0": _axis(0), "hits1": _axis(1)}, DIM
+            ),
+            time_parser=parser,
+            vector_index=vi,
+            query_formatter=formatter,
+            data_dir=tmp.name,
+        )
+        searcher.index_loaded = True
+        searcher._refresh_metadata_cache()
+        first = searcher.search("夏天 hits0", top_k=4)
+        self.assertEqual([r["photo_path"] for r in first], ["/p/0.jpg"])
+
+        # rebuild: same count, but now doc 2 is the summer one
+        fill(summer_doc=2)
+        searcher._refresh_metadata_cache()
+        second = searcher.search("夏天 hits1", top_k=4)
+        self.assertEqual([r["photo_path"] for r in second], ["/p/2.jpg"])
