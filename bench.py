@@ -16,6 +16,9 @@ device runtimes, ``block_until_ready`` on queued results returns early,
 inflating naive loop timings by >10x — measured on this machine).
 
 Scale knobs via env: BENCH_ROWS, BENCH_DIM, BENCH_Q, BENCH_K, BENCH_ITERS.
+BENCH_FAST=1 benches the packed-key selection variant (+23%; index
+agreement 99.96% at 1M — flips only inside 2^-13-relative tie windows,
+final scores exact-rescored).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def main() -> None:
     n_queries = int(os.getenv("BENCH_Q", 256))
     k = int(os.getenv("BENCH_K", 10))
     iters = int(os.getenv("BENCH_ITERS", 40))
+    fast = os.getenv("BENCH_FAST", "") in {"1", "true", "yes"}
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
@@ -67,7 +71,7 @@ def main() -> None:
             queries = queries + carry.astype(queries.dtype) * 0  # serialize
             vals, idx = _pallas_twophase_impl(
                 corpus, queries, count, cnorms, mask,
-                k, "ip", block_q, block_n, not on_tpu, False,
+                k, "ip", block_q, block_n, not on_tpu, False, fast=fast,
             )
             return jnp.sum(vals[:, :k]).astype(jnp.float32), 0
         carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
@@ -89,7 +93,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"exact_search_qps_{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}",
+                "metric": (
+                    f"{'packedkey' if fast else 'exact'}_search_qps_"
+                    f"{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}"
+                ),
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / 10_000.0, 3),

@@ -176,6 +176,44 @@ def _extract_block_topk(scores, col, k, kp, bq, bn):
     return new_v, new_i
 
 
+def _extract_block_topk_fast(scores, col_base, k, kp, bq, bn):
+    """Packed-key extraction: ~2 VPU passes per round instead of ~7.
+
+    The f32 score is mapped to a totally-ordered int32 key (sign-flip
+    trick), its low 10 bits replaced by ``1023 - lane`` — so every key is
+    UNIQUE, argmax collapses to max, and the winning lane falls out of
+    the max value itself.  Selection ordering is exact except inside a
+    ±2⁻¹³-relative quantization window (ties break to the smaller lane,
+    matching the exact path).  Values returned are the QUANTIZED scores —
+    callers needing exact distances re-score the k winners (the two-phase
+    fast wrapper does).  Requires bn ≤ 1024.
+    """
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    keys = bits ^ jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(bits, 31), 1
+    )  # flip all-but-sign for negatives → total order matches float order
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    keys = (keys & ~jnp.int32(1023)) | (jnp.int32(1023) - lane)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
+    new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
+    new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
+    int_min = jnp.iinfo(jnp.int32).min
+    for slot in range(k):
+        m = jnp.max(keys, axis=1, keepdims=True)          # [bq, 1]
+        keys = jnp.where(keys == m, int_min, keys)        # unique → 1 elim
+        win_lane = jnp.int32(1023) - (m & jnp.int32(1023))
+        score_bits = m | jnp.int32(1023)
+        # invert the sign-flip mapping (quantized upward to the window top)
+        score_bits = score_bits ^ jax.lax.shift_right_logical(
+            jax.lax.shift_right_arithmetic(score_bits, 31), 1
+        )
+        quantized = jax.lax.bitcast_convert_type(score_bits, jnp.float32)
+        sel = col_base + win_lane
+        new_v = jnp.where(colk == slot, quantized, new_v)
+        new_i = jnp.where(colk == slot, sel, new_i)
+    return new_v, new_i
+
+
 def _block_topk_kernel(
     count_ref,  # SMEM (1, 1) int32 — number of live corpus rows
     q_ref,      # VMEM (BQ, D)
@@ -187,6 +225,7 @@ def _block_topk_kernel(
     bn: int,
     metric: str,
     has_mask: bool,
+    fast: bool = False,
 ):
     """Phase A: local top-k of one corpus block (independent per block)."""
     offset = 0
@@ -213,14 +252,17 @@ def _block_topk_kernel(
     if has_mask:
         valid = jnp.logical_and(valid, mask_ref[:] > 0)
     scores = jnp.where(valid, scores, -jnp.inf)
-    new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
+    if fast:
+        new_v, new_i = _extract_block_topk_fast(scores, ni * bn, k, kp, bq, bn)
+    else:
+        new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
     outv_ref[:] = new_v
     outi_ref[:] = new_i
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "block_q", "block_n", "interpret", "has_mask"),
+    static_argnames=("k", "metric", "block_q", "block_n", "interpret", "has_mask", "fast"),
 )
 def _pallas_twophase_impl(
     corpus: jnp.ndarray,   # (NP, DP) — padded
@@ -234,6 +276,7 @@ def _pallas_twophase_impl(
     block_n: int,
     interpret: bool,
     has_mask: bool,
+    fast: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     np_, dp = corpus.shape
     qp = queries.shape[0]
@@ -261,6 +304,7 @@ def _pallas_twophase_impl(
     kernel = functools.partial(
         _block_topk_kernel,
         k=k, kp=kp, bq=block_q, bn=block_n, metric=metric, has_mask=has_mask,
+        fast=fast,
     )
     part_vals, part_idx = pl.pallas_call(
         kernel,
@@ -289,6 +333,22 @@ def _pallas_twophase_impl(
     idx = part_idx.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
     merged_vals, positions = jax.lax.top_k(vals, k)
     merged_idx = jnp.take_along_axis(idx, positions, axis=1)
+    if fast:
+        # selection used quantized keys; re-score the k winners exactly and
+        # re-order (cheap: Q*k rows)
+        safe = jnp.clip(merged_idx, 0, np_ - 1)
+        rows = jnp.take(corpus, safe, axis=0).astype(jnp.float32)  # [QP,k,D]
+        exact = jnp.einsum(
+            "qkd,qd->qk", rows, queries.astype(jnp.float32),
+            precision=_dot_precision(corpus.dtype),
+        )
+        if metric == "l2":
+            qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+            cn = jnp.sum(jnp.square(rows), axis=2)
+            exact = -(qn + cn - 2.0 * exact)
+        exact = jnp.where(jnp.isneginf(merged_vals), -jnp.inf, exact)
+        merged_vals, order = jax.lax.top_k(exact, k)
+        merged_idx = jnp.take_along_axis(merged_idx, order, axis=1)
     return merged_vals, merged_idx
 
 
@@ -516,7 +576,14 @@ def exact_search(
     else:
         mask_p = jnp.ones((1, np_), jnp.int32)
 
-    run = _pallas_impl if impl == "pallas_fused" else _pallas_twophase_impl
+    if impl == "pallas_fast" and bn > 1024:
+        bn = 1024  # packed lane ids carry 10 bits
+    if impl == "pallas_fused":
+        run = functools.partial(_pallas_impl)
+    elif impl == "pallas_fast":
+        run = functools.partial(_pallas_twophase_impl, fast=True)
+    else:
+        run = functools.partial(_pallas_twophase_impl)
     vals, idx = run(
         corpus_p,
         queries_p,

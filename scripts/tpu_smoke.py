@@ -52,7 +52,7 @@ def main() -> int:
     started = time.time()
     for metric in ("ip", "l2"):
         vo, io = exact_search_oracle(corpus, queries, 10, metric=metric)
-        for impl in ("pallas", "pallas_fused"):
+        for impl in ("pallas", "pallas_fused", "pallas_fast"):
             vp, ip_ = exact_search(corpus, queries, 10, metric=metric, impl=impl)
             check(f"{impl}/{metric}", bool((np.asarray(ip_) == np.asarray(io)).all()))
     vo, io = exact_search_oracle(corpus, queries, 10, mask=mask, count=2500)

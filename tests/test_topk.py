@@ -42,7 +42,7 @@ class TopkParityTest(unittest.TestCase):
         corpus = self.corpus if corpus is None else corpus
         queries = self.queries if queries is None else queries
         ref_v, ref_i = _numpy_topk(corpus, queries, k, metric, count, mask)
-        for impl in ("lax", "pallas", "pallas_fused"):
+        for impl in ("lax", "pallas", "pallas_fused", "pallas_fast"):
             vals, idx = exact_search(
                 jnp.asarray(corpus),
                 jnp.asarray(queries),
