@@ -32,6 +32,7 @@ from photo_search_engine_tpu.ops.topk import (
     _PALLAS_MAX_K,
     _dot_precision,
     _extract_block_topk,
+    _extract_block_topk_fast,
     _on_tpu,
     _round_up,
     default_block_n,
@@ -79,6 +80,7 @@ def _grouped_kernel(
     bq: int,
     bn: int,
     n_masks: int,
+    fast: bool = False,
 ):
     ni = pl.program_id(1)
     q = q_ref[:]
@@ -103,13 +105,17 @@ def _grouped_kernel(
     )  # [BQ, BN]
     valid = jnp.logical_and(valid, per_query > 0)
     scores = jnp.where(valid, scores, -jnp.inf)
-    new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
+    if fast:
+        new_v, new_i = _extract_block_topk_fast(scores, ni * bn, k, kp, bq, bn)
+    else:
+        new_v, new_i = _extract_block_topk(scores, col, k, kp, bq, bn)
     outv_ref[:] = new_v
     outi_ref[:] = new_i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_n", "n_masks", "interpret")
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "n_masks", "interpret", "fast"),
 )
 def _grouped_impl(
     corpus: jnp.ndarray,      # (NP, DP)
@@ -122,6 +128,7 @@ def _grouped_impl(
     block_n: int,
     n_masks: int,
     interpret: bool,
+    fast: bool = False,
 ):
     np_, dp = corpus.shape
     qp = queries.shape[0]
@@ -129,7 +136,8 @@ def _grouped_impl(
     nb = np_ // block_n
     ids_wide = jnp.broadcast_to(mask_ids[:, None], (qp, _LANE)).astype(jnp.int32)
     kernel = functools.partial(
-        _grouped_kernel, k=k, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks
+        _grouped_kernel, k=k, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks,
+        fast=fast,
     )
     part_vals, part_idx = pl.pallas_call(
         kernel,
@@ -167,6 +175,16 @@ def _grouped_impl(
     idx = part_idx.reshape(qp, nb, kp)[:, :, :k].reshape(qp, nb * k)
     merged_vals, positions = jax.lax.top_k(vals, k)
     merged_idx = jnp.take_along_axis(idx, positions, axis=1)
+    if fast:
+        safe = jnp.clip(merged_idx, 0, np_ - 1)
+        rows = jnp.take(corpus, safe, axis=0).astype(jnp.float32)
+        exact = jnp.einsum(
+            "qkd,qd->qk", rows, queries.astype(jnp.float32),
+            precision=_dot_precision(corpus.dtype),
+        )
+        exact = jnp.where(jnp.isneginf(merged_vals), -jnp.inf, exact)
+        merged_vals, order = jax.lax.top_k(exact, k)
+        merged_idx = jnp.take_along_axis(merged_idx, order, axis=1)
     return merged_vals, merged_idx
 
 
@@ -184,7 +202,9 @@ def grouped_mask_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched per-query filtered top-k (inner-product metric).
 
-    Returns FAISS-style (distances desc, indices; -1 for empty slots)."""
+    impl="pallas_fast" uses packed-key selection (see topk.py) with exact
+    final rescoring.  Returns FAISS-style (distances desc, indices; -1
+    for empty slots)."""
     queries = jnp.atleast_2d(queries)
     n, d = corpus.shape
     k = min(k, n) if n else 0
@@ -217,7 +237,7 @@ def grouped_mask_search(
 
     vals, idx = _grouped_impl(
         corpus_p, queries_p, table_p, ids_p, count_arr,
-        k, bq, bn, n_masks, interpret,
+        k, bq, bn, n_masks, interpret, fast=(impl == "pallas_fast"),
     )
     vals = vals[:qn, :k]
     idx = idx[:qn, :k]

@@ -38,7 +38,7 @@ class GroupedMaskTest(unittest.TestCase):
 
     def test_pallas_matches_numpy(self):
         ref_v, ref_i = self._numpy_ref(7)
-        for impl in ("lax", "pallas"):
+        for impl in ("lax", "pallas", "pallas_fast"):
             vals, idx = grouped_mask_search(
                 jnp.asarray(self.corpus),
                 jnp.asarray(self.queries),

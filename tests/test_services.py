@@ -533,3 +533,65 @@ class VisualRerankTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class OpenAIHttpClientTest(unittest.TestCase):
+    """The SDK-free HTTP client: payload shaping + header handling."""
+
+    def _patch_requests(self, capture):
+        import photo_search_engine_tpu.services.llm_compat as compat
+
+        class FakeResponse:
+            def raise_for_status(self):
+                pass
+
+            def json(self):
+                return {"choices": [{"message": {"content": "pong"}}]}
+
+        class FakeRequests:
+            @staticmethod
+            def post(url, headers=None, data=None, timeout=None):
+                capture.update(url=url, headers=headers,
+                               data=json.loads(data), timeout=timeout)
+                return FakeResponse()
+
+        return compat, FakeRequests()
+
+    def test_chat_create_posts_payload(self):
+        import photo_search_engine_tpu.services.llm_compat as compat
+
+        capture = {}
+        compat_mod, fake = self._patch_requests(capture)
+        original = compat_mod.requests
+        compat_mod.requests = fake
+        try:
+            client = compat_mod.OpenAIHttpClient("sk-key", "https://x/v1", timeout=7)
+            response = client.chat.completions.create(
+                model="m", messages=[{"role": "user", "content": "hi"}],
+                timeout=9, extra_body={"reasoning_effort": "low"},
+            )
+        finally:
+            compat_mod.requests = original
+        self.assertEqual(capture["url"], "https://x/v1/chat/completions")
+        self.assertEqual(capture["headers"]["Authorization"], "Bearer sk-key")
+        self.assertEqual(capture["timeout"], 9)
+        # extra_body flattened into the payload
+        self.assertEqual(capture["data"]["reasoning_effort"], "low")
+        self.assertNotIn("extra_body", capture["data"])
+        self.assertEqual(extract_response_text(response), "pong")
+
+    def test_embeddings_endpoint_and_default_timeout(self):
+        import photo_search_engine_tpu.services.llm_compat as compat
+
+        capture = {}
+        compat_mod, fake = self._patch_requests(capture)
+        original = compat_mod.requests
+        compat_mod.requests = fake
+        try:
+            client = compat_mod.OpenAIHttpClient("", "https://x/v1", timeout=11)
+            client.embeddings.create(model="e", input="text")
+        finally:
+            compat_mod.requests = original
+        self.assertEqual(capture["url"], "https://x/v1/embeddings")
+        self.assertNotIn("Authorization", capture["headers"])  # keyless
+        self.assertEqual(capture["timeout"], 11)
