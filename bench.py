@@ -16,9 +16,14 @@ device runtimes, ``block_until_ready`` on queued results returns early,
 inflating naive loop timings by >10x — measured on this machine).
 
 Scale knobs via env: BENCH_ROWS, BENCH_DIM, BENCH_Q, BENCH_K, BENCH_ITERS.
-BENCH_FAST=1 benches the packed-key selection variant (+23%; index
-agreement 99.96% at 1M — flips only inside 2^-13-relative tie windows,
-final scores exact-rescored).
+Variant via BENCH_IMPL (or the BENCH_FAST=1 / BENCH_INT8=1 aliases):
+  exact — bit-exact two-phase kernel (27.7k QPS at the north-star shape)
+  fast  — packed-key selection, the DEFAULT (33k QPS; final scores
+          exact-rescored, index agreement 99.96% — flips only inside
+          2^-13-relative tie windows, i.e. equal-value ties)
+  int8  — int8-scan + exact-rescore (ops/quantized.py; 68k QPS; exact on
+          realistic-gap data, recall@10 = 0.996 on iid noise — the
+          adversarial distribution)
 """
 
 from __future__ import annotations
@@ -41,12 +46,26 @@ def main() -> None:
     n_queries = int(os.getenv("BENCH_Q", 256))
     k = int(os.getenv("BENCH_K", 10))
     iters = int(os.getenv("BENCH_ITERS", 40))
-    fast = os.getenv("BENCH_FAST", "") in {"1", "true", "yes"}
+    variant = os.getenv("BENCH_IMPL", "").strip().lower()
+    if not variant:
+        if os.getenv("BENCH_INT8", "") in {"1", "true", "yes"}:
+            variant = "int8"
+        elif os.getenv("BENCH_FAST", "") in {"1", "true", "yes"}:
+            variant = "fast"
+        elif os.getenv("BENCH_EXACT", "") in {"1", "true", "yes"}:
+            variant = "exact"
+        else:
+            variant = "fast"
+    fast = variant == "fast"
+    int8 = variant == "int8"
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
     block_q = min(256, max(8, -(-n_queries // 8) * 8))
-    capacity = -(-rows // block_n) * block_n
+    # int8 shadow blocks are 2048 rows; align capacity to both so neither
+    # path re-pads (a re-pad copies the whole corpus inside the scan)
+    align = 2048 if int8 else block_n
+    capacity = -(-rows // align) * align
 
     # build the corpus in chunks to bound normalization memory
     chunks = []
@@ -61,21 +80,57 @@ def main() -> None:
     count = jnp.full((1, 1), rows, jnp.int32)
     cnorms = jnp.zeros((1, capacity), jnp.float32)
     mask = jnp.ones((1, capacity), jnp.int32)
+    q_dtype = jnp.float32 if int8 else dtype
     qstack = l2_normalize(
-        jax.random.normal(jax.random.PRNGKey(99), (iters + 2, n_queries, dim), dtype)
+        jax.random.normal(jax.random.PRNGKey(99), (iters + 2, n_queries, dim), q_dtype)
     )
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(corpus, qstack, n):
-        def body(carry, queries):
-            queries = queries + carry.astype(queries.dtype) * 0  # serialize
-            vals, idx = _pallas_twophase_impl(
-                corpus, queries, count, cnorms, mask,
-                k, "ip", block_q, block_n, not on_tpu, False, fast=fast,
-            )
-            return jnp.sum(vals[:, :k]).astype(jnp.float32), 0
-        carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
-        return carry
+    if int8:
+        from photo_search_engine_tpu.ops.quantized import int8_search, quantize_rows
+
+        # quantize chunk-by-chunk: whole-corpus quantization materializes a
+        # f32 temp the size of the corpus ×2 and OOMs a 16GB chip at 1M
+        n_chunks = 8
+        step = capacity // n_chunks
+        i8_parts, sc_parts = [], []
+        for i in range(n_chunks):
+            qc, sc = quantize_rows(corpus[i * step : (i + 1) * step])
+            i8_parts.append(qc)
+            sc_parts.append(sc)
+        corpus_i8 = jnp.concatenate(i8_parts)
+        scales = jnp.concatenate(sc_parts)
+        del i8_parts, sc_parts
+        corpus_i8.block_until_ready()
+
+        # corpus_i8/scales MUST be explicit args: closing over multi-GB
+        # device arrays embeds them as jaxpr constants, and XLA's constant
+        # folding of even a no-op pad over them stalls compilation for tens
+        # of minutes
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained_int8(corpus_i8, scales, corpus, qstack, n):
+            def body(carry, queries):
+                queries = queries + carry.astype(queries.dtype) * 0  # serialize
+                vals, idx = int8_search(
+                    corpus_i8, scales, corpus, queries, k,
+                    count=rows, block_q=block_q,
+                )
+                return jnp.sum(vals).astype(jnp.float32), 0
+            carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+            return carry
+
+        chained = functools.partial(chained_int8, corpus_i8, scales)
+    else:
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained(corpus, qstack, n):
+            def body(carry, queries):
+                queries = queries + carry.astype(queries.dtype) * 0  # serialize
+                vals, idx = _pallas_twophase_impl(
+                    corpus, queries, count, cnorms, mask,
+                    k, "ip", block_q, block_n, not on_tpu, False, fast=fast,
+                )
+                return jnp.sum(vals[:, :k]).astype(jnp.float32), 0
+            carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+            return carry
 
     # warm both shapes (compile)
     float(chained(corpus, qstack, 2))
@@ -94,8 +149,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"{'packedkey' if fast else 'exact'}_search_qps_"
-                    f"{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}"
+                    f"{'int8_rescore' if int8 else 'packedkey' if fast else 'exact'}"
+                    f"_search_qps_{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}"
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",

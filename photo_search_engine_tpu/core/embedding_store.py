@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.ops import topk as topk_ops
 
 _APPEND_PAD = 8  # append chunks padded to a multiple of this to bound recompiles
@@ -55,6 +56,7 @@ class EmbeddingStore:
         metric: str = "cosine",
         store_dtype: str = "float32",
         block_rows: Optional[int] = None,
+        quantized: bool = False,
     ) -> None:
         if metric not in {"cosine", "l2", "ip"}:
             raise ValueError("metric must be cosine, l2 or ip")
@@ -67,8 +69,22 @@ class EmbeddingStore:
             if block_rows is not None
             else topk_ops.default_block_n(self.store_dtype, self.dimension)
         )
+        # int8 shadow corpus: halves/quarters scan HBM traffic; searches with
+        # impl="int8" scan it and exact-rescore against the primary corpus
+        # (ops/quantized.py).  Capacity must align to BOTH kernel blocks so
+        # neither search path re-pads (re-padding copies the whole corpus):
+        # block_rows drops to a power of two and capacity aligns to the max.
+        self.quantized = bool(quantized)
+        self._i8_block = quant_ops.default_block_n_int8(self.dimension)
+        if self.quantized:
+            self.block_rows = max(128, 1 << (self.block_rows.bit_length() - 1))
+        self._capacity_align = (
+            max(self.block_rows, self._i8_block) if self.quantized else self.block_rows
+        )
         self._count = 0
         self._device: Optional[jnp.ndarray] = None  # [capacity, D] store dtype
+        self._device_i8: Optional[jnp.ndarray] = None  # [capacity, D] int8
+        self._scales: Optional[jnp.ndarray] = None     # [capacity] f32
         self._host = np.zeros((0, self.dimension), np.float32)
 
     # ------------------------------------------------------------------
@@ -95,11 +111,19 @@ class EmbeddingStore:
         return vectors
 
     def _grow_to(self, needed: int) -> None:
-        new_capacity = _round_up(max(needed, 2 * self.capacity), self.block_rows)
+        new_capacity = _round_up(max(needed, 2 * self.capacity), self._capacity_align)
         fresh = jnp.zeros((new_capacity, self.dimension), self.store_dtype)
         if self._device is not None and self._count > 0:
             fresh = _update_slice_jit(fresh, self._device[: self.capacity], 0)
         self._device = fresh
+        if self.quantized:
+            fresh_i8 = jnp.zeros((new_capacity, self.dimension), jnp.int8)
+            fresh_sc = jnp.zeros((new_capacity, 1), jnp.float32)
+            if self._device_i8 is not None and self._count > 0:
+                fresh_i8 = _update_slice_jit(fresh_i8, self._device_i8, 0)
+                fresh_sc = _update_slice_jit(fresh_sc, self._scales, 0)
+            self._device_i8 = fresh_i8
+            self._scales = fresh_sc
 
     def append(self, vectors: np.ndarray) -> None:
         """Append rows (normalizing for cosine) to host mirror + device."""
@@ -116,7 +140,14 @@ class EmbeddingStore:
         # and later appends overwrite them.
         chunk = np.zeros((padded_len, self.dimension), np.float32)
         chunk[:n_new] = vectors
-        self._device = _update_slice_jit(self._device, jnp.asarray(chunk), self._count)
+        chunk_dev = jnp.asarray(chunk)
+        self._device = _update_slice_jit(self._device, chunk_dev, self._count)
+        if self.quantized:
+            q_chunk, sc_chunk = quant_ops.quantize_rows(chunk_dev)
+            self._device_i8 = _update_slice_jit(self._device_i8, q_chunk, self._count)
+            self._scales = _update_slice_jit(
+                self._scales, sc_chunk[:, None], self._count
+            )
         self._count = needed
 
     # ------------------------------------------------------------------
@@ -143,16 +174,31 @@ class EmbeddingStore:
             mask_arr[: self._count] = np.asarray(mask[: self._count], np.int32)
             mask_dev = jnp.asarray(mask_arr)
         metric = "ip" if self.metric == "cosine" else self.metric
-        dists, idx = topk_ops.exact_search(
-            self._device,
-            jnp.asarray(queries, self.store_dtype),
-            min(k, self._count),
-            count=self._count,
-            mask=mask_dev,
-            metric=metric,
-            impl=impl,
-            block_n=self.block_rows,
-        )
+        if impl == "int8":
+            if not self.quantized:
+                raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+            dists, idx = quant_ops.int8_search(
+                self._device_i8,
+                self._scales[:, 0],
+                self._device,
+                jnp.asarray(queries, jnp.float32),
+                min(k, self._count),
+                count=self._count,
+                mask=mask_dev,
+                metric=metric,
+                block_n=self._i8_block,
+            )
+        else:
+            dists, idx = topk_ops.exact_search(
+                self._device,
+                jnp.asarray(queries, self.store_dtype),
+                min(k, self._count),
+                count=self._count,
+                mask=mask_dev,
+                metric=metric,
+                impl=impl,
+                block_n=self.block_rows,
+            )
         return np.asarray(dists), np.asarray(idx)
 
     # ------------------------------------------------------------------
@@ -168,6 +214,8 @@ class EmbeddingStore:
     def clear(self) -> None:
         self._count = 0
         self._device = None
+        self._device_i8 = None
+        self._scales = None
         self._host = np.zeros((0, self.dimension), np.float32)
 
     @classmethod
@@ -179,12 +227,14 @@ class EmbeddingStore:
         store_dtype: str = "float32",
         block_rows: Optional[int] = None,
         already_normalized: bool = False,
+        quantized: bool = False,
     ) -> "EmbeddingStore":
         store = cls(
             array.shape[1],
             metric=metric,
             store_dtype=store_dtype,
             block_rows=block_rows,
+            quantized=quantized,
         )
         # Normalization is idempotent, so already-normalized input is safe.
         del already_normalized

@@ -11,6 +11,10 @@ from photo_search_engine_tpu.ops.grouped_mask import (
     grouped_mask_oracle,
     grouped_mask_search,
 )
+from photo_search_engine_tpu.ops.quantized import (
+    int8_search,
+    quantize_rows,
+)
 from photo_search_engine_tpu.ops.topk import (
     exact_search,
     exact_search_oracle,
@@ -22,5 +26,7 @@ __all__ = [
     "exact_search_oracle",
     "grouped_mask_oracle",
     "grouped_mask_search",
+    "int8_search",
     "l2_normalize",
+    "quantize_rows",
 ]

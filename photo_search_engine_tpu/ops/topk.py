@@ -176,24 +176,33 @@ def _extract_block_topk(scores, col, k, kp, bq, bn):
     return new_v, new_i
 
 
+_FAST_MAX_BN = 2048  # packed lane ids carry at most 11 bits
+
+
 def _extract_block_topk_fast(scores, col_base, k, kp, bq, bn):
     """Packed-key extraction: ~2 VPU passes per round instead of ~7.
 
     The f32 score is mapped to a totally-ordered int32 key (sign-flip
-    trick), its low 10 bits replaced by ``1023 - lane`` — so every key is
-    UNIQUE, argmax collapses to max, and the winning lane falls out of
-    the max value itself.  Selection ordering is exact except inside a
-    ±2⁻¹³-relative quantization window (ties break to the smaller lane,
-    matching the exact path).  Values returned are the QUANTIZED scores —
-    callers needing exact distances re-score the k winners (the two-phase
-    fast wrapper does).  Requires bn ≤ 1024.
+    trick), its low lane-id bits replaced by ``lm - lane`` — so every key
+    is UNIQUE, argmax collapses to max, and the winning lane falls out of
+    the max value itself.  The lane field is 10 bits for bn ≤ 1024 and 11
+    bits for bn ≤ 2048 (``_FAST_MAX_BN``); selection ordering is exact
+    except inside a ±2⁻¹³ (resp. ±2⁻¹²) relative quantization window
+    (ties break to the smaller lane, matching the exact path).  Values
+    returned are the QUANTIZED scores — callers needing exact distances
+    re-score the k winners (the two-phase fast wrapper and the int8
+    rescore path both do).
     """
+    lane_bits = max(10, (bn - 1).bit_length())
+    if bn > _FAST_MAX_BN:
+        raise ValueError(f"packed-key extraction requires bn <= {_FAST_MAX_BN}")
+    lm = jnp.int32((1 << lane_bits) - 1)
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     keys = bits ^ jax.lax.shift_right_logical(
         jax.lax.shift_right_arithmetic(bits, 31), 1
     )  # flip all-but-sign for negatives → total order matches float order
     lane = jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
-    keys = (keys & ~jnp.int32(1023)) | (jnp.int32(1023) - lane)
+    keys = (keys & ~lm) | (lm - lane)
     colk = jax.lax.broadcasted_iota(jnp.int32, (bq, kp), 1)
     new_v = jnp.full((bq, kp), -jnp.inf, jnp.float32)
     new_i = jnp.full((bq, kp), _INT_MAX, jnp.int32)
@@ -201,8 +210,8 @@ def _extract_block_topk_fast(scores, col_base, k, kp, bq, bn):
     for slot in range(k):
         m = jnp.max(keys, axis=1, keepdims=True)          # [bq, 1]
         keys = jnp.where(keys == m, int_min, keys)        # unique → 1 elim
-        win_lane = jnp.int32(1023) - (m & jnp.int32(1023))
-        score_bits = m | jnp.int32(1023)
+        win_lane = lm - (m & lm)
+        score_bits = m | lm
         # invert the sign-flip mapping (quantized upward to the window top)
         score_bits = score_bits ^ jax.lax.shift_right_logical(
             jax.lax.shift_right_arithmetic(score_bits, 31), 1
@@ -576,8 +585,8 @@ def exact_search(
     else:
         mask_p = jnp.ones((1, np_), jnp.int32)
 
-    if impl == "pallas_fast" and bn > 1024:
-        bn = 1024  # packed lane ids carry 10 bits
+    if impl == "pallas_fast" and bn > _FAST_MAX_BN:
+        bn = _FAST_MAX_BN  # packed lane ids carry at most 11 bits
     if impl == "pallas_fused":
         run = functools.partial(_pallas_impl)
     elif impl == "pallas_fast":

@@ -60,6 +60,47 @@ def main() -> int:
     check("pallas/masked+count", bool((np.asarray(ip_) == np.asarray(io)).all()))
     print(f"  ({time.time()-started:.0f}s)")
 
+    # ---- int8 scan + exact rescore ----
+    print("== int8 rescore ==")
+    from photo_search_engine_tpu.ops import int8_search, quantize_rows
+
+    # plant well-separated neighbors (int8 pool selection is quantized;
+    # exact equality needs gaps > the int8 dot error — see tests)
+    i8_corpus = np.asarray(corpus).copy()
+    i8_corpus /= np.linalg.norm(i8_corpus, axis=1, keepdims=True)
+    i8_queries = np.asarray(queries).copy()
+    i8_queries /= np.linalg.norm(i8_queries, axis=1, keepdims=True)
+    alphas = 0.95 - 0.03 * np.arange(10)
+    free = rng.permutation(3000)
+    for qi in range(i8_queries.shape[0]):
+        q = i8_queries[qi]
+        for j, slot in enumerate(free[qi * 10 : (qi + 1) * 10]):
+            r = rng.normal(size=256)
+            r -= (r @ q) * q
+            r /= np.linalg.norm(r)
+            i8_corpus[slot] = alphas[j] * q + np.sqrt(1 - alphas[j] ** 2) * r
+    q8, sc = quantize_rows(jnp.asarray(i8_corpus))
+    for metric in ("ip", "l2"):
+        vo, io = exact_search_oracle(
+            jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10, metric=metric
+        )
+        vp, ip_ = int8_search(
+            q8, sc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10,
+            metric=metric,
+        )
+        check(f"int8/{metric}", bool((np.asarray(ip_) == np.asarray(io)).all()))
+    vo, io = exact_search_oracle(
+        jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10, mask=mask, count=2500
+    )
+    vp, ip_ = int8_search(
+        q8, sc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10,
+        mask=mask, count=2500,
+    )
+    # masked/count truth may include near-tied background rows; accept the
+    # planted prefix matching plus >=90% overall agreement
+    agree = float(np.mean(np.asarray(ip_) == np.asarray(io)))
+    check(f"int8/masked+count (agreement {agree:.2f})", agree >= 0.9)
+
     # ---- grouped masks ----
     print("== grouped masks ==")
     table = np.zeros((3, 3000), np.int8)

@@ -112,14 +112,19 @@ class NativeBm25ParityTest(unittest.TestCase):
         rng = np.random.default_rng(0); build(python)
         query = " ".join(vocabulary[:5])
 
-        t = time.perf_counter()
-        for _ in range(30):
-            native.search(query)
-        native_time = time.perf_counter() - t
-        t = time.perf_counter()
-        for _ in range(30):
-            python.search(query)
-        python_time = time.perf_counter() - t
+        # best-of-3 per side: robust to transient machine load (a single
+        # noisy wall-clock pair flipped this under a concurrent benchmark)
+        def best_time(index):
+            best = float("inf")
+            for _ in range(3):
+                t = time.perf_counter()
+                for _ in range(30):
+                    index.search(query)
+                best = min(best, time.perf_counter() - t)
+            return best
+
+        native_time = best_time(native)
+        python_time = best_time(python)
         self.assert_same_hits(native.search(query), python.search(query))
         # informational; native should not be slower
         self.assertLessEqual(native_time, python_time * 1.5)

@@ -1,0 +1,315 @@
+"""Tests for ops/quantized.py — int8 scan + exact rescore path.
+
+Exact index equality with the oracle is only guaranteed when the gap
+between the k-th and (k+1)-th true scores exceeds the int8 dot error
+(the candidate pool is chosen by QUANTIZED ordering; the rescore makes
+values/order exact but cannot recover a neighbor the pool missed).  So
+exact-match tests PLANT neighbors at controlled, well-separated
+similarities; distribution-shaped data (clustered / iid noise) gets
+recall-threshold tests instead.
+"""
+
+import unittest
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+from photo_search_engine_tpu.ops.quantized import (
+    int8_search,
+    quantize_rows,
+)
+from photo_search_engine_tpu.ops.topk import exact_search, exact_search_oracle
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _make_clustered(rng, n, d, n_centers=32, noise=0.05):
+    centers = _normalize(rng.normal(size=(n_centers, d)))
+    assign = rng.integers(0, n_centers, size=n)
+    pts = centers[assign] + noise * rng.normal(size=(n, d))
+    return _normalize(pts).astype(np.float32)
+
+
+def _plant(corpus, query, slots, alphas, rng):
+    """Overwrite ``corpus[slots]`` with rows of controlled similarity
+    ``alphas`` to ``query`` (descending, well separated)."""
+    d = corpus.shape[1]
+    for slot, alpha in zip(slots, alphas):
+        r = rng.normal(size=d)
+        r -= (r @ query) * query
+        r /= np.linalg.norm(r)
+        corpus[slot] = alpha * query + np.sqrt(1.0 - alpha * alpha) * r
+
+
+class QuantizeRowsTest(unittest.TestCase):
+    def test_round_trip_error_bound(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 96)).astype(np.float32)
+        q, scales = quantize_rows(jnp.asarray(x))
+        recon = np.asarray(q, np.float32) * np.asarray(scales)[:, None]
+        err = np.abs(recon - x)
+        # symmetric absmax: per-element error <= scale/2 = absmax/254
+        bound = np.abs(x).max(axis=1, keepdims=True) / 254.0 + 1e-7
+        self.assertTrue((err <= bound).all())
+
+    def test_zero_rows(self):
+        x = np.zeros((4, 32), np.float32)
+        q, scales = quantize_rows(jnp.asarray(x))
+        self.assertTrue((np.asarray(q) == 0).all())
+        self.assertTrue((np.asarray(scales) == 0).all())
+
+    def test_extremes_hit_full_range(self):
+        x = np.array([[1.0, -1.0, 0.5, 0.0]], np.float32)
+        q, scales = quantize_rows(jnp.asarray(x))
+        self.assertEqual(int(np.asarray(q)[0, 0]), 127)
+        self.assertEqual(int(np.asarray(q)[0, 1]), -127)
+
+
+class Int8SearchPlantedTest(unittest.TestCase):
+    """Exact parity on controlled-gap data."""
+
+    K = 10
+
+    def setUp(self):
+        self.rng = np.random.default_rng(1)
+        n, d = 5000, 64
+        self.corpus = _normalize(self.rng.normal(size=(n, d))).astype(np.float32)
+        self.queries = _normalize(self.rng.normal(size=(4, d))).astype(np.float32)
+        # similarities 0.95, 0.92, ... 0.68 — gaps 0.03 >> int8 dot error;
+        # random background tops out well below 0.68 at this n/d
+        alphas = 0.95 - 0.03 * np.arange(self.K)
+        self.slots = {}
+        free = self.rng.permutation(n)
+        for qi, q in enumerate(self.queries):
+            slots = free[qi * self.K : (qi + 1) * self.K]
+            _plant(self.corpus, q, slots, alphas, self.rng)
+            self.slots[qi] = slots
+        self.q8, self.scales = quantize_rows(jnp.asarray(self.corpus))
+
+    def _run(self, k=None, **kw):
+        return int8_search(
+            self.q8,
+            self.scales,
+            jnp.asarray(self.corpus),
+            jnp.asarray(self.queries),
+            self.K if k is None else k,
+            **kw,
+        )
+
+    def test_matches_oracle_ip(self):
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), self.K, metric="ip"
+        )
+        vals, idx = self._run(metric="ip")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_v), rtol=1e-5, atol=1e-5
+        )
+        # and the planted rows are what both returned, in alpha order
+        for qi in range(len(self.queries)):
+            np.testing.assert_array_equal(np.asarray(idx)[qi], self.slots[qi])
+
+    def test_matches_oracle_l2(self):
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), self.K, metric="l2"
+        )
+        vals, idx = self._run(metric="l2")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_v), rtol=1e-4, atol=1e-4
+        )
+
+    def test_count_excludes_tail(self):
+        # fresh corpus planted only inside the count window
+        count = 3000
+        corpus = _normalize(self.rng.normal(size=(5000, 64))).astype(np.float32)
+        alphas = 0.95 - 0.03 * np.arange(self.K)
+        slots = {}
+        free = self.rng.permutation(count)
+        for qi, q in enumerate(self.queries):
+            s = free[qi * self.K : (qi + 1) * self.K]
+            _plant(corpus, q, s, alphas, self.rng)
+            slots[qi] = s
+        q8, scales = quantize_rows(jnp.asarray(corpus))
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(self.queries), self.K,
+            metric="ip", count=count,
+        )
+        vals, idx = int8_search(
+            q8, scales, jnp.asarray(corpus), jnp.asarray(self.queries),
+            self.K, metric="ip", count=count,
+        )
+        idx = np.asarray(idx)
+        self.assertTrue((idx < count).all())
+        np.testing.assert_array_equal(idx, np.asarray(ref_i))
+
+    def test_mask_excludes_rows(self):
+        # fresh corpus, planted only on masked-in slots (multiples of 3)
+        corpus = _normalize(self.rng.normal(size=(5000, 64))).astype(np.float32)
+        mask = np.zeros(5000, np.int32)
+        mask[::3] = 1
+        alphas = 0.95 - 0.03 * np.arange(self.K)
+        admissible = self.rng.permutation(np.arange(0, 5000, 3))
+        for qi, q in enumerate(self.queries):
+            _plant(corpus, q, admissible[qi * self.K : (qi + 1) * self.K],
+                   alphas, self.rng)
+        q8, scales = quantize_rows(jnp.asarray(corpus))
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(self.queries), self.K,
+            metric="ip", mask=jnp.asarray(mask),
+        )
+        vals, idx = int8_search(
+            q8, scales, jnp.asarray(corpus), jnp.asarray(self.queries),
+            self.K, metric="ip", mask=jnp.asarray(mask),
+        )
+        idx = np.asarray(idx)
+        self.assertTrue((idx[idx >= 0] % 3 == 0).all())
+        np.testing.assert_array_equal(idx, np.asarray(ref_i))
+
+    def test_empty_mask_yields_empty_slots(self):
+        mask = np.zeros(5000, np.int32)
+        vals, idx = self._run(metric="ip", mask=jnp.asarray(mask))
+        self.assertTrue((np.asarray(idx) == -1).all())
+
+    def test_large_k_falls_back_to_exact(self):
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 100, metric="ip"
+        )
+        vals, idx = self._run(k=100, metric="ip")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
+    def test_single_query_vector(self):
+        vals, idx = int8_search(
+            self.q8,
+            self.scales,
+            jnp.asarray(self.corpus),
+            jnp.asarray(self.queries[0]),
+            5,
+        )
+        self.assertEqual(idx.shape, (1, 5))
+
+    def test_empty_corpus(self):
+        q8, scales = quantize_rows(jnp.zeros((0, 64), jnp.float32))
+        vals, idx = int8_search(
+            q8, scales, jnp.zeros((0, 64), jnp.float32),
+            jnp.asarray(self.queries), 5,
+        )
+        self.assertEqual(idx.shape, (4, 0))
+
+
+class Int8SearchRecallTest(unittest.TestCase):
+    """Distribution-shaped data: recall thresholds, not exact equality."""
+
+    def _recall(self, corpus, queries, k=10):
+        q8, scales = quantize_rows(jnp.asarray(corpus))
+        _, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(queries), k, metric="ip"
+        )
+        _, idx = int8_search(
+            q8, scales, jnp.asarray(corpus), jnp.asarray(queries), k, metric="ip"
+        )
+        ref_i, idx = np.asarray(ref_i), np.asarray(idx)
+        return np.mean(
+            [len(set(idx[q]) & set(ref_i[q])) / k for q in range(len(idx))]
+        )
+
+    def test_iid_noise_recall(self):
+        rng = np.random.default_rng(11)
+        corpus = _normalize(rng.normal(size=(8000, 64))).astype(np.float32)
+        queries = _normalize(rng.normal(size=(8, 64))).astype(np.float32)
+        self.assertGreaterEqual(self._recall(corpus, queries), 0.9)
+
+    def test_clustered_recall(self):
+        rng = np.random.default_rng(12)
+        corpus = _make_clustered(rng, 5000, 64)
+        queries = _normalize(
+            corpus[rng.choice(5000, 8, replace=False)]
+            + 0.02 * rng.normal(size=(8, 64))
+        ).astype(np.float32)
+        self.assertGreaterEqual(self._recall(corpus, queries), 0.9)
+
+
+class WideLaneFastPathTest(unittest.TestCase):
+    """The packed-key extraction now carries 11 lane bits for bn=2048."""
+
+    def test_pallas_fast_block2048(self):
+        rng = np.random.default_rng(2)
+        corpus = _normalize(rng.normal(size=(5000, 64))).astype(np.float32)
+        queries = _normalize(rng.normal(size=(8, 64))).astype(np.float32)
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(queries), 10, metric="ip"
+        )
+        vals, idx = exact_search(
+            jnp.asarray(corpus), jnp.asarray(queries), 10,
+            metric="ip", impl="pallas_fast", block_n=2048,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
+    def test_oversized_block_rejected(self):
+        from photo_search_engine_tpu.ops.topk import _extract_block_topk_fast
+
+        with self.assertRaises(ValueError):
+            _extract_block_topk_fast(
+                jnp.zeros((8, 4096), jnp.float32), 0, 4, 128, 8, 4096
+            )
+
+
+class QuantizedEmbeddingStoreTest(unittest.TestCase):
+    def test_int8_search_parity_and_incremental_append(self):
+        rng = np.random.default_rng(3)
+        data = _normalize(rng.normal(size=(700, 48))).astype(np.float32)
+        # plant well-separated neighbors so exact parity is guaranteed
+        queries = _normalize(rng.normal(size=(6, 48))).astype(np.float32)
+        alphas = 0.95 - 0.03 * np.arange(10)
+        free = rng.permutation(700)
+        for qi, q in enumerate(queries):
+            _plant(data, q, free[qi * 10 : (qi + 1) * 10], alphas, rng)
+        store = EmbeddingStore(48, metric="cosine", quantized=True)
+        store.append(data[:300])
+        store.append(data[300:])  # crosses a growth boundary
+        d_ref, i_ref = store.search(queries, 10, impl="lax")
+        d_q, i_q = store.search(queries, 10, impl="int8")
+        np.testing.assert_array_equal(i_q, i_ref)
+        np.testing.assert_allclose(d_q, d_ref, rtol=1e-4, atol=1e-4)
+
+    def test_int8_requires_quantized_store(self):
+        store = EmbeddingStore(48)
+        store.append(np.eye(48, dtype=np.float32)[:8])
+        with self.assertRaises(ValueError):
+            store.search(np.ones((1, 48), np.float32), 3, impl="int8")
+
+    def test_masked_int8_search(self):
+        rng = np.random.default_rng(4)
+        data = _normalize(rng.normal(size=(400, 32))).astype(np.float32)
+        store = EmbeddingStore(32, quantized=True)
+        store.append(data)
+        mask = np.zeros(400, np.int32)
+        mask[:200] = 1
+        _, idx = store.search(data[:4], 5, mask=mask, impl="int8")
+        self.assertTrue((idx[idx >= 0] < 200).all())
+
+    def test_clear_drops_shadow(self):
+        store = EmbeddingStore(32, quantized=True)
+        store.append(np.eye(32, dtype=np.float32))
+        store.clear()
+        self.assertIsNone(store._device_i8)
+        store.append(np.eye(32, dtype=np.float32))
+        _, idx = store.search(np.eye(32, dtype=np.float32)[:2], 1, impl="int8")
+        np.testing.assert_array_equal(idx[:, 0], [0, 1])
+
+    def test_bf16_store_with_int8_shadow(self):
+        rng = np.random.default_rng(5)
+        data = _normalize(rng.normal(size=(300, 32))).astype(np.float32)
+        store = EmbeddingStore(32, store_dtype="bfloat16", quantized=True)
+        store.append(data)
+        d_ref, i_ref = store.search(data[:4], 5, impl="lax")
+        d_q, i_q = store.search(data[:4], 5, impl="int8")
+        np.testing.assert_array_equal(i_q, i_ref)
+
+
+if __name__ == "__main__":
+    unittest.main()
