@@ -106,6 +106,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         ivf_nlist=config.get("IVF_NLIST", 1024),
         ivf_nprobe=config.get("IVF_NPROBE", 64),
         store_block_rows=config.get("TOPK_BLOCK_N") or None,
+        quantized=bool(config.get("STORE_QUANTIZED", False)),
     )
 
     keyword_index = None

@@ -186,6 +186,8 @@ def load_config() -> Dict[str, Any]:
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),
         # --- TPU retrieval-core knobs (no reference equivalent) ---
         "STORE_DTYPE": os.getenv("STORE_DTYPE", "float32"),  # float32|bfloat16
+        # int8 shadow scan + exact rescore (~2× scan QPS; ops/quantized.py)
+        "STORE_QUANTIZED": _get_bool("STORE_QUANTIZED", False),
         # kernel corpus-block rows; 0 = auto (VMEM-budget-aware by dim/dtype)
         "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 0),
         "IVF_NLIST": _get_int("IVF_NLIST", 1024),

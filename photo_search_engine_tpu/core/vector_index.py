@@ -43,6 +43,7 @@ class VectorIndex:
         ivf_nlist: int = 1024,
         ivf_nprobe: int = 64,
         store_block_rows: Optional[int] = None,
+        quantized: bool = False,
     ) -> None:
         self.dimension = dimension
         self.index_path = index_path
@@ -58,6 +59,10 @@ class VectorIndex:
         self.ivf_nlist = max(1, int(ivf_nlist))
         self.ivf_nprobe = max(1, int(ivf_nprobe))
         self.store_block_rows = store_block_rows or None
+        # int8 shadow scan + exact rescore (ops/quantized.py): exact results
+        # on realistic score gaps, ~2× scan throughput; a runtime
+        # acceleration, not a persistence property (checkpoints stay f32)
+        self.quantized = bool(quantized)
 
         self.metadata: List[Dict[str, Any]] = []
         self._store: Optional[EmbeddingStore] = (
@@ -74,7 +79,12 @@ class VectorIndex:
             metric=self.metric,
             store_dtype=self.store_dtype,
             block_rows=self.store_block_rows,
+            quantized=self.quantized,
         )
+
+    @property
+    def _search_impl(self) -> str:
+        return "int8" if self.quantized else "auto"
 
     def _rebuild_path_index(self) -> None:
         mapping: Dict[str, int] = {}
@@ -178,7 +188,9 @@ class VectorIndex:
                 queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
             dists, idx = self._ensure_ivf().search(queries, k, nprobe=self.ivf_nprobe)
         else:
-            dists, idx = self._store.search(queries, k, mask=mask)
+            dists, idx = self._store.search(
+                queries, k, mask=mask, impl=self._search_impl
+            )
         out: List[List[Dict[str, Any]]] = []
         for row_d, row_i in zip(dists, idx):
             hits = []
@@ -202,7 +214,7 @@ class VectorIndex:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
         queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
         k = min(int(top_k), self._store.count)
-        return self._store.search(queries, k, mask=mask)
+        return self._store.search(queries, k, mask=mask, impl=self._search_impl)
 
     def search_masked(
         self, query_embedding: List[float], top_k: int, mask: np.ndarray
@@ -238,6 +250,7 @@ class VectorIndex:
             "count": self.get_total_items(),
             "ivf_nlist": self.ivf_nlist,
             "ivf_nprobe": self.ivf_nprobe,
+            "quantized": self.quantized,
         }
 
     def save(self) -> None:
@@ -296,6 +309,7 @@ class VectorIndex:
             store_dtype=self.store_dtype,
             block_rows=self.store_block_rows,
             already_normalized=True,
+            quantized=self.quantized,
         ) if array.size else self._create_store(self.dimension)
         self._rebuild_path_index()
         return True

@@ -12,13 +12,14 @@ from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
 from photo_search_engine_tpu.core.vector_index import VectorIndex
 
 
-def _mk(tmp, metric="cosine", index_type="flat", dimension=32):
+def _mk(tmp, metric="cosine", index_type="flat", dimension=32, **kw):
     return VectorIndex(
         dimension=dimension,
         index_path=os.path.join(tmp, "photo_search.index"),
         metadata_path=os.path.join(tmp, "metadata.json"),
         metric=metric,
         index_type=index_type,
+        **kw,
     )
 
 
@@ -113,6 +114,53 @@ class VectorIndexTest(unittest.TestCase):
     def test_load_missing_returns_false(self):
         vi = _mk(self.tmp.name)
         self.assertFalse(vi.load())
+
+    def test_quantized_index_matches_plain(self):
+        rng = np.random.default_rng(7)
+        plain = _mk(self.tmp.name, dimension=32)
+        quant = _mk(self.tmp.name, dimension=32, quantized=True)
+        # well-separated descriptions: random unit vectors at tiny n have
+        # large top-k gaps, so int8 nomination is lossless here
+        vectors = rng.normal(size=(40, 32)).astype(np.float32)
+        metas = [{"photo_path": f"/p/{i}.jpg"} for i in range(40)]
+        plain.add_batch(vectors, list(metas))
+        quant.add_batch(vectors, list(metas))
+        for q in vectors[:3]:
+            expected = plain.search(q.tolist(), 5)
+            got = quant.search(q.tolist(), 5)
+            self.assertEqual(
+                [r["metadata"]["photo_path"] for r in got],
+                [r["metadata"]["photo_path"] for r in expected],
+            )
+
+    def test_quantized_survives_save_load(self):
+        rng = np.random.default_rng(8)
+        vi = _mk(self.tmp.name, dimension=16, quantized=True)
+        vectors = rng.normal(size=(20, 16)).astype(np.float32)
+        vi.add_batch(vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(20)])
+        expected = vi.search(vectors[0].tolist(), 3)
+        vi.save()
+        vi2 = _mk(self.tmp.name, dimension=16, quantized=True)
+        self.assertTrue(vi2.load())
+        got = vi2.search(vectors[0].tolist(), 3)
+        self.assertEqual(
+            [r["metadata"]["photo_path"] for r in got],
+            [r["metadata"]["photo_path"] for r in expected],
+        )
+        # the int8 shadow is live after reload
+        self.assertIsNotNone(vi2._store._device_i8)
+
+    def test_quantized_masked_search(self):
+        rng = np.random.default_rng(9)
+        vi = _mk(self.tmp.name, dimension=16, quantized=True)
+        vectors = rng.normal(size=(30, 16)).astype(np.float32)
+        vi.add_batch(vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(30)])
+        mask = np.zeros(30, np.int32)
+        mask[:10] = 1
+        hits = vi.search_masked(vectors[0].tolist(), 5, mask)
+        self.assertTrue(
+            all(int(h["metadata"]["photo_path"].split("/")[-1][:-4]) < 10 for h in hits)
+        )
 
     def test_metric_mismatch_raises_on_load(self):
         vi = _mk(self.tmp.name, metric="cosine", dimension=8)
