@@ -71,6 +71,7 @@ class VectorIndex:
         self._path_to_index: Dict[str, int] = {}
         self._ivf = None
         self._ivf_built_at = -1
+        self._ivf_trained_at = -1
 
     # ------------------------------------------------------------------
     def _create_store(self, dimension: int) -> EmbeddingStore:
@@ -147,14 +148,30 @@ class VectorIndex:
         return batches[0] if batches else []
 
     def _ensure_ivf(self):
-        """Build (or refresh after appends) the IVF layout from the host
-        mirror.  Incremental IVF appends are future work — at album scale
-        rebuilds are instant; at million scale builds are an offline step."""
+        """Build — or incrementally extend — the IVF layout.
+
+        New rows are appended to the existing lists without retraining
+        (the FAISS ``IndexIVF.add`` behavior).  A full rebuild (retrain +
+        re-layout) happens when: there is no index yet, rows were removed
+        (count went backwards), the layout ran out of slack capacity, or
+        the corpus has more than doubled since training (stale centroids
+        degrade recall — FAISS leaves this to the user; we automate it).
+        """
         from photo_search_engine_tpu.models.ivf import IVFIndex
 
         count = self._store.count
         if self._ivf is not None and self._ivf_built_at == count:
             return self._ivf
+        if (
+            self._ivf is not None
+            and count > self._ivf_built_at
+            and count <= 2 * self._ivf_trained_at
+        ):
+            delta = self._store.snapshot()[self._ivf_built_at :]
+            ids = np.arange(self._ivf_built_at, count, dtype=np.int64)
+            if self._ivf.append(delta, ids):
+                self._ivf_built_at = count
+                return self._ivf
         nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
         self._ivf = IVFIndex.build(
             self._store.snapshot(),
@@ -163,6 +180,7 @@ class VectorIndex:
             store_dtype=self.store_dtype,
         )
         self._ivf_built_at = count
+        self._ivf_trained_at = count
         return self._ivf
 
     def search_batch(
@@ -302,6 +320,7 @@ class VectorIndex:
 
         self._ivf = None
         self._ivf_built_at = -1
+        self._ivf_trained_at = -1
         self.dimension = int(array.shape[1]) if array.size else payload.get("dimension")
         self._store = EmbeddingStore.from_array(
             array.astype(np.float32),
@@ -320,3 +339,4 @@ class VectorIndex:
         self._path_to_index = {}
         self._ivf = None
         self._ivf_built_at = -1
+        self._ivf_trained_at = -1

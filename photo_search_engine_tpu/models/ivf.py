@@ -320,6 +320,18 @@ def _ivf_pallas(
     )(selected, sel_count, queries, corpus_ivf, probe_matrix, row_valid)
 
 
+# Donating the corpus updates the layout in place (no multi-GB copy per
+# incremental append).
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(corpus: jnp.ndarray, slots: jnp.ndarray, rows: jnp.ndarray):
+    return corpus.at[slots].set(rows.astype(corpus.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_valid(row_valid: jnp.ndarray, slots: jnp.ndarray):
+    return row_valid.at[0, slots].set(1)
+
+
 # ---------------------------------------------------------------------------
 # IVFIndex
 # ---------------------------------------------------------------------------
@@ -353,6 +365,10 @@ class IVFIndex:
         )
         self._row_valid = jnp.asarray((self.perm >= 0).astype(np.int32))[None, :]
         self._dp = dp
+        self._fill = self._fill_from_perm()
+
+    def _fill_from_perm(self) -> np.ndarray:
+        return (self.perm.reshape(self.nlist, self.capacity) >= 0).sum(axis=1)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -437,7 +453,57 @@ class IVFIndex:
             centroids.astype(jnp.float32), ((0, 0), (0, dp - dim))
         )
         index._row_valid = jnp.asarray((index.perm >= 0).astype(np.int32))[None, :]
+        index._fill = index._fill_from_perm()
         return index
+
+    # -- incremental append ----------------------------------------------
+    def append(self, vectors: np.ndarray, row_ids: np.ndarray) -> bool:
+        """Add rows to existing lists without retraining (the FAISS
+        ``IndexIVF.add`` analogue — faiss assigns to the nearest trained
+        centroid and appends to that list).  Here lists have a fixed
+        capacity (static kernel blocks), so each row takes its nearest of
+        3 clusters with free slots, spilling to the emptiest otherwise.
+
+        Returns False when the layout is out of free slots — the caller
+        should rebuild with a fresh (larger) layout.
+        """
+        vectors = np.asarray(vectors, np.float32)
+        row_ids = np.asarray(row_ids, np.int64)
+        m = vectors.shape[0]
+        if m == 0:
+            return True
+        if int(self._fill.sum()) + m > self.nlist * self.capacity:
+            return False
+        ranked = assign_clusters(vectors, self.centroids)
+        slots = np.empty(m, np.int64)
+        for r in range(m):
+            target = -1
+            for choice in ranked[r]:
+                if self._fill[choice] < self.capacity:
+                    target = int(choice)
+                    break
+            if target < 0:
+                target = int(np.argmin(self._fill))
+                if self._fill[target] >= self.capacity:
+                    return False  # everything full (can't happen after the
+                    # sum guard above, but keep the invariant explicit)
+            slots[r] = target * self.capacity + self._fill[target]
+            self._fill[target] += 1
+        self.perm[slots] = row_ids
+        padded = np.zeros((m, self._dp), np.float32)
+        padded[:, : self.dim] = vectors
+        # pad the batch to bound scatter recompiles; duplicate slot writes
+        # carry identical values, so the scatter stays deterministic
+        mp = _round_up(m, 8)
+        slots_p = np.concatenate([slots, np.full(mp - m, slots[0], np.int64)])
+        rows_p = np.concatenate([padded, np.tile(padded[:1], (mp - m, 1))])
+        self._corpus = _scatter_rows(
+            self._corpus, jnp.asarray(slots_p, jnp.int32), jnp.asarray(rows_p)
+        )
+        self._row_valid = _set_valid(
+            self._row_valid, jnp.asarray(slots_p, jnp.int32)
+        )
+        return True
 
     # -- probing --------------------------------------------------------
     def _probe(self, queries: jnp.ndarray, nprobe: int):

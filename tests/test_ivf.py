@@ -129,5 +129,53 @@ class IVFSearchTest(unittest.TestCase):
         self.assertTrue((np.diff(vals, axis=1) >= -1e-5).all())
 
 
+class IVFAppendTest(unittest.TestCase):
+    """Incremental appends (FAISS IndexIVF.add analogue)."""
+
+    def setUp(self):
+        rng = np.random.default_rng(3)
+        self.corpus = rng.normal(size=(1000, 64)).astype(np.float32)
+        self.corpus /= np.linalg.norm(self.corpus, axis=1, keepdims=True)
+        self.index = IVFIndex.build(self.corpus, nlist=16, seed=0)
+        self.rng = rng
+
+    def test_appended_rows_are_found(self):
+        new = self.rng.normal(size=(50, 64)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        ok = self.index.append(new, np.arange(1000, 1050))
+        self.assertTrue(ok)
+        # full probe: every appended row is its own nearest neighbor
+        vals, idx = self.index.search(new, 1, nprobe=16, impl="lax")
+        np.testing.assert_array_equal(idx[:, 0], np.arange(1000, 1050))
+
+    def test_old_rows_survive_append(self):
+        new = self.rng.normal(size=(20, 64)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        self.index.append(new, np.arange(1000, 1020))
+        vals, idx = self.index.search(self.corpus[:8], 1, nprobe=16, impl="lax")
+        np.testing.assert_array_equal(idx[:, 0], np.arange(8))
+
+    def test_append_respects_capacity_and_signals_full(self):
+        free = int(self.index.nlist * self.index.capacity - self.index._fill.sum())
+        too_many = self.rng.normal(size=(free + 1, 64)).astype(np.float32)
+        self.assertFalse(self.index.append(too_many, np.arange(free + 1)))
+        # a batch that fits succeeds and never overfills any list
+        fits = self.rng.normal(size=(free, 64)).astype(np.float32)
+        self.assertTrue(self.index.append(fits, np.arange(2000, 2000 + free)))
+        self.assertTrue((self.index._fill <= self.index.capacity).all())
+
+    def test_empty_append_is_noop(self):
+        self.assertTrue(self.index.append(np.zeros((0, 64), np.float32), np.zeros(0)))
+
+    def test_pallas_matches_lax_after_append(self):
+        new = self.rng.normal(size=(30, 64)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        self.index.append(new, np.arange(1000, 1030))
+        queries = np.concatenate([self.corpus[:4], new[:4]])
+        v_lax, i_lax = self.index.search(queries, 10, nprobe=8, impl="lax")
+        v_pl, i_pl = self.index.search(queries, 10, nprobe=8, impl="pallas")
+        np.testing.assert_array_equal(np.sort(i_lax, 1), np.sort(i_pl, 1))
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -32,12 +32,30 @@ class IvfVectorIndexTest(unittest.TestCase):
         results = self.vi.search(self.vectors[17].tolist(), 1)
         self.assertEqual(results[0]["metadata"]["photo_path"], "/p/17.jpg")
 
-    def test_append_invalidates_ivf(self):
+    def test_append_extends_ivf_incrementally(self):
         self.vi.search(self.vectors[0].tolist(), 1)  # builds IVF
+        built_ivf = self.vi._ivf
         new_vec = np.random.default_rng(9).normal(size=32).astype(np.float32)
         self.vi.add_item(new_vec.tolist(), {"photo_path": "/p/new.jpg"})
         results = self.vi.search(new_vec.tolist(), 1)
         self.assertEqual(results[0]["metadata"]["photo_path"], "/p/new.jpg")
+        # small append reuses the trained layout (FAISS add semantics)
+        self.assertIs(self.vi._ivf, built_ivf)
+        # old rows are still found after the in-place extension
+        results = self.vi.search(self.vectors[17].tolist(), 1)
+        self.assertEqual(results[0]["metadata"]["photo_path"], "/p/17.jpg")
+
+    def test_doubling_triggers_retrain(self):
+        self.vi.search(self.vectors[0].tolist(), 1)
+        built_ivf = self.vi._ivf
+        rng = np.random.default_rng(10)
+        more = rng.normal(size=(150, 32)).astype(np.float32)
+        self.vi.add_batch(
+            more, [{"photo_path": f"/p/m{i}.jpg"} for i in range(150)]
+        )
+        results = self.vi.search(more[42].tolist(), 1)
+        self.assertEqual(results[0]["metadata"]["photo_path"], "/p/m42.jpg")
+        self.assertIsNot(self.vi._ivf, built_ivf)  # >2× growth → rebuilt
 
     def test_masked_search_uses_exact_path(self):
         mask = np.zeros(121 if self.vi.get_total_items() == 121 else 120, bool)
