@@ -16,6 +16,8 @@ Design (SURVEY.md §7.1, §7 hard part 3):
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from typing import Optional, Tuple
 
 import numpy as np
@@ -86,6 +88,10 @@ class EmbeddingStore:
         self._device_i8: Optional[jnp.ndarray] = None  # [capacity, D] int8
         self._scales: Optional[jnp.ndarray] = None     # [capacity] f32
         self._host = np.zeros((0, self.dimension), np.float32)
+        # device-resident filter masks, keyed by content digest: repeated
+        # filtered searches (season buckets etc.) skip the [capacity]-int32
+        # host→device upload (4 MB/call at 1M rows)
+        self._mask_lru: "OrderedDict[Tuple[bytes, int], jnp.ndarray]" = OrderedDict()
 
     # ------------------------------------------------------------------
     @property
@@ -150,6 +156,25 @@ class EmbeddingStore:
             )
         self._count = needed
 
+    _MASK_LRU_SIZE = 32
+
+    def _device_mask(self, mask: np.ndarray) -> jnp.ndarray:
+        """Capacity-padded device mask, LRU-cached by content digest.
+        Hashing 1 byte/row beats re-uploading 4 bytes/row every call."""
+        mask_arr = np.zeros(self.capacity, np.int32)
+        mask_arr[: self._count] = np.asarray(mask[: self._count], np.int32)
+        digest = hashlib.blake2b(mask_arr.tobytes(), digest_size=16).digest()
+        key = (digest, self.capacity)
+        cached = self._mask_lru.get(key)
+        if cached is not None:
+            self._mask_lru.move_to_end(key)
+            return cached
+        mask_dev = jnp.asarray(mask_arr)
+        self._mask_lru[key] = mask_dev
+        while len(self._mask_lru) > self._MASK_LRU_SIZE:
+            self._mask_lru.popitem(last=False)
+        return mask_dev
+
     # ------------------------------------------------------------------
     def search(
         self,
@@ -170,9 +195,7 @@ class EmbeddingStore:
         queries = self._prepare(np.asarray(queries, np.float32))
         mask_dev = None
         if mask is not None:
-            mask_arr = np.zeros(self.capacity, np.int32)
-            mask_arr[: self._count] = np.asarray(mask[: self._count], np.int32)
-            mask_dev = jnp.asarray(mask_arr)
+            mask_dev = self._device_mask(mask)
         metric = "ip" if self.metric == "cosine" else self.metric
         if impl == "int8":
             if not self.quantized:
@@ -217,6 +240,7 @@ class EmbeddingStore:
         self._device_i8 = None
         self._scales = None
         self._host = np.zeros((0, self.dimension), np.float32)
+        self._mask_lru.clear()
 
     @classmethod
     def from_array(

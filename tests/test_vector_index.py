@@ -64,6 +64,33 @@ class EmbeddingStoreTest(unittest.TestCase):
         _, idx = store.search(corpus[0], 5, mask=mask)
         self.assertTrue(set(idx[0]).issubset(set(range(10, 20))))
 
+    def test_device_mask_cache(self):
+        store = EmbeddingStore(8, metric="ip")
+        rng = np.random.default_rng(2)
+        corpus = rng.normal(size=(40, 8)).astype(np.float32)
+        store.append(corpus)
+        mask = np.zeros(40, bool)
+        mask[:15] = True
+        store.search(corpus[0], 3, mask=mask)
+        self.assertEqual(len(store._mask_lru), 1)
+        cached = next(iter(store._mask_lru.values()))
+        # an equal-content mask (different array object) reuses the entry
+        store.search(corpus[1], 3, mask=mask.copy())
+        self.assertEqual(len(store._mask_lru), 1)
+        self.assertIs(next(iter(store._mask_lru.values())), cached)
+        # a different mask gets its own entry and correct results
+        other = ~mask
+        _, idx = store.search(corpus[20], 3, mask=other)
+        self.assertEqual(len(store._mask_lru), 2)
+        self.assertTrue((idx[0] >= 15).all())
+        # growth changes the padded content: appends must not serve a
+        # stale device mask that still zeroes the new rows
+        store.append(corpus)  # rows 40..79 duplicate 0..39
+        _, idx = store.search(corpus[0], 2, mask=np.ones(80, bool))
+        self.assertEqual(set(idx[0].tolist()), {0, 40})
+        store.clear()
+        self.assertEqual(len(store._mask_lru), 0)
+
 
 class VectorIndexTest(unittest.TestCase):
     def setUp(self):
