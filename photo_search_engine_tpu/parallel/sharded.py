@@ -27,9 +27,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.ops import topk as topk_ops
 
 DATA_AXIS = "data"
+
+
+def _shard_block_n(shard_rows: int) -> int:
+    """Largest int8 kernel block that divides the shard capacity (so the
+    per-shard pad inside shard_map is a no-op instead of a shard copy)."""
+    for bn in (2048, 1024, 512, 256, 128):
+        if shard_rows % bn == 0:
+            return bn
+    return None  # let int8_search pick (it will pad the shard)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -148,6 +158,72 @@ def sharded_exact_search(
     return vals, idx
 
 
+def sharded_int8_search(
+    corpus_i8: jnp.ndarray,   # [n_shards * shard_rows, D] int8 (row-sharded)
+    scales: jnp.ndarray,      # [n_shards * shard_rows] f32 per-row scales
+    corpus_ref: jnp.ndarray,  # [n_shards * shard_rows, D] full-precision rows
+    queries: jnp.ndarray,     # [Q, D] f32
+    k: int,
+    mesh: Mesh,
+    *,
+    counts: Optional[np.ndarray] = None,
+    metric: str = "ip",
+    axis: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded int8-scan + exact-rescore k-NN (ops/quantized.py per shard,
+    all_gather merge of the exactly-rescored partials over ICI).  Same
+    conventions as ``sharded_exact_search``."""
+    n_shards = mesh.shape[axis]
+    total_rows, dim = corpus_i8.shape
+    if total_rows % n_shards:
+        raise ValueError(
+            f"corpus rows {total_rows} must divide evenly over {n_shards} shards"
+        )
+    shard_rows = total_rows // n_shards
+    if counts is None:
+        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
+    else:
+        counts_arr = jnp.asarray(counts, jnp.int32)
+    queries = jnp.atleast_2d(queries).astype(jnp.float32)
+    k = min(k, total_rows)
+    kernel_metric = "ip" if metric == "cosine" else metric
+    block_n = _shard_block_n(shard_rows)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(i8_shard, scales_shard, ref_shard, queries_rep, counts_rep):
+        shard_id = jax.lax.axis_index(axis)
+        count = counts_rep[shard_id]
+        k_local = min(k, shard_rows)
+        vals, idx = quant_ops.int8_search(
+            i8_shard,
+            scales_shard,
+            ref_shard,
+            queries_rep,
+            k_local,
+            count=count,
+            metric=kernel_metric,
+            block_n=block_n,
+        )
+        if kernel_metric == "l2":
+            # merge ranks by descending score; re-negate ascending distances
+            empty = jnp.isposinf(vals)
+            vals = jnp.where(empty, -jnp.inf, -vals)
+        global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+        return _merge_partials(vals, global_idx, k, axis)
+
+    vals, idx = jax.jit(run)(corpus_i8, scales, corpus_ref, queries, counts_arr)
+    if metric == "l2":
+        empty = jnp.isneginf(vals)
+        vals = jnp.where(empty, jnp.inf, -vals)
+    return vals, idx
+
+
 def sharded_kmeans_step(
     corpus: jnp.ndarray,     # [rows, D] row-sharded over mesh
     centroids: jnp.ndarray,  # [nlist, D] replicated
@@ -225,17 +301,21 @@ class ShardedEmbeddingStore:
         metric: str = "cosine",
         store_dtype: str = "float32",
         shard_block: int = 1024,
+        quantized: bool = False,
     ) -> None:
         self.dimension = int(dimension)
         self.mesh = mesh or make_mesh()
         self.metric = metric
         self.store_dtype = jnp.dtype(store_dtype)
         self.shard_block = int(shard_block)
+        self.quantized = bool(quantized)
         self.n_shards = self.mesh.shape[DATA_AXIS]
         self._host_shards = [
             np.zeros((0, self.dimension), np.float32) for _ in range(self.n_shards)
         ]
         self._device: Optional[jnp.ndarray] = None
+        self._device_i8: Optional[jnp.ndarray] = None
+        self._scales: Optional[jnp.ndarray] = None
         self._dirty = True
 
     @property
@@ -284,6 +364,17 @@ class ShardedEmbeddingStore:
             self._device = jax.device_put(
                 jnp.asarray(stacked, self.store_dtype), sharding
             )
+            if self.quantized:
+                absmax = np.abs(stacked).max(axis=1, keepdims=True)
+                scale = absmax / 127.0
+                q = np.clip(
+                    np.round(stacked / np.maximum(scale, 1e-30)), -127, 127
+                ).astype(np.int8)
+                self._device_i8 = jax.device_put(jnp.asarray(q), sharding)
+                self._scales = jax.device_put(
+                    jnp.asarray(scale[:, 0], jnp.float32),
+                    NamedSharding(self.mesh, P(DATA_AXIS)),
+                )
             self._dirty = False
         return self._device, capacity
 
@@ -299,15 +390,31 @@ class ShardedEmbeddingStore:
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
-        vals, idx = sharded_exact_search(
-            corpus,
-            jnp.asarray(queries, self.store_dtype),
-            min(k, self.count),
-            self.mesh,
-            counts=self.counts,
-            metric=self.metric,
-            impl=impl,
-        )
+        if impl == "int8":
+            if not self.quantized:
+                raise ValueError(
+                    "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
+                )
+            vals, idx = sharded_int8_search(
+                self._device_i8,
+                self._scales,
+                corpus,
+                jnp.asarray(queries, jnp.float32),
+                min(k, self.count),
+                self.mesh,
+                counts=self.counts,
+                metric=self.metric,
+            )
+        else:
+            vals, idx = sharded_exact_search(
+                corpus,
+                jnp.asarray(queries, self.store_dtype),
+                min(k, self.count),
+                self.mesh,
+                counts=self.counts,
+                metric=self.metric,
+                impl=impl,
+            )
         # rebase transient (capacity-relative) device indices to stable ids
         raw = np.asarray(idx, np.int64)
         shard = raw // capacity

@@ -129,7 +129,11 @@ def main() -> int:
 
     # ---- sharded (degenerate 1-chip mesh on TPU) ----
     print("== sharded (degenerate mesh) ==")
-    from photo_search_engine_tpu.parallel import make_mesh, sharded_exact_search
+    from photo_search_engine_tpu.parallel import (
+        make_mesh,
+        sharded_exact_search,
+        sharded_int8_search,
+    )
 
     mesh = make_mesh(1)
     vals, idx = sharded_exact_search(
@@ -137,6 +141,13 @@ def main() -> int:
     )
     vo, io = exact_search_oracle(corpus, queries, 10, count=2500)
     check("sharded degenerate", bool((np.asarray(idx) == np.asarray(io)).all()))
+
+    i8q, i8sc = quantize_rows(jnp.asarray(i8_corpus))
+    vo, io = exact_search_oracle(jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10)
+    vals, idx = sharded_int8_search(
+        i8q, i8sc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10, mesh
+    )
+    check("sharded int8 degenerate", bool((np.asarray(idx) == np.asarray(io)).all()))
 
     print("\nall kernels verified" if not failures else f"\nFAILURES: {failures}")
     return 1 if failures else 0

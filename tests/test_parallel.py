@@ -8,12 +8,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from photo_search_engine_tpu.ops.quantized import quantize_rows
 from photo_search_engine_tpu.parallel import (
     ShardedEmbeddingStore,
     make_mesh,
     sharded_exact_search,
+    sharded_int8_search,
     sharded_kmeans_step,
 )
+
+
+def _plant(corpus, query, slots, alphas, rng):
+    """Rows at controlled similarity to ``query`` (descending, separated)."""
+    d = corpus.shape[1]
+    for slot, alpha in zip(slots, alphas):
+        r = rng.normal(size=d)
+        r -= (r @ query) * query
+        r /= np.linalg.norm(r)
+        corpus[slot] = alpha * query + np.sqrt(1.0 - alpha * alpha) * r
 
 
 class ShardedSearchTest(unittest.TestCase):
@@ -79,6 +91,77 @@ class ShardedSearchTest(unittest.TestCase):
             sharded_exact_search(
                 jnp.asarray(self.corpus[:100]), jnp.asarray(self.queries), 5, self.mesh
             )
+
+
+class ShardedInt8Test(unittest.TestCase):
+    """int8-scan + exact-rescore over the mesh (planted gaps → exact)."""
+
+    K = 10
+
+    def setUp(self):
+        self.mesh = make_mesh()
+        rng = np.random.default_rng(1)
+        self.rows, self.dim = 8 * 64, 32
+        corpus = rng.normal(size=(self.rows, self.dim)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        self.queries = rng.normal(size=(4, self.dim)).astype(np.float32)
+        self.queries /= np.linalg.norm(self.queries, axis=1, keepdims=True)
+        alphas = 0.95 - 0.03 * np.arange(self.K)
+        free = rng.permutation(self.rows)
+        for qi, q in enumerate(self.queries):
+            _plant(corpus, q, free[qi * self.K : (qi + 1) * self.K], alphas, rng)
+        self.corpus = corpus
+        self.q8, self.scales = quantize_rows(jnp.asarray(corpus))
+
+    def test_matches_sharded_exact(self):
+        ref_v, ref_i = sharded_exact_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), self.K, self.mesh
+        )
+        vals, idx = sharded_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), self.K, self.mesh,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_v), rtol=1e-4, atol=1e-4
+        )
+
+    def test_l2_metric(self):
+        ref_v, ref_i = sharded_exact_search(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries), 5, self.mesh,
+            metric="l2",
+        )
+        vals, idx = sharded_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), 5, self.mesh, metric="l2",
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_v), rtol=1e-3, atol=1e-4
+        )
+
+    def test_counts_mask_shard_tails(self):
+        counts = np.array([64, 64, 64, 64, 64, 64, 64, 0], np.int32)
+        vals, idx = sharded_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), 5, self.mesh, counts=counts,
+        )
+        idx = np.asarray(idx)
+        self.assertTrue((idx[idx >= 0] < 7 * 64).all())
+
+    def test_store_quantized_roundtrip(self):
+        store = ShardedEmbeddingStore(self.dim, self.mesh, quantized=True)
+        store.append(self.corpus)
+        d_ref, i_ref = store.search(self.queries, self.K)
+        d_q, i_q = store.search(self.queries, self.K, impl="int8")
+        np.testing.assert_array_equal(i_q, i_ref)
+        np.testing.assert_allclose(d_q, d_ref, rtol=1e-4, atol=1e-4)
+
+    def test_int8_requires_quantized_store(self):
+        store = ShardedEmbeddingStore(self.dim, self.mesh)
+        store.append(self.corpus[:16])
+        with self.assertRaises(ValueError):
+            store.search(self.queries, 3, impl="int8")
 
 
 class ShardedKmeansTest(unittest.TestCase):
