@@ -12,6 +12,7 @@ from photo_search_engine_tpu.ops.grouped_mask import (
     grouped_mask_search,
 )
 from photo_search_engine_tpu.ops.quantized import (
+    grouped_int8_search,
     int8_search,
     quantize_rows,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "exact_search_oracle",
     "grouped_mask_oracle",
     "grouped_mask_search",
+    "grouped_int8_search",
     "int8_search",
     "l2_normalize",
     "quantize_rows",

@@ -230,6 +230,190 @@ def _int8_rescore_impl(
     return merged_vals, merged_idx
 
 
+def _int8_grouped_kernel(
+    count_ref,   # SMEM (1, 1)
+    q_ref,       # VMEM (BQ, D) int8
+    c_ref,       # VMEM (BN, D) int8
+    qs_ref,      # VMEM (BQ, 1) f32
+    cs_ref,      # VMEM (1, BN) f32
+    ids_ref,     # VMEM (BQ, LANE) int32 — per-query mask id in lane 0
+    table_ref,   # VMEM (M, BN) int8 — mask rows for this block
+    outv_ref,
+    outi_ref,
+    *,
+    k: int,
+    kp: int,
+    bq: int,
+    bn: int,
+    n_masks: int,
+):
+    """int8 dot + one-hot per-query mask select + packed-key extraction
+    (the int8 sibling of grouped_mask.py's kernel)."""
+    ni = pl.program_id(1)
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    col = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
+    valid = col < count_ref[0, 0]
+    mask_cols = jax.lax.broadcasted_iota(jnp.int32, (bq, n_masks), 1)
+    wanted = (mask_cols == ids_ref[:, 0:1]).astype(jnp.float32)
+    per_query = jax.lax.dot_general(
+        wanted,
+        table_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    valid = jnp.logical_and(valid, per_query > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    new_v, new_i = _extract_block_topk_fast(scores, ni * bn, k, kp, bq, bn)
+    outv_ref[:] = new_v
+    outi_ref[:] = new_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kloc", "cand", "block_q", "block_n", "n_masks", "interpret",
+    ),
+)
+def _int8_grouped_impl(
+    corpus_i8: jnp.ndarray,
+    scales: jnp.ndarray,       # (1, NP)
+    corpus_ref: jnp.ndarray,
+    queries: jnp.ndarray,      # (QP, DP) f32
+    mask_table: jnp.ndarray,   # (M, NP) int8
+    mask_ids: jnp.ndarray,     # (QP,) int32
+    count: jnp.ndarray,
+    k: int,
+    kloc: int,
+    cand: int,
+    block_q: int,
+    block_n: int,
+    n_masks: int,
+    interpret: bool,
+):
+    np_, dp = corpus_i8.shape
+    qp = queries.shape[0]
+    kp = _round_up(max(kloc, 1), _LANE)
+    nb = np_ // block_n
+    qs = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+    q_i8 = jnp.clip(
+        jnp.round(queries / jnp.maximum(qs, 1e-30)), -127, 127
+    ).astype(jnp.int8)
+    ids_wide = jnp.broadcast_to(mask_ids[:, None], (qp, _LANE)).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _int8_grouped_kernel,
+        k=kloc, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks,
+    )
+    part_vals, part_idx = pl.pallas_call(
+        kernel,
+        grid=(qp // block_q, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda qi, ni: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, dp), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dp), lambda qi, ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, _LANE), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_masks, block_n), lambda qi, ni: (0, ni), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, kp), lambda qi, ni: (qi, ni), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nb * kp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(count, q_i8, corpus_i8, qs, scales, ids_wide, mask_table)
+
+    pool = min(cand, nb * kloc)
+    v = part_vals.reshape(qp, nb, kp)[:, :, :kloc].reshape(qp, nb * kloc)
+    i = part_idx.reshape(qp, nb, kp)[:, :, :kloc].reshape(qp, nb * kloc)
+    cv, pos = jax.lax.top_k(v, pool)
+    ci = jnp.take_along_axis(i, pos, axis=1)
+    live = jnp.logical_not(jnp.isneginf(cv))
+    rows = jnp.take(corpus_ref, jnp.clip(ci, 0, np_ - 1), axis=0)
+    exact = jnp.einsum(
+        "qd,qcd->qc",
+        queries.astype(corpus_ref.dtype),
+        rows,
+        precision=_dot_precision(corpus_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    exact = jnp.where(live, exact, -jnp.inf)
+    merged_vals, order = jax.lax.top_k(exact, k)
+    merged_idx = jnp.take_along_axis(ci, order, axis=1)
+    return merged_vals, merged_idx
+
+
+def grouped_int8_search(
+    corpus_i8: jnp.ndarray,
+    scales: jnp.ndarray,
+    corpus_ref: jnp.ndarray,
+    queries: jnp.ndarray,
+    mask_table: jnp.ndarray,  # [M, N] bool/int
+    mask_ids: jnp.ndarray,    # [Q] int
+    k: int,
+    *,
+    count: Optional[int] = None,
+    kloc: Optional[int] = None,
+    cand: Optional[int] = None,
+    block_q: Optional[int] = None,
+    block_n: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query filtered int8-scan + exact-rescore (inner-product metric;
+    the int8 sibling of ops/grouped_mask.py — see that module for the
+    factored mask_table/mask_ids design)."""
+    from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
+
+    queries = jnp.atleast_2d(queries).astype(jnp.float32)
+    n, d = corpus_i8.shape
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    if k > _INT8_MAX_K:
+        return grouped_mask_oracle(
+            corpus_ref, queries, mask_table, mask_ids, k, count=count
+        )
+    kloc = max(1, min(kloc if kloc is not None else min(k, _INT8_MAX_KLOC),
+                      _INT8_MAX_KLOC))
+    cand = max(cand if cand is not None else max(32, 2 * k), k)
+
+    interpret = not _on_tpu()
+    bn = block_n or default_block_n_int8(d)
+    bq = min(block_q or 256, _round_up(queries.shape[0], 8))
+    dp = _round_up(d, _LANE)
+    np_ = _round_up(n, bn)
+    qp = _round_up(queries.shape[0], bq)
+    qn_rows = queries.shape[0]
+    n_masks = int(mask_table.shape[0])
+
+    corpus_p = jnp.pad(corpus_i8, ((0, np_ - n), (0, dp - d)))
+    ref_p = jnp.pad(corpus_ref, ((0, np_ - n), (0, dp - d)))
+    scales_p = jnp.pad(scales.astype(jnp.float32), (0, np_ - n))[None, :]
+    queries_p = jnp.pad(queries, ((0, qp - qn_rows), (0, dp - d)))
+    table_p = jnp.pad(mask_table.astype(jnp.int8), ((0, 0), (0, np_ - n)))
+    ids_p = jnp.pad(mask_ids.astype(jnp.int32), (0, qp - qn_rows))
+    count_arr = jnp.full((1, 1), n if count is None else count, jnp.int32)
+
+    vals, idx = _int8_grouped_impl(
+        corpus_p, scales_p, ref_p, queries_p, table_p, ids_p, count_arr,
+        k, kloc, cand, bq, bn, n_masks, interpret,
+    )
+    vals = vals[:qn_rows, :k]
+    idx = idx[:qn_rows, :k]
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx
+
+
 def int8_search(
     corpus_i8: jnp.ndarray,
     scales: jnp.ndarray,

@@ -114,6 +114,21 @@ def main() -> int:
     )
     check("grouped_mask", bool((np.asarray(ip_) == np.asarray(io)).all()))
 
+    from photo_search_engine_tpu.ops import grouped_int8_search
+
+    gq8, gsc = quantize_rows(jnp.asarray(i8_corpus))
+    vo, io = grouped_mask_oracle(
+        jnp.asarray(i8_corpus), jnp.asarray(i8_queries), jnp.asarray(table), ids, 10
+    )
+    vp, ip_ = grouped_int8_search(
+        gq8, gsc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries),
+        jnp.asarray(table), ids, 10,
+    )
+    agree = float(np.mean(np.asarray(ip_) == np.asarray(io)))
+    # predicates carve the planted structure, so a few background near-tie
+    # slots may flip inside the int8 nomination window
+    check(f"grouped_int8 (agreement {agree:.2f})", agree >= 0.9)
+
     # ---- IVF (pallas vs lax path on the same index) ----
     print("== IVF ==")
     ivf_corpus = rng.normal(size=(20_000, 256)).astype(np.float32)

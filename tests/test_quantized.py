@@ -233,6 +233,104 @@ class Int8SearchRecallTest(unittest.TestCase):
         self.assertGreaterEqual(self._recall(corpus, queries), 0.9)
 
 
+class GroupedInt8Test(unittest.TestCase):
+    """Per-query filtered int8 scan + exact rescore."""
+
+    K = 8
+
+    def setUp(self):
+        rng = np.random.default_rng(21)
+        n, d = 4000, 64
+        self.corpus = _normalize(rng.normal(size=(n, d))).astype(np.float32)
+        self.queries = _normalize(rng.normal(size=(6, d))).astype(np.float32)
+        # predicates: all rows / even rows / rows 1000..1999
+        table = np.zeros((3, n), np.int8)
+        table[0, :] = 1
+        table[1, ::2] = 1
+        table[2, 1000:2000] = 1
+        self.table = table
+        self.ids = np.array([0, 1, 2, 0, 1, 2], np.int32)
+        # plant separated neighbors per query at slots its predicate admits
+        alphas = 0.95 - 0.03 * np.arange(self.K)
+        admissible = {
+            0: rng.permutation(n),
+            1: rng.permutation(np.arange(0, n, 2)),
+            2: rng.permutation(np.arange(1000, 2000)),
+        }
+        cursor = {0: 0, 1: 0, 2: 0}
+        for qi, q in enumerate(self.queries):
+            m = int(self.ids[qi])
+            start = cursor[m]
+            _plant(self.corpus, q, admissible[m][start : start + self.K],
+                   alphas, rng)
+            cursor[m] = start + self.K
+        self.q8, self.scales = quantize_rows(jnp.asarray(self.corpus))
+
+    def test_matches_grouped_oracle(self):
+        from photo_search_engine_tpu.ops import grouped_int8_search
+        from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
+
+        ref_v, ref_i = grouped_mask_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), self.K,
+        )
+        vals, idx = grouped_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), jnp.asarray(self.table),
+            jnp.asarray(self.ids), self.K,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_v), rtol=1e-5, atol=1e-5
+        )
+
+    def test_each_query_respects_its_predicate(self):
+        from photo_search_engine_tpu.ops import grouped_int8_search
+
+        _, idx = grouped_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), jnp.asarray(self.table),
+            jnp.asarray(self.ids), self.K,
+        )
+        idx = np.asarray(idx)
+        for qi, mask_id in enumerate(self.ids):
+            hits = idx[qi][idx[qi] >= 0]
+            if mask_id == 1:
+                self.assertTrue((hits % 2 == 0).all())
+            elif mask_id == 2:
+                self.assertTrue(((hits >= 1000) & (hits < 2000)).all())
+
+    def test_empty_predicate_and_count(self):
+        from photo_search_engine_tpu.ops import grouped_int8_search
+
+        table = np.zeros((2, 4000), np.int8)
+        table[0, :] = 1  # predicate 1 matches nothing
+        ids = np.array([0, 1], np.int32)
+        vals, idx = grouped_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries[:2]), jnp.asarray(table),
+            jnp.asarray(ids), 5, count=2000,
+        )
+        idx = np.asarray(idx)
+        self.assertTrue((idx[0][idx[0] >= 0] < 2000).all())
+        self.assertTrue((idx[1] == -1).all())
+
+    def test_large_k_routes_to_oracle(self):
+        from photo_search_engine_tpu.ops import grouped_int8_search
+        from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
+
+        ref_v, ref_i = grouped_mask_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(self.table), jnp.asarray(self.ids), 100,
+        )
+        vals, idx = grouped_int8_search(
+            self.q8, self.scales, jnp.asarray(self.corpus),
+            jnp.asarray(self.queries), jnp.asarray(self.table),
+            jnp.asarray(self.ids), 100,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
+
 class WideLaneFastPathTest(unittest.TestCase):
     """The packed-key extraction now carries 11 lane bits for bn=2048."""
 
