@@ -156,6 +156,11 @@ def _candidate_documents(candidates: List[Dict[str, Any]]) -> List[str]:
     return docs
 
 
+# Back-compat alias (reference embedding_service.py:117 keeps the legacy
+# provider name wired to the generic OpenAI-compatible implementation).
+TumuerEmbeddingService = OpenAICompatibleEmbeddingService
+
+
 class TextRerankService:
     """Rerank via a /rerank API or a chat model
     (reference embedding_service.py:121-298)."""
