@@ -435,16 +435,24 @@ class ShardedEmbeddingStore:
     # plus a manifest, so multi-host deployments can write/read shards in
     # parallel and resume with per-shard granularity.)
     # ------------------------------------------------------------------
-    def save(self, directory: str) -> None:
+    def save(self, directory: str, *, format: str = "npy") -> None:
         import json
         import os
 
         os.makedirs(directory, exist_ok=True)
-        for shard_id, shard in enumerate(self._host_shards):
-            with open(os.path.join(directory, f"shard_{shard_id:04d}.npy"), "wb") as f:
-                np.save(f, shard)
+        if format == "orbax":
+            self._save_orbax(directory)
+        elif format == "npy":
+            for shard_id, shard in enumerate(self._host_shards):
+                with open(
+                    os.path.join(directory, f"shard_{shard_id:04d}.npy"), "wb"
+                ) as f:
+                    np.save(f, shard)
+        else:
+            raise ValueError("format must be npy or orbax")
         manifest = {
             "format_version": 1,
+            "format": format,
             "dimension": self.dimension,
             "metric": self.metric,
             "store_dtype": str(self.store_dtype),
@@ -454,6 +462,44 @@ class ShardedEmbeddingStore:
         }
         with open(os.path.join(directory, "manifest.json"), "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=2)
+
+    # Orbax/tensorstore path: writes the DEVICE-RESIDENT sharded array
+    # directly (each host writes its own shards in a multi-host deployment,
+    # no host gather) — the TPU-idiomatic checkpoint layer (SURVEY.md §5).
+    # The .npy path stays the default: exact f32, no extra deps on read.
+    def _orbax_dir(self, directory: str) -> str:
+        import os
+
+        return os.path.join(os.path.abspath(directory), "corpus_orbax")
+
+    def _save_orbax(self, directory: str) -> None:
+        import orbax.checkpoint as ocp
+
+        corpus, _ = self._sync()
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as checkpointer:
+            checkpointer.save(
+                self._orbax_dir(directory),
+                {"corpus": corpus},
+                force=True,
+            )
+
+    def _load_orbax_shards(self, directory, saved_shards, counts):
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as checkpointer:
+            restored = checkpointer.restore(self._orbax_dir(directory))
+        corpus = np.asarray(restored["corpus"], np.float32)
+        if saved_shards <= 0 or corpus.shape[0] % saved_shards:
+            raise ValueError("orbax checkpoint shape inconsistent with manifest")
+        capacity = corpus.shape[0] // saved_shards
+        shards = []
+        for shard_id in range(saved_shards):
+            live = int(counts[shard_id]) if shard_id < len(counts) else capacity
+            start = shard_id * capacity
+            shards.append(
+                np.ascontiguousarray(corpus[start : start + live], np.float32)
+            )
+        return shards
 
     def load(self, directory: str) -> bool:
         import json
@@ -467,14 +513,17 @@ class ShardedEmbeddingStore:
         if manifest.get("dimension") != self.dimension:
             raise ValueError("checkpoint dimension differs; rebuild the store")
         saved_shards = int(manifest.get("n_shards", 0))
-        shards: list = []
-        for shard_id in range(saved_shards):
-            path = os.path.join(directory, f"shard_{shard_id:04d}.npy")
-            if not os.path.exists(path):
-                raise ValueError(f"checkpoint shard missing: {path}")
-            with open(path, "rb") as f:
-                shards.append(np.load(f))
         counts = manifest.get("counts") or []
+        if manifest.get("format") == "orbax":
+            shards = self._load_orbax_shards(directory, saved_shards, counts)
+        else:
+            shards = []
+            for shard_id in range(saved_shards):
+                path = os.path.join(directory, f"shard_{shard_id:04d}.npy")
+                if not os.path.exists(path):
+                    raise ValueError(f"checkpoint shard missing: {path}")
+                with open(path, "rb") as f:
+                    shards.append(np.load(f))
         for shard, count in zip(shards, counts):
             if shard.shape[0] != count:
                 raise ValueError("checkpoint shard count mismatch; rebuild")

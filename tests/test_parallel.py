@@ -251,6 +251,49 @@ class ShardedCheckpointTest(unittest.TestCase):
         with tempfile.TemporaryDirectory() as tmp:
             self.assertFalse(store.load(tmp))
 
+    def test_orbax_roundtrip(self):
+        import tempfile
+
+        rng = np.random.default_rng(6)
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        vectors = rng.normal(size=(20, 16)).astype(np.float32)
+        store.append(vectors)
+        with tempfile.TemporaryDirectory() as tmp:
+            store.save(tmp, format="orbax")
+            fresh = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+            self.assertTrue(fresh.load(tmp))
+            self.assertEqual(fresh.count, 20)
+            _, idx = fresh.search(vectors[5], 1)
+            np.testing.assert_allclose(
+                fresh.reconstruct(int(idx[0][0])), vectors[5], rtol=1e-5
+            )
+
+    def test_orbax_reshard_on_mesh_change(self):
+        import tempfile
+
+        rng = np.random.default_rng(7)
+        store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
+        vectors = rng.normal(size=(24, 16)).astype(np.float32)
+        store.append(vectors)
+        with tempfile.TemporaryDirectory() as tmp:
+            store.save(tmp, format="orbax")
+            smaller = ShardedEmbeddingStore(16, make_mesh(4), metric="ip", shard_block=8)
+            self.assertTrue(smaller.load(tmp))
+            self.assertEqual(smaller.count, 24)
+            _, idx = smaller.search(vectors[3], 1)
+            np.testing.assert_allclose(
+                smaller.reconstruct(int(idx[0][0])), vectors[3], rtol=1e-5
+            )
+
+    def test_unknown_format_rejected(self):
+        import tempfile
+
+        store = ShardedEmbeddingStore(16, make_mesh())
+        store.append(np.eye(16, dtype=np.float32))
+        with tempfile.TemporaryDirectory() as tmp:
+            with self.assertRaises(ValueError):
+                store.save(tmp, format="pickle")
+
     def test_reshard_on_mesh_change(self):
         import tempfile
 
