@@ -303,17 +303,36 @@ def run_index_worker(force_rebuild: bool) -> int:
 
 def _apply_platform_override() -> None:
     """Honor PSE_PLATFORM=cpu|tpu before any device use.  Needed because
-    some hosts' site customizations override JAX_PLATFORMS."""
+    some hosts' site customizations override JAX_PLATFORMS.
+
+    PSE_PLATFORM=tpu is a *capability* request, not a platform string:
+    on relay-attached hosts the chip is exposed through a plugin platform
+    (e.g. "axon") whose devices still report platform "tpu", and forcing
+    jax_platforms="tpu" there fails with "No jellyfish device found".  So
+    candidates are probed in order until jax initializes with a TPU
+    device visible."""
     import os
 
     wanted = (os.environ.get("PSE_PLATFORM") or "").strip().lower()
-    if wanted:
-        import jax
+    if not wanted:
+        return
+    import jax
 
+    candidates = [wanted] if wanted != "tpu" else ["tpu", "axon,cpu", None]
+    last_exc = None
+    for candidate in candidates:
         try:
-            jax.config.update("jax_platforms", wanted)
-        except Exception as exc:
-            print(f"[WARN] PSE_PLATFORM={wanted} not applied: {exc}")
+            jax.config.update("jax_platforms", candidate)
+            jax.devices()
+            if wanted == "tpu" and jax.default_backend() != "tpu":
+                last_exc = RuntimeError(
+                    f"platforms={candidate!r} selected {jax.default_backend()}"
+                )
+                continue
+            return
+        except Exception as exc:  # try the next candidate
+            last_exc = exc
+    print(f"[WARN] PSE_PLATFORM={wanted} not applied: {last_exc}")
 
 
 def main(argv: Optional[list] = None) -> int:

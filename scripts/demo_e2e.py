@@ -105,7 +105,9 @@ def main() -> int:
                 time.sleep(0.5)
         print("== building index ==")
         print(_post(base, "/init_index", {"mode": "full"})["message"])
-        for _ in range(480):
+        # up to 10 min: TPU backends pay 20-40s cold-compiles per new
+        # batch shape during the first build (terminal states break early)
+        for _ in range(2400):
             status = _get(base, "/index_status")
             if status["status"] in {"success", "ready", "failed"}:
                 break
