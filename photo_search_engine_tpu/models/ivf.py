@@ -202,17 +202,19 @@ def _ivf_kernel(
     c_ref,          # VMEM (L, D) — rows of cluster sel[j]
     probe_ref,      # VMEM (BQ, nlist) int32 — per-query probe flags
     valid_ref,      # VMEM (1, L) int32 — live rows of cluster sel[j]
-    outv_ref,
-    outi_ref,
-    rv_ref,
-    ri_ref,
-    *,
+    *rest,
     k: int,
     kp: int,
     bq: int,
     lrows: int,
     precision,
+    metric: str = "ip",
 ):
+    offset = 0
+    cn_ref = rest[offset] if metric == "l2" else None
+    offset += 1 if metric == "l2" else 0
+    outv_ref, outi_ref, rv_ref, ri_ref = rest[offset : offset + 4]
+
     j = pl.program_id(1)
     n_sel = pl.num_programs(1)
 
@@ -228,6 +230,10 @@ def _ivf_kernel(
         q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
     )
+    if metric == "l2":
+        # the per-query norm is rank-invariant, so merge by 2<q,c> - |c|²;
+        # the wrapper subtracts |q|² afterwards to restore -(squared l2)
+        scores = 2.0 * scores - cn_ref[:]
     col = cluster_id * lrows + jax.lax.broadcasted_iota(jnp.int32, (bq, lrows), 1)
     # per-query probe flag for this cluster: one-hot select along nlist
     nlist = probe_ref.shape[1]
@@ -257,7 +263,7 @@ def _ivf_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bq", "lrows", "s_max", "interpret"),
+    static_argnames=("k", "bq", "lrows", "s_max", "interpret", "metric"),
 )
 def _ivf_pallas(
     corpus_ivf: jnp.ndarray,   # [nlist * L, DP]
@@ -266,11 +272,13 @@ def _ivf_pallas(
     sel_count: jnp.ndarray,    # (1,1) int32
     probe_matrix: jnp.ndarray, # [QP, nlist] int32
     row_valid: jnp.ndarray,    # [1, nlist * L] int32
+    cnorms: jnp.ndarray,       # [1, nlist * L] f32 (l2 only)
     k: int,
     bq: int,
     lrows: int,
     s_max: int,
     interpret: bool,
+    metric: str = "ip",
 ):
     qp, dp = queries.shape
     kp = _round_up(max(k, 1), _LANE)
@@ -280,26 +288,36 @@ def _ivf_pallas(
         else jax.lax.Precision.DEFAULT
     )
     kernel = functools.partial(
-        _ivf_kernel, k=k, kp=kp, bq=bq, lrows=lrows, precision=precision
+        _ivf_kernel, k=k, kp=kp, bq=bq, lrows=lrows, precision=precision,
+        metric=metric,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda qi, j, sel: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((bq, dp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (lrows, dp), lambda qi, j, sel: (sel[j], 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (bq, probe_matrix.shape[1]),
+            lambda qi, j, sel: (qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, lrows), lambda qi, j, sel: (0, sel[j]), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [queries, corpus_ivf, probe_matrix, row_valid]
+    if metric == "l2":
+        in_specs.append(
+            pl.BlockSpec(
+                (1, lrows), lambda qi, j, sel: (0, sel[j]), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(cnorms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(qp // bq, s_max),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda qi, j, sel: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bq, dp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (lrows, dp), lambda qi, j, sel: (sel[j], 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (bq, probe_matrix.shape[1]),
-                lambda qi, j, sel: (qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lrows), lambda qi, j, sel: (0, sel[j]), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bq, kp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, kp), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM),
@@ -317,7 +335,7 @@ def _ivf_pallas(
             jax.ShapeDtypeStruct((qp, kp), jnp.int32),
         ),
         interpret=interpret,
-    )(selected, sel_count, queries, corpus_ivf, probe_matrix, row_valid)
+    )(selected, sel_count, *operands)
 
 
 # Donating the corpus updates the layout in place (no multi-GB copy per
@@ -369,6 +387,17 @@ class IVFIndex:
 
     def _fill_from_perm(self) -> np.ndarray:
         return (self.perm.reshape(self.nlist, self.capacity) >= 0).sum(axis=1)
+
+    def _corpus_norms(self) -> jnp.ndarray:
+        """[1, nlist*L] squared row norms (l2 kernel operand), cached and
+        invalidated by incremental appends."""
+        cached = getattr(self, "_cnorms", None)
+        if cached is None:
+            cached = jnp.sum(
+                jnp.square(self._corpus.astype(jnp.float32)), axis=1
+            )[None, :]
+            self._cnorms = cached
+        return cached
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -503,6 +532,7 @@ class IVFIndex:
         self._row_valid = _set_valid(
             self._row_valid, jnp.asarray(slots_p, jnp.int32)
         )
+        self._cnorms = None  # l2 norm cache covers the old rows only
         return True
 
     # -- probing --------------------------------------------------------
@@ -595,14 +625,22 @@ class IVFIndex:
                 jnp.reshape(sel_count, (1, 1)),
                 probe_p,
                 self._row_valid,
+                self._corpus_norms(),
                 k,
                 bq,
                 self.capacity,
                 s_max,
                 interpret=jax.default_backend() != "tpu",
+                metric="l2" if self.metric == "l2" else "ip",
             )
             vals = vals[:q, :k]
             idx = idx[:q, :k]
+            if self.metric == "l2":
+                # kernel merged by 2<q,c> - |c|²; subtract |q|² to restore
+                # -(squared l2), matching the lax branch's convention
+                qn = jnp.sum(jnp.square(queries[:q].astype(jnp.float32)), 1,
+                             keepdims=True)
+                vals = jnp.where(jnp.isneginf(vals), vals, vals - qn)
 
         vals_np = np.asarray(vals)
         idx_np = np.asarray(idx)

@@ -141,6 +141,16 @@ def main() -> int:
         "ivf pallas==lax",
         bool((np.sort(i_lax, 1) == np.sort(i_pl, 1)).all()),
     )
+    # l2 on UNNORMALIZED rows (regression: pallas path once merged raw ip)
+    l2_corpus = ivf_corpus * rng.uniform(0.5, 3.0, size=(20_000, 1)).astype(np.float32)
+    l2_index = IVFIndex.build(l2_corpus, nlist=64, metric="l2", seed=0)
+    l2_queries = l2_corpus[rng.choice(20_000, 8, replace=False)]
+    v_lax, i_lax = l2_index.search(l2_queries, 10, nprobe=16, impl="lax")
+    v_pl, i_pl = l2_index.search(l2_queries, 10, nprobe=16, impl="pallas")
+    check(
+        "ivf l2 pallas==lax",
+        bool((np.sort(i_lax, 1) == np.sort(i_pl, 1)).all()),
+    )
 
     # ---- sharded (degenerate 1-chip mesh on TPU) ----
     print("== sharded (degenerate mesh) ==")

@@ -118,6 +118,25 @@ class IVFSearchTest(unittest.TestCase):
         vals, idx = tiny.search(self.queries[:1], 50, nprobe=2, impl="lax")
         self.assertEqual(idx.shape[1], 6)
 
+    def test_l2_pallas_matches_lax_unnormalized(self):
+        # regression: the pallas path merged raw inner products for l2 —
+        # wrong order once row norms differ (3% id agreement observed)
+        rng = np.random.default_rng(9)
+        corpus = (
+            rng.normal(size=(4000, 64)).astype(np.float32)
+            * rng.uniform(0.5, 3.0, size=(4000, 1)).astype(np.float32)
+        )
+        queries = corpus[rng.choice(4000, 6, replace=False)] + 0.01 * rng.normal(
+            size=(6, 64)
+        ).astype(np.float32)
+        index = IVFIndex.build(corpus, nlist=16, metric="l2", seed=0)
+        v_lax, i_lax = index.search(queries, 5, nprobe=16, impl="lax")
+        v_pl, i_pl = index.search(queries, 5, nprobe=16, impl="pallas")
+        np.testing.assert_array_equal(np.sort(i_lax, 1), np.sort(i_pl, 1))
+        np.testing.assert_allclose(
+            np.sort(v_lax, 1), np.sort(v_pl, 1), rtol=1e-4, atol=1e-4
+        )
+
     def test_l2_metric(self):
         index = IVFIndex.build(self.corpus, nlist=16, metric="l2", seed=0)
         vals, idx = index.search(self.queries, 5, nprobe=16, impl="lax")
