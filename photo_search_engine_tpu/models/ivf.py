@@ -350,6 +350,11 @@ def _set_valid(row_valid: jnp.ndarray, slots: jnp.ndarray):
     return row_valid.at[0, slots].set(1)
 
 
+@jax.jit
+def _row_norms(corpus: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.square(corpus.astype(jnp.float32)), axis=1)[None, :]
+
+
 # ---------------------------------------------------------------------------
 # IVFIndex
 # ---------------------------------------------------------------------------
@@ -393,9 +398,9 @@ class IVFIndex:
         invalidated by incremental appends."""
         cached = getattr(self, "_cnorms", None)
         if cached is None:
-            cached = jnp.sum(
-                jnp.square(self._corpus.astype(jnp.float32)), axis=1
-            )[None, :]
+            # jitted so cast+square+sum fuse into one pass — the eager form
+            # materializes a corpus-sized f32 temp and OOMs at 1M×1536
+            cached = _row_norms(self._corpus)
             self._cnorms = cached
         return cached
 
@@ -465,9 +470,29 @@ class IVFIndex:
             ranked = np.concatenate([ranked] * 3, axis=1)[:, :3]
         _, perm, capacity = balanced_layout(ranked, nlist, slack=slack)
 
-        perm_dev = jnp.asarray(np.clip(perm, 0, n - 1).astype(np.int32))
-        live_dev = jnp.asarray((perm >= 0).astype(corpus_dev.dtype))[:, None]
-        laid_out = jnp.take(corpus_dev, perm_dev, axis=0) * live_dev
+        # chunked gather with donated in-place writes: a single whole-layout
+        # gather holds corpus + layout + gather temp simultaneously and
+        # OOMs a 16GB chip at 1M×1536 f32 (slack 1.5 → 9GB layout)
+        dp = _round_up(dim, _LANE)
+        total = nlist * capacity
+        perm_np = np.clip(perm, 0, n - 1).astype(np.int32)
+        live_np = (perm >= 0)
+        laid_out = jnp.zeros((total, dp), corpus_dev.dtype)
+        chunk = 131072
+        for start in range(0, total, chunk):
+            stop = min(start + chunk, total)
+            sl = jnp.asarray(perm_np[start:stop])
+            live = jnp.asarray(
+                live_np[start:stop].astype(corpus_dev.dtype)
+            )[:, None]
+            rows_block = jnp.take(corpus_dev, sl, axis=0) * live
+            if dp != dim:
+                rows_block = jnp.pad(rows_block, ((0, 0), (0, dp - dim)))
+            laid_out = _scatter_rows(
+                laid_out,
+                jnp.arange(start, stop, dtype=jnp.int32),
+                rows_block,
+            )
         index = cls.__new__(cls)
         index.centroids = np.asarray(centroids)
         index.nlist = nlist
@@ -475,9 +500,8 @@ class IVFIndex:
         index.perm = np.asarray(perm, np.int64)
         index.metric = metric
         index.dim = dim
-        dp = _round_up(dim, _LANE)
         index._dp = dp
-        index._corpus = jnp.pad(laid_out, ((0, 0), (0, dp - dim)))
+        index._corpus = laid_out
         index._centroids_dev = jnp.pad(
             centroids.astype(jnp.float32), ((0, 0), (0, dp - dim))
         )
@@ -618,6 +642,11 @@ class IVFIndex:
             qp = _round_up(q, bq)
             queries_p = jnp.pad(queries, ((0, qp - q), (0, 0)))
             probe_p = jnp.pad(probe_matrix, ((0, qp - q), (0, 0)))
+            cnorms = (
+                self._corpus_norms()
+                if self.metric == "l2"
+                else jnp.zeros((1, self.nlist * self.capacity), jnp.float32)
+            )
             vals, idx = _ivf_pallas(
                 self._corpus,
                 queries_p,
@@ -625,7 +654,7 @@ class IVFIndex:
                 jnp.reshape(sel_count, (1, 1)),
                 probe_p,
                 self._row_valid,
-                self._corpus_norms(),
+                cnorms,
                 k,
                 bq,
                 self.capacity,
