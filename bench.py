@@ -21,9 +21,12 @@ Variant via BENCH_IMPL (or the BENCH_FAST=1 / BENCH_INT8=1 aliases):
   fast  — packed-key selection, the DEFAULT (33k QPS; final scores
           exact-rescored, index agreement 99.96% — flips only inside
           2^-13-relative tie windows, i.e. equal-value ties)
-  int8  — int8-scan + exact-rescore (ops/quantized.py; 68k QPS; exact on
-          realistic-gap data, recall@10 = 0.996 on iid noise — the
-          adversarial distribution)
+  int8  — int8-scan + exact-rescore (ops/quantized.py; 47-68k QPS by
+          compile session; exact on realistic-gap data, recall@10 =
+          0.996 on iid noise — the adversarial distribution)
+  ivf   — coarse-quantized small-batch path (models/ivf.py; defaults
+          batch 8, BENCH_IVF_NPROBE=16, BENCH_IVF_NLIST=1024; 0.41 ms
+          at the north-star corpus)
 """
 
 from __future__ import annotations
@@ -58,6 +61,9 @@ def main() -> None:
             variant = "fast"
     fast = variant == "fast"
     int8 = variant == "int8"
+    ivf = variant == "ivf"
+    if ivf and "BENCH_Q" not in os.environ:
+        n_queries = 8  # IVF is the small-batch/low-latency path
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
@@ -119,6 +125,29 @@ def main() -> None:
             return carry
 
         chained = functools.partial(chained_int8, corpus_i8, scales)
+    elif ivf:
+        from photo_search_engine_tpu.models.ivf import IVFIndex
+
+        nprobe = int(os.getenv("BENCH_IVF_NPROBE", 16))
+        index = IVFIndex.build_on_device(
+            corpus, nlist=int(os.getenv("BENCH_IVF_NLIST", 1024))
+        )
+        search_fn = index.device_search_fn(k, nprobe, n_queries)
+        # unpack the bound device arrays into explicit jit args (the
+        # closed-over-constant trap again — see the int8 branch)
+        run, bound = search_fn.func, search_fn.args
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained_ivf(bound, qstack, n):
+            def body(carry, queries):
+                queries = queries + carry.astype(queries.dtype) * 0  # serialize
+                vals, idx = run(*bound, queries)
+                return jnp.sum(vals).astype(jnp.float32), 0
+            carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+            return carry
+
+        def chained(corpus_unused, qstack, n):
+            return chained_ivf(bound, qstack, n)
     else:
         @functools.partial(jax.jit, static_argnames=("n",))
         def chained(corpus, qstack, n):
@@ -149,7 +178,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"{'int8_rescore' if int8 else 'packedkey' if fast else 'exact'}"
+                    f"{'ivf' if ivf else 'int8_rescore' if int8 else 'packedkey' if fast else 'exact'}"
                     f"_search_qps_{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}"
                 ),
                 "value": round(qps, 1),

@@ -586,6 +586,70 @@ class IVFIndex:
         sel_count = jnp.sum((any_probe > 0).astype(jnp.int32))
         return probe_matrix, selected, sel_count, s_max
 
+    # -- device-only search (benchmark / composition surface) -----------
+    def device_search_fn(self, k: int, nprobe: int, batch: int):
+        """A jittable ``fn(queries_dev) -> (vals, slot_idx)`` running probe +
+        stage-2 kernel entirely on device (no host conversions), for
+        dependency-chained benchmarking and fusion into larger jits.
+        Stored arrays are bound as explicit arguments — closing over
+        multi-GB device arrays turns them into jaxpr constants and stalls
+        compilation (see docs/DESIGN.md)."""
+        nprobe = max(1, min(nprobe, self.nlist))
+        total_live = int((self.perm >= 0).sum())
+        k = min(k, total_live)
+        bq = min(128, _round_up(batch, 8))
+        s_max = min(self.nlist, batch * nprobe)
+        nlist, capacity = self.nlist, self.capacity
+        metric = "l2" if self.metric == "l2" else "ip"
+        interpret = jax.default_backend() != "tpu"
+        cnorms = (
+            self._corpus_norms()
+            if metric == "l2"
+            else jnp.zeros((1, nlist * capacity), jnp.float32)
+        )
+
+        @jax.jit
+        def run(corpus, cents, row_valid, cnorms, queries):
+            queries = jnp.pad(
+                queries, ((0, 0), (0, self._dp - queries.shape[1]))
+            )
+            scores = jax.lax.dot_general(
+                queries.astype(jnp.float32), cents, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+                cn = jnp.sum(jnp.square(cents), 1)[None, :]
+                scores = -(qn + cn - 2.0 * scores)
+            _, probe_ids = jax.lax.top_k(scores, nprobe)
+            probe_matrix = jnp.zeros((batch, nlist), jnp.int32)
+            probe_matrix = jax.vmap(lambda row, ids: row.at[ids].set(1))(
+                probe_matrix, probe_ids
+            )
+            any_probe = jnp.sum(probe_matrix, axis=0)
+            selected = jnp.argsort(-any_probe)[:s_max].astype(jnp.int32)
+            sel_count = jnp.sum((any_probe > 0).astype(jnp.int32))
+            qp = _round_up(batch, bq)
+            queries_p = jnp.pad(
+                queries.astype(corpus.dtype), ((0, qp - batch), (0, 0))
+            )
+            probe_p = jnp.pad(probe_matrix, ((0, qp - batch), (0, 0)))
+            vals, idx = _ivf_pallas(
+                corpus, queries_p, selected, jnp.reshape(sel_count, (1, 1)),
+                probe_p, row_valid, cnorms, k, bq, capacity, s_max,
+                interpret=interpret, metric=metric,
+            )
+            vals = vals[:batch, :k]
+            idx = idx[:batch, :k]
+            if metric == "l2":
+                qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
+                vals = jnp.where(jnp.isneginf(vals), vals, vals - qn)
+            return vals, idx
+
+        return functools.partial(
+            run, self._corpus, self._centroids_dev, self._row_valid, cnorms
+        )
+
     # -- search ---------------------------------------------------------
     def search(
         self,
