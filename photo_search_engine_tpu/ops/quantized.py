@@ -390,6 +390,11 @@ def grouped_int8_search(
     interpret = not _on_tpu()
     bn = block_n or default_block_n_int8(d)
     bq = min(block_q or 256, _round_up(queries.shape[0], 8))
+    if (_round_up(n, bn) // bn) * kloc < k:
+        # nomination pool cannot cover k — take the exact grouped path
+        return grouped_mask_oracle(
+            corpus_ref, queries, mask_table, mask_ids, k, count=count
+        )
     dp = _round_up(d, _LANE)
     np_ = _round_up(n, bn)
     qp = _round_up(queries.shape[0], bq)
@@ -466,6 +471,12 @@ def int8_search(
     interpret = not _on_tpu()
     bn = block_n or default_block_n_int8(d)
     bq = min(block_q or 256, _round_up(queries.shape[0], 8))
+    if (_round_up(n, bn) // bn) * kloc < k:
+        # the per-block nomination pool cannot cover k (few blocks, k >
+        # kloc unroll bound) — the exact path is cheap at this scale
+        return exact_search(
+            corpus_ref, queries, k, count=count, mask=mask, metric=metric
+        )
 
     dp = _round_up(d, _LANE)
     np_ = _round_up(n, bn)

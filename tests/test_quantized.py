@@ -182,6 +182,20 @@ class Int8SearchPlantedTest(unittest.TestCase):
         vals, idx = self._run(k=100, metric="ip")
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
 
+    def test_small_corpus_large_k_pool_guard(self):
+        # one 2048-row block, k=60 > kloc cap 16: the nomination pool
+        # cannot cover k and the path must fall back to exact
+        rng = np.random.default_rng(31)
+        corpus = _normalize(rng.normal(size=(1000, 64))).astype(np.float32)
+        q8, scales = quantize_rows(jnp.asarray(corpus))
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(corpus[:2]), 60, metric="ip"
+        )
+        vals, idx = int8_search(
+            q8, scales, jnp.asarray(corpus), jnp.asarray(corpus[:2]), 60
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
     def test_single_query_vector(self):
         vals, idx = int8_search(
             self.q8,
@@ -319,16 +333,19 @@ class GroupedInt8Test(unittest.TestCase):
         from photo_search_engine_tpu.ops import grouped_int8_search
         from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
 
-        ref_v, ref_i = grouped_mask_oracle(
-            jnp.asarray(self.corpus), jnp.asarray(self.queries),
-            jnp.asarray(self.table), jnp.asarray(self.ids), 100,
-        )
-        vals, idx = grouped_int8_search(
-            self.q8, self.scales, jnp.asarray(self.corpus),
-            jnp.asarray(self.queries), jnp.asarray(self.table),
-            jnp.asarray(self.ids), 100,
-        )
-        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        # k=100 exceeds the int8 cap; k=40 exceeds the nomination pool
+        # (2 blocks × kloc 16 = 32) — both must fall back to the oracle
+        for k in (100, 40):
+            ref_v, ref_i = grouped_mask_oracle(
+                jnp.asarray(self.corpus), jnp.asarray(self.queries),
+                jnp.asarray(self.table), jnp.asarray(self.ids), k,
+            )
+            vals, idx = grouped_int8_search(
+                self.q8, self.scales, jnp.asarray(self.corpus),
+                jnp.asarray(self.queries), jnp.asarray(self.table),
+                jnp.asarray(self.ids), k,
+            )
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
 
 
 class WideLaneFastPathTest(unittest.TestCase):
