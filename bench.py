@@ -129,8 +129,10 @@ def main() -> None:
         from photo_search_engine_tpu.models.ivf import IVFIndex
 
         nprobe = int(os.getenv("BENCH_IVF_NPROBE", 16))
+        ivf_quant = os.getenv("BENCH_IVF_QUANTIZED", "") in {"1", "true", "yes"}
         index = IVFIndex.build_on_device(
-            corpus, nlist=int(os.getenv("BENCH_IVF_NLIST", 1024))
+            corpus, nlist=int(os.getenv("BENCH_IVF_NLIST", 1024)),
+            quantized=ivf_quant,
         )
         search_fn = index.device_search_fn(k, nprobe, n_queries)
         # unpack the bound device arrays into explicit jit args (the
@@ -178,7 +180,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"{'ivf' if ivf else 'int8_rescore' if int8 else 'packedkey' if fast else 'exact'}"
+                    f"{'ivf_int8' if ivf and os.getenv('BENCH_IVF_QUANTIZED') else 'ivf' if ivf else 'int8_rescore' if int8 else 'packedkey' if fast else 'exact'}"
                     f"_search_qps_{rows//1000}k_x_{dim}d_top{k}_batch{n_queries}"
                 ),
                 "value": round(qps, 1),

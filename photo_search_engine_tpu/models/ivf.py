@@ -209,8 +209,13 @@ def _ivf_kernel(
     lrows: int,
     precision,
     metric: str = "ip",
+    int8: bool = False,
 ):
     offset = 0
+    if int8:
+        qs_ref = rest[offset]
+        cs_ref = rest[offset + 1]
+        offset += 2
     cn_ref = rest[offset] if metric == "l2" else None
     offset += 1 if metric == "l2" else 0
     outv_ref, outi_ref, rv_ref, ri_ref = rest[offset : offset + 4]
@@ -226,10 +231,17 @@ def _ivf_kernel(
     cluster_id = sel_ref[j]
     is_live_block = j < count_ref[0, 0]
 
-    scores = jax.lax.dot_general(
-        q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
-    )
+    if int8:
+        acc = jax.lax.dot_general(
+            q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    else:
+        scores = jax.lax.dot_general(
+            q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
     if metric == "l2":
         # the per-query norm is rank-invariant, so merge by 2<q,c> - |c|²;
         # the wrapper subtracts |q|² afterwards to restore -(squared l2)
@@ -263,22 +275,25 @@ def _ivf_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bq", "lrows", "s_max", "interpret", "metric"),
+    static_argnames=("k", "bq", "lrows", "s_max", "interpret", "metric", "int8"),
 )
 def _ivf_pallas(
-    corpus_ivf: jnp.ndarray,   # [nlist * L, DP]
-    queries: jnp.ndarray,      # [QP, DP]
+    corpus_ivf: jnp.ndarray,   # [nlist * L, DP] (int8 when int8=True)
+    queries: jnp.ndarray,      # [QP, DP] (int8 when int8=True)
     selected: jnp.ndarray,     # [S] int32
     sel_count: jnp.ndarray,    # (1,1) int32
     probe_matrix: jnp.ndarray, # [QP, nlist] int32
     row_valid: jnp.ndarray,    # [1, nlist * L] int32
     cnorms: jnp.ndarray,       # [1, nlist * L] f32 (l2 only)
+    qscales: jnp.ndarray,      # [QP, 1] f32 (int8 only)
+    cscales: jnp.ndarray,      # [1, nlist * L] f32 (int8 only)
     k: int,
     bq: int,
     lrows: int,
     s_max: int,
     interpret: bool,
     metric: str = "ip",
+    int8: bool = False,
 ):
     qp, dp = queries.shape
     kp = _round_up(max(k, 1), _LANE)
@@ -289,7 +304,7 @@ def _ivf_pallas(
     )
     kernel = functools.partial(
         _ivf_kernel, k=k, kp=kp, bq=bq, lrows=lrows, precision=precision,
-        metric=metric,
+        metric=metric, int8=int8,
     )
     in_specs = [
         pl.BlockSpec((1, 1), lambda qi, j, sel: (0, 0), memory_space=pltpu.SMEM),
@@ -307,6 +322,17 @@ def _ivf_pallas(
         ),
     ]
     operands = [queries, corpus_ivf, probe_matrix, row_valid]
+    if int8:
+        in_specs.append(
+            pl.BlockSpec((bq, 1), lambda qi, j, sel: (qi, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(qscales)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, lrows), lambda qi, j, sel: (0, sel[j]), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(cscales)
     if metric == "l2":
         in_specs.append(
             pl.BlockSpec(
@@ -371,7 +397,9 @@ class IVFIndex:
         *,
         metric: str = "ip",
         store_dtype: str = "float32",
+        quantized: bool = False,
     ) -> None:
+        self.quantized = bool(quantized)
         self.centroids = np.asarray(centroids, np.float32)
         self.nlist = self.centroids.shape[0]
         self.capacity = int(capacity)
@@ -392,6 +420,23 @@ class IVFIndex:
 
     def _fill_from_perm(self) -> np.ndarray:
         return (self.perm.reshape(self.nlist, self.capacity) >= 0).sum(axis=1)
+
+    def _ensure_quantized(self) -> None:
+        """Build the int8 list shadow lazily (chunked — a whole-layout
+        quantize materializes an f32 temp the size of the layout)."""
+        if getattr(self, "_corpus_i8", None) is not None:
+            return
+        from photo_search_engine_tpu.ops.quantized import quantize_rows
+
+        total = self._corpus.shape[0]
+        chunk = 131072
+        i8_parts, sc_parts = [], []
+        for start in range(0, total, chunk):
+            qc, sc = quantize_rows(self._corpus[start : start + chunk])
+            i8_parts.append(qc)
+            sc_parts.append(sc)
+        self._corpus_i8 = jnp.concatenate(i8_parts)
+        self._cscales = jnp.concatenate(sc_parts)[None, :]
 
     def _corpus_norms(self) -> jnp.ndarray:
         """[1, nlist*L] squared row norms (l2 kernel operand), cached and
@@ -416,6 +461,7 @@ class IVFIndex:
         train_iters: int = 10,
         slack: float = 1.5,
         seed: int = 0,
+        quantized: bool = False,
     ) -> "IVFIndex":
         corpus = np.asarray(corpus, np.float32)
         n = corpus.shape[0]
@@ -427,7 +473,8 @@ class IVFIndex:
         live = perm >= 0
         laid_out[live] = corpus[perm[live]]
         return cls(
-            centroids, laid_out, perm, capacity, metric=metric, store_dtype=store_dtype
+            centroids, laid_out, perm, capacity, metric=metric,
+            store_dtype=store_dtype, quantized=quantized,
         )
 
     @classmethod
@@ -440,6 +487,7 @@ class IVFIndex:
         train_iters: int = 10,
         slack: float = 1.5,
         seed: int = 0,
+        quantized: bool = False,
     ) -> "IVFIndex":
         """Device-resident build: the corpus never round-trips to the host.
         Only the [N, 3] assignment table (12 MB at 1M rows) is fetched and
@@ -502,6 +550,7 @@ class IVFIndex:
         index.dim = dim
         index._dp = dp
         index._corpus = laid_out
+        index.quantized = bool(quantized)
         index._centroids_dev = jnp.pad(
             centroids.astype(jnp.float32), ((0, 0), (0, dp - dim))
         )
@@ -557,6 +606,8 @@ class IVFIndex:
             self._row_valid, jnp.asarray(slots_p, jnp.int32)
         )
         self._cnorms = None  # l2 norm cache covers the old rows only
+        self._corpus_i8 = None  # int8 shadow rebuilt lazily on next search
+        self._cscales = None
         return True
 
     # -- probing --------------------------------------------------------
@@ -607,11 +658,20 @@ class IVFIndex:
             if metric == "l2"
             else jnp.zeros((1, nlist * capacity), jnp.float32)
         )
+        quantized = self.quantized and k <= 64
+        if quantized:
+            self._ensure_quantized()
+            corpus_i8, cscales = self._corpus_i8, self._cscales
+        else:
+            # 1-element dummies keep the jit signature uniform
+            corpus_i8 = jnp.zeros((1, 1), jnp.int8)
+            cscales = jnp.zeros((1, 1), jnp.float32)
+        dp = self._dp
 
         @jax.jit
-        def run(corpus, cents, row_valid, cnorms, queries):
+        def run(corpus, corpus_i8, cscales, cents, row_valid, cnorms, queries):
             queries = jnp.pad(
-                queries, ((0, 0), (0, self._dp - queries.shape[1]))
+                queries, ((0, 0), (0, dp - queries.shape[1]))
             )
             scores = jax.lax.dot_general(
                 queries.astype(jnp.float32), cents, (((1,), (1,)), ((), ())),
@@ -634,9 +694,45 @@ class IVFIndex:
                 queries.astype(corpus.dtype), ((0, qp - batch), (0, 0))
             )
             probe_p = jnp.pad(probe_matrix, ((0, qp - batch), (0, 0)))
+            if quantized:
+                k_kern = min(max(2 * k, 20), 64, capacity)
+                qf = queries_p.astype(jnp.float32)
+                qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
+                q_i8 = jnp.clip(
+                    jnp.round(qf / jnp.maximum(qs, 1e-30)), -127, 127
+                ).astype(jnp.int8)
+                vals, idx = _ivf_pallas(
+                    corpus_i8, q_i8, selected, jnp.reshape(sel_count, (1, 1)),
+                    probe_p, row_valid, cnorms, qs, cscales,
+                    k_kern, bq, capacity, s_max,
+                    interpret=interpret, metric=metric, int8=True,
+                )
+                ci = idx[:batch, :k_kern]
+                live = jnp.logical_not(jnp.isneginf(vals[:batch, :k_kern]))
+                rows = jnp.take(
+                    corpus, jnp.clip(ci, 0, corpus.shape[0] - 1), axis=0
+                )
+                exact = jnp.einsum(
+                    "qd,qcd->qc", queries[:batch].astype(corpus.dtype), rows,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == "l2":
+                    qn = jnp.sum(
+                        jnp.square(queries[:batch].astype(jnp.float32)), 1,
+                        keepdims=True,
+                    )
+                    cn = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=2)
+                    exact = -(qn + cn - 2.0 * exact)
+                exact = jnp.where(live, exact, -jnp.inf)
+                vals, order = jax.lax.top_k(exact, k)
+                idx = jnp.take_along_axis(ci, order, axis=1)
+                return vals, idx
             vals, idx = _ivf_pallas(
                 corpus, queries_p, selected, jnp.reshape(sel_count, (1, 1)),
-                probe_p, row_valid, cnorms, k, bq, capacity, s_max,
+                probe_p, row_valid, cnorms,
+                jnp.ones((qp, 1), jnp.float32),
+                jnp.ones((1, nlist * capacity), jnp.float32),
+                k, bq, capacity, s_max,
                 interpret=interpret, metric=metric,
             )
             vals = vals[:batch, :k]
@@ -647,7 +743,8 @@ class IVFIndex:
             return vals, idx
 
         return functools.partial(
-            run, self._corpus, self._centroids_dev, self._row_valid, cnorms
+            run, self._corpus, corpus_i8, cscales, self._centroids_dev,
+            self._row_valid, cnorms,
         )
 
     # -- search ---------------------------------------------------------
@@ -669,6 +766,8 @@ class IVFIndex:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "lax"
+        if impl == "pallas" and self.quantized and k > 64:
+            impl = "lax"  # the int8 nomination pool is capped at 64
         if impl == "pallas":
             # VMEM guard: the kernel double-buffers one whole cluster block
             # plus the probe matrix; oversized layouts (huge L×D or nlist)
@@ -711,29 +810,85 @@ class IVFIndex:
                 if self.metric == "l2"
                 else jnp.zeros((1, self.nlist * self.capacity), jnp.float32)
             )
-            vals, idx = _ivf_pallas(
-                self._corpus,
-                queries_p,
-                selected,
-                jnp.reshape(sel_count, (1, 1)),
-                probe_p,
-                self._row_valid,
-                cnorms,
-                k,
-                bq,
-                self.capacity,
-                s_max,
-                interpret=jax.default_backend() != "tpu",
-                metric="l2" if self.metric == "l2" else "ip",
-            )
-            vals = vals[:q, :k]
-            idx = idx[:q, :k]
-            if self.metric == "l2":
-                # kernel merged by 2<q,c> - |c|²; subtract |q|² to restore
-                # -(squared l2), matching the lax branch's convention
-                qn = jnp.sum(jnp.square(queries[:q].astype(jnp.float32)), 1,
-                             keepdims=True)
-                vals = jnp.where(jnp.isneginf(vals), vals, vals - qn)
+            metric = "l2" if self.metric == "l2" else "ip"
+            interpret = jax.default_backend() != "tpu"
+            dummy_qs = jnp.ones((qp, 1), jnp.float32)
+            dummy_cs = jnp.ones((1, self.nlist * self.capacity), jnp.float32)
+            if self.quantized:
+                # int8 list scan nominating 2k candidates, then an exact
+                # rescore from the full-precision layout (same two-tier
+                # pattern as ops/quantized.py)
+                self._ensure_quantized()
+                k_kern = min(max(2 * k, 20), 64, self.capacity)
+                qf = queries_p.astype(jnp.float32)
+                qs = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
+                q_i8 = jnp.clip(
+                    jnp.round(qf / jnp.maximum(qs, 1e-30)), -127, 127
+                ).astype(jnp.int8)
+                vals, idx = _ivf_pallas(
+                    self._corpus_i8,
+                    q_i8,
+                    selected,
+                    jnp.reshape(sel_count, (1, 1)),
+                    probe_p,
+                    self._row_valid,
+                    cnorms,
+                    qs,
+                    self._cscales,
+                    k_kern,
+                    bq,
+                    self.capacity,
+                    s_max,
+                    interpret=interpret,
+                    metric=metric,
+                    int8=True,
+                )
+                ci = idx[:q, :k_kern]
+                live = jnp.logical_not(jnp.isneginf(vals[:q, :k_kern]))
+                rows = jnp.take(
+                    self._corpus, jnp.clip(ci, 0, self._corpus.shape[0] - 1), axis=0
+                )
+                exact = jnp.einsum(
+                    "qd,qcd->qc",
+                    queries[:q].astype(self._corpus.dtype),
+                    rows,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == "l2":
+                    qn = jnp.sum(
+                        jnp.square(queries[:q].astype(jnp.float32)), 1, keepdims=True
+                    )
+                    cn = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=2)
+                    exact = -(qn + cn - 2.0 * exact)
+                exact = jnp.where(live, exact, -jnp.inf)
+                vals, order = jax.lax.top_k(exact, k)
+                idx = jnp.take_along_axis(ci, order, axis=1)
+            else:
+                vals, idx = _ivf_pallas(
+                    self._corpus,
+                    queries_p,
+                    selected,
+                    jnp.reshape(sel_count, (1, 1)),
+                    probe_p,
+                    self._row_valid,
+                    cnorms,
+                    dummy_qs,
+                    dummy_cs,
+                    k,
+                    bq,
+                    self.capacity,
+                    s_max,
+                    interpret=interpret,
+                    metric=metric,
+                )
+                vals = vals[:q, :k]
+                idx = idx[:q, :k]
+                if self.metric == "l2":
+                    # kernel merged by 2<q,c> - |c|²; subtract |q|² to
+                    # restore -(squared l2), matching the lax convention
+                    qn = jnp.sum(jnp.square(queries[:q].astype(jnp.float32)), 1,
+                                 keepdims=True)
+                    vals = jnp.where(jnp.isneginf(vals), vals, vals - qn)
 
         vals_np = np.asarray(vals)
         idx_np = np.asarray(idx)

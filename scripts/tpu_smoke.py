@@ -151,6 +151,19 @@ def main() -> int:
         "ivf l2 pallas==lax",
         bool((np.sort(i_lax, 1) == np.sort(i_pl, 1)).all()),
     )
+    # int8 lists + exact rescore
+    q_index = IVFIndex.build(ivf_corpus, nlist=64, seed=0, quantized=True)
+    v_lax, i_lax = q_index.search(ivf_queries, 10, nprobe=64, impl="lax")
+    v_q, i_q = q_index.search(ivf_queries, 10, nprobe=64, impl="pallas")
+    overlap = float(np.mean([
+        len(set(i_q[r].tolist()) & set(i_lax[r].tolist())) / 10
+        for r in range(i_q.shape[0])
+    ]))
+    check(
+        f"ivf int8 (overlap {overlap:.2f}, self-hit "
+        f"{float(np.mean(i_q[:, 0] == i_lax[:, 0])):.2f})",
+        overlap >= 0.9 and bool((i_q[:, 0] == i_lax[:, 0]).all()),
+    )
 
     # ---- sharded (degenerate 1-chip mesh on TPU) ----
     print("== sharded (degenerate mesh) ==")

@@ -148,6 +148,60 @@ class IVFSearchTest(unittest.TestCase):
         self.assertTrue((np.diff(vals, axis=1) >= -1e-5).all())
 
 
+class IVFQuantizedTest(unittest.TestCase):
+    """int8 list scan + exact rescore inside the IVF stage-2 path."""
+
+    def setUp(self):
+        rng = np.random.default_rng(6)
+        self.corpus = rng.normal(size=(2000, 64)).astype(np.float32)
+        self.corpus /= np.linalg.norm(self.corpus, axis=1, keepdims=True)
+        self.queries = self.corpus[rng.choice(2000, 8, replace=False)]
+        self.index = IVFIndex.build(self.corpus, nlist=32, seed=0, quantized=True)
+
+    def test_full_probe_matches_plain_lax(self):
+        # full probe: the only approximation left is int8 nomination; the
+        # rescored top-10 matches the full-precision path on self-queries
+        v_lax, i_lax = self.index.search(self.queries, 10, nprobe=32, impl="lax")
+        v_q, i_q = self.index.search(self.queries, 10, nprobe=32, impl="pallas")
+        overlap = np.mean(
+            [len(set(i_q[r].tolist()) & set(i_lax[r].tolist())) / 10
+             for r in range(8)]
+        )
+        self.assertGreaterEqual(overlap, 0.9)
+        # the self-hit survives quantized nomination exactly
+        np.testing.assert_array_equal(i_q[:, 0], i_lax[:, 0])
+        # rescored values are full-precision (match lax where ids agree)
+        for r in range(8):
+            if i_q[r, 0] == i_lax[r, 0]:
+                self.assertAlmostEqual(float(v_q[r, 0]), float(v_lax[r, 0]), places=4)
+
+    def test_l2_quantized(self):
+        rng = np.random.default_rng(7)
+        corpus = self.corpus * rng.uniform(0.5, 2.0, size=(2000, 1)).astype(np.float32)
+        index = IVFIndex.build(corpus, nlist=16, metric="l2", seed=0, quantized=True)
+        queries = corpus[:4]
+        v_lax, i_lax = index.search(queries, 5, nprobe=16, impl="lax")
+        v_q, i_q = index.search(queries, 5, nprobe=16, impl="pallas")
+        np.testing.assert_array_equal(i_q[:, 0], i_lax[:, 0])
+        self.assertTrue((np.diff(v_q, axis=1) >= -1e-5).all())  # ascending
+
+    def test_large_k_routes_to_lax(self):
+        v, i = self.index.search(self.queries[:2], 80, nprobe=32, impl="pallas")
+        v_lax, i_lax = self.index.search(self.queries[:2], 80, nprobe=32, impl="lax")
+        np.testing.assert_array_equal(i, i_lax)
+
+    def test_append_invalidates_shadow(self):
+        self.index.search(self.queries[:2], 5, nprobe=32, impl="pallas")
+        self.assertIsNotNone(self.index._corpus_i8)
+        rng = np.random.default_rng(8)
+        new = rng.normal(size=(10, 64)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        self.assertTrue(self.index.append(new, np.arange(2000, 2010)))
+        self.assertIsNone(self.index._corpus_i8)
+        v, i = self.index.search(new[:4], 1, nprobe=32, impl="pallas")
+        np.testing.assert_array_equal(i[:, 0], np.arange(2000, 2004))
+
+
 class IVFAppendTest(unittest.TestCase):
     """Incremental appends (FAISS IndexIVF.add analogue)."""
 
