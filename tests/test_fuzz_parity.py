@@ -58,6 +58,86 @@ class KernelFuzzTest(unittest.TestCase):
                 )
 
 
+class Int8FuzzTest(unittest.TestCase):
+    """Randomized configs through the int8 scan + exact rescore.
+
+    Exact equality is only guaranteed on separated data, so the property
+    checked is two-sided: (a) returned DISTANCES are exactly the
+    full-precision scores of the returned ids (the rescore contract), in
+    descending order, respecting mask/count; (b) recall vs the oracle is
+    high (the nomination property)."""
+
+    def test_random_configs_rescore_contract(self):
+        from photo_search_engine_tpu.ops.quantized import int8_search, quantize_rows
+
+        rng = np.random.default_rng(11)
+        for trial in range(10):
+            n = int(rng.integers(50, 3000))
+            dim = int(rng.choice([16, 64, 130]))
+            q = int(rng.integers(1, 7))
+            k = int(rng.integers(1, min(n, 16) + 1))
+            metric = str(rng.choice(["ip", "l2"]))
+            use_mask = bool(rng.random() < 0.4)
+            use_count = bool(rng.random() < 0.4)
+
+            corpus = rng.normal(size=(n, dim)).astype(np.float32)
+            corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+            queries = rng.normal(size=(q, dim)).astype(np.float32)
+            mask = (rng.random(n) > 0.3).astype(np.int32) if use_mask else None
+            count = int(rng.integers(k, n + 1)) if use_count else None
+            label = (f"trial={trial} n={n} d={dim} q={q} k={k} {metric} "
+                     f"mask={use_mask} count={count}")
+
+            q8, scales = quantize_rows(jnp.asarray(corpus))
+            vals, idx = int8_search(
+                q8, scales, jnp.asarray(corpus), jnp.asarray(queries), k,
+                count=count, mask=None if mask is None else jnp.asarray(mask),
+                metric=metric,
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
+
+            scores = queries @ corpus.T
+            if metric == "l2":
+                qn = (queries**2).sum(1, keepdims=True)
+                cn = (corpus**2).sum(1)[None, :]
+                dist = qn + cn - 2 * scores
+            valid = np.arange(n) < (n if count is None else count)
+            if mask is not None:
+                valid = valid & (mask > 0)
+
+            for r in range(q):
+                live = idx[r] >= 0
+                ids = idx[r][live]
+                # (a) ids respect mask/count and values are the exact
+                # full-precision scores, correctly ordered
+                self.assertTrue(valid[ids].all(), label)
+                if metric == "ip":
+                    np.testing.assert_allclose(
+                        vals[r][live], scores[r][ids], rtol=2e-4, atol=2e-4,
+                        err_msg=label,
+                    )
+                    self.assertTrue(
+                        (np.diff(vals[r][live]) <= 1e-5).all(), label
+                    )
+                else:
+                    np.testing.assert_allclose(
+                        vals[r][live], dist[r][ids], rtol=2e-4, atol=2e-4,
+                        err_msg=label,
+                    )
+                    self.assertTrue(
+                        (np.diff(vals[r][live]) >= -1e-5).all(), label
+                    )
+                # (b) nomination recall vs the oracle
+                ref_scores = np.where(
+                    valid, scores[r] if metric == "ip" else -dist[r], -np.inf
+                )
+                n_valid = int((ref_scores > -np.inf).sum())
+                ref_ids = np.argsort(-ref_scores, kind="stable")[: min(k, n_valid)]
+                if len(ref_ids):
+                    recall = len(set(ids.tolist()) & set(ref_ids.tolist())) / len(ref_ids)
+                    self.assertGreaterEqual(recall, 0.7, label)
+
+
 class Bm25FuzzTest(unittest.TestCase):
     def test_random_corpora_native_matches_python(self):
         rng = np.random.default_rng(7)
