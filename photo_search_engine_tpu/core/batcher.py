@@ -8,6 +8,12 @@ batched device scan, then scatters per-request slices back — the same
 batching that lifts the kernel from ~190 QPS (batch 1) to >24k QPS
 (batch 128) at 1M×1536.
 
+Filtered requests batch too: concurrent queries with DIFFERENT
+season/time predicates are coalesced through the grouped-mask kernel
+(ops/grouped_mask.py) — distinct masks dedupe to a tiny predicate table
+and each query selects its row on the MXU, so a mixed
+filtered/unfiltered batch still costs one scan.
+
 No reference equivalent (net-new serving component).  Enabled via
 ``SEARCH_MICROBATCH_ENABLED`` (api/app composition).
 """
@@ -22,33 +28,41 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("query", "k", "event", "result", "error")
+    __slots__ = ("query", "k", "mask", "event", "result", "error")
 
-    def __init__(self, query: np.ndarray, k: int) -> None:
+    def __init__(self, query: np.ndarray, k: int, mask: Optional[np.ndarray]) -> None:
         self.query = query
         self.k = k
+        self.mask = mask
         self.event = threading.Event()
         self.result: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.error: Optional[BaseException] = None
 
 
 class MicroBatcher:
-    """Batches concurrent ``search(query, k)`` calls into one device call.
+    """Batches concurrent ``search(query, k[, mask])`` calls into one
+    device call.
 
     ``run_batch(queries [B, D], k) -> (dists [B, k], idx [B, k])`` is the
-    underlying batched search.  Requests arriving within ``window_s`` of
-    each other (up to ``max_batch``) share one call; a request's k may
-    differ — the batch runs at the max k and each caller gets a slice.
+    unfiltered batched search.  ``run_grouped_batch(queries, k,
+    mask_table [M, N], mask_ids [B])`` (optional) handles batches where
+    at least one request carries a row filter; without it, filtered
+    requests fall back to per-request calls via ``run_masked``.
+    Requests arriving within ``window_s`` of each other (up to
+    ``max_batch``) share one call; a request's k may differ — the batch
+    runs at the max k and each caller gets a slice.
     """
 
     def __init__(
         self,
         run_batch: Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]],
         *,
+        run_grouped_batch: Optional[Callable[..., Tuple[np.ndarray, np.ndarray]]] = None,
         max_batch: int = 128,
         window_s: float = 0.003,
     ) -> None:
         self._run_batch = run_batch
+        self._run_grouped_batch = run_grouped_batch
         self.max_batch = int(max_batch)
         self.window_s = float(window_s)
         self._lock = threading.Condition()
@@ -57,6 +71,7 @@ class MicroBatcher:
         self._stopped = False
         self.batches_run = 0
         self.requests_served = 0
+        self.grouped_batches_run = 0
 
     # ------------------------------------------------------------------
     def _ensure_worker(self) -> None:
@@ -91,11 +106,42 @@ class MicroBatcher:
                 del self._queue[: len(batch)]
             self._execute(batch)
 
+    @staticmethod
+    def _factor_masks(
+        batch: List[_Pending],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dedupe per-request masks into (mask_table [M, N], ids [B]).
+        Row 0 is the all-ones predicate for unfiltered requests."""
+        n = max(item.mask.shape[0] for item in batch if item.mask is not None)
+        rows: List[np.ndarray] = [np.ones(n, np.int8)]
+        digests = {None: 0}
+        ids = np.zeros(len(batch), np.int32)
+        for pos, item in enumerate(batch):
+            if item.mask is None:
+                continue
+            mask = np.zeros(n, np.int8)
+            mask[: item.mask.shape[0]] = np.asarray(item.mask, np.int8)
+            key = mask.tobytes()
+            row = digests.get(key)
+            if row is None:
+                row = len(rows)
+                rows.append(mask)
+                digests[key] = row
+            ids[pos] = row
+        return np.stack(rows), ids
+
     def _execute(self, batch: List[_Pending]) -> None:
         try:
             queries = np.stack([item.query for item in batch])
             k_max = max(item.k for item in batch)
-            dists, idx = self._run_batch(queries, k_max)
+            if any(item.mask is not None for item in batch) and (
+                self._run_grouped_batch is not None
+            ):
+                table, ids = self._factor_masks(batch)
+                dists, idx = self._run_grouped_batch(queries, k_max, table, ids)
+                self.grouped_batches_run += 1
+            else:
+                dists, idx = self._run_batch(queries, k_max)
             for row, item in enumerate(batch):
                 item.result = (dists[row, : item.k], idx[row, : item.k])
         except BaseException as exc:  # propagate to every waiter
@@ -108,8 +154,19 @@ class MicroBatcher:
                 item.event.set()
 
     # ------------------------------------------------------------------
-    def search(self, query: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        pending = _Pending(np.asarray(query, np.float32), int(k))
+    def search(
+        self,
+        query: np.ndarray,
+        k: int,
+        mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if mask is not None and self._run_grouped_batch is None:
+            raise ValueError("this MicroBatcher has no grouped (filtered) path")
+        pending = _Pending(
+            np.asarray(query, np.float32),
+            int(k),
+            None if mask is None else np.asarray(mask),
+        )
         with self._lock:
             self._ensure_worker()
             self._queue.append(pending)
@@ -123,25 +180,33 @@ class MicroBatcher:
 def attach_microbatcher(
     vector_index: Any, *, max_batch: int = 128, window_s: float = 0.003
 ) -> MicroBatcher:
-    """Route a VectorIndex's unmasked single-query searches through a
-    shared MicroBatcher.  Masked searches (per-query filters) bypass it."""
+    """Route a VectorIndex's single-query searches — filtered and
+    unfiltered — through a shared MicroBatcher."""
 
-    def run_batch(queries: np.ndarray, k: int):
-        # zero-copy path: (distances, row indices) straight from the store
-        dists, idx = vector_index.raw_search_batch(queries, k)
+    def _pad(dists: np.ndarray, idx: np.ndarray, k: int):
         if dists.shape[1] < k:  # store clamped k to its live count
             pad = k - dists.shape[1]
             dists = np.pad(dists, ((0, 0), (0, pad)), constant_values=-np.inf)
             idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         return dists, idx
 
-    batcher = MicroBatcher(run_batch, max_batch=max_batch, window_s=window_s)
+    def run_batch(queries: np.ndarray, k: int):
+        # zero-copy path: (distances, row indices) straight from the store
+        return _pad(*vector_index.raw_search_batch(queries, k), k)
 
-    def batched_search(query_embedding, top_k):
-        if vector_index.get_total_items() == 0:
-            return []
-        k = min(int(top_k), vector_index.get_total_items())
-        dists, idx = batcher.search(np.asarray(query_embedding, np.float32), k)
+    def run_grouped_batch(queries: np.ndarray, k: int, table, ids):
+        return _pad(
+            *vector_index.raw_grouped_search_batch(queries, k, table, ids), k
+        )
+
+    batcher = MicroBatcher(
+        run_batch,
+        run_grouped_batch=run_grouped_batch,
+        max_batch=max_batch,
+        window_s=window_s,
+    )
+
+    def _hits(dists, idx):
         hits = []
         for d, i in zip(dists.tolist(), idx.tolist()):
             if i < 0:
@@ -151,6 +216,25 @@ def attach_microbatcher(
             )
         return hits
 
+    def batched_search(query_embedding, top_k):
+        if vector_index.get_total_items() == 0:
+            return []
+        k = min(int(top_k), vector_index.get_total_items())
+        dists, idx = batcher.search(np.asarray(query_embedding, np.float32), k)
+        return _hits(dists, idx)
+
+    def batched_search_masked(query_embedding, top_k, mask):
+        if vector_index.get_total_items() == 0:
+            return []
+        k = min(int(top_k), vector_index.get_total_items())
+        dists, idx = batcher.search(
+            np.asarray(query_embedding, np.float32), k, mask=np.asarray(mask)
+        )
+        return _hits(dists, idx)
+
     vector_index.search = batched_search
+    if vector_index.metric != "l2":
+        # grouped kernels are inner-product only; l2 keeps the direct path
+        vector_index.search_masked = batched_search_masked
     vector_index._microbatcher = batcher
     return batcher

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
 from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.ops import topk as topk_ops
 
@@ -219,6 +220,65 @@ class EmbeddingStore:
                 count=self._count,
                 mask=mask_dev,
                 metric=metric,
+                impl=impl,
+                block_n=self.block_rows,
+            )
+        return np.asarray(dists), np.asarray(idx)
+
+    # ------------------------------------------------------------------
+    def grouped_search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask_table: np.ndarray,  # [M, count] bool/int — distinct predicates
+        mask_ids: np.ndarray,    # [Q] int — each query's predicate row
+        *,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched per-query filtered top-k (ops/grouped_mask.py): one
+        device scan for a batch whose queries carry DIFFERENT predicates.
+        Inner-product/cosine only; l2 stores fall back to per-query
+        masked scans."""
+        if self._count == 0:
+            q = np.atleast_2d(np.asarray(queries)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        queries = self._prepare(np.asarray(queries, np.float32))
+        if self.metric == "l2":
+            outs = [
+                self.search(queries[i], k, mask=np.asarray(mask_table)[mask_ids[i]],
+                            impl=impl if impl != "int8" else "auto")
+                for i in range(queries.shape[0])
+            ]
+            return (
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+            )
+        k = min(k, self._count)
+        table = np.zeros((len(mask_table), self.capacity), np.int8)
+        table[:, : self._count] = np.asarray(mask_table)[:, : self._count]
+        ids = jnp.asarray(np.asarray(mask_ids, np.int32))
+        if impl == "int8":
+            if not self.quantized:
+                raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+            dists, idx = quant_ops.grouped_int8_search(
+                self._device_i8,
+                self._scales[:, 0],
+                self._device,
+                jnp.asarray(queries, jnp.float32),
+                jnp.asarray(table),
+                ids,
+                k,
+                count=self._count,
+                block_n=self._i8_block,
+            )
+        else:
+            dists, idx = grouped_ops.grouped_mask_search(
+                self._device,
+                jnp.asarray(queries, self.store_dtype),
+                jnp.asarray(table),
+                ids,
+                k,
+                count=self._count,
                 impl=impl,
                 block_n=self.block_rows,
             )

@@ -234,6 +234,24 @@ class VectorIndex:
         k = min(int(top_k), self._store.count)
         return self._store.search(queries, k, mask=mask, impl=self._search_impl)
 
+    def raw_grouped_search_batch(
+        self,
+        query_embeddings: np.ndarray,
+        top_k: int,
+        mask_table: np.ndarray,
+        mask_ids: np.ndarray,
+    ):
+        """Batched per-query filtered search (distinct predicates per
+        query, one device scan) — the micro-batcher's filtered path."""
+        if self._store is None or self._store.count == 0:
+            q = np.atleast_2d(np.asarray(query_embeddings)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        k = min(int(top_k), self._store.count)
+        return self._store.grouped_search(
+            queries, k, mask_table, mask_ids, impl=self._search_impl
+        )
+
     def search_masked(
         self, query_embedding: List[float], top_k: int, mask: np.ndarray
     ) -> List[Dict[str, Any]]:

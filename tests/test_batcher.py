@@ -113,6 +113,72 @@ class MicroBatcherTest(unittest.TestCase):
             self.assertLessEqual(batcher.batches_run, 8)
             self.assertEqual(batcher.requests_served, 8)
 
+    def test_mixed_filtered_and_unfiltered_batch(self):
+        """Concurrent requests with DIFFERENT predicates coalesce through
+        the grouped-mask kernel; each respects its own filter."""
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=8,
+                index_path=os.path.join(tmp, "ps.index"),
+                metadata_path=os.path.join(tmp, "m.json"),
+                metric="cosine",
+            )
+            rng = np.random.default_rng(3)
+            vectors = rng.normal(size=(40, 8)).astype(np.float32)
+            vi.add_batch(vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(40)])
+            batcher = attach_microbatcher(vi, window_s=0.05)
+
+            even = np.zeros(40, bool); even[::2] = True
+            low = np.zeros(40, bool); low[:20] = True
+            results = {}
+
+            def worker(i):
+                if i % 3 == 0:
+                    hits = vi.search(vectors[i].tolist(), 3)  # unfiltered
+                elif i % 3 == 1:
+                    hits = vi.search_masked(vectors[i].tolist(), 3, even)
+                else:
+                    hits = vi.search_masked(vectors[i].tolist(), 3, low)
+                results[i] = [h["metadata"]["photo_path"] for h in hits]
+
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(9)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            batcher.close()
+            for i in range(9):
+                ids = [int(p.split("/")[-1][:-4]) for p in results[i]]
+                if i % 3 == 0:
+                    self.assertEqual(ids[0], i)  # self-hit, no filter
+                elif i % 3 == 1:
+                    self.assertTrue(all(x % 2 == 0 for x in ids), (i, ids))
+                else:
+                    self.assertTrue(all(x < 20 for x in ids), (i, ids))
+            # filtered + unfiltered requests shared grouped batches
+            self.assertGreaterEqual(batcher.grouped_batches_run, 1)
+            self.assertLessEqual(batcher.batches_run, 9)
+
+    def test_quantized_index_grouped_batch(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=8,
+                index_path=os.path.join(tmp, "ps.index"),
+                metadata_path=os.path.join(tmp, "m.json"),
+                metric="cosine",
+                quantized=True,
+            )
+            rng = np.random.default_rng(4)
+            vectors = rng.normal(size=(30, 8)).astype(np.float32)
+            vi.add_batch(vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(30)])
+            batcher = attach_microbatcher(vi, window_s=0.02)
+            mask = np.zeros(30, bool); mask[:10] = True
+            hits = vi.search_masked(vectors[0].tolist(), 3, mask)
+            batcher.close()
+            ids = [int(h["metadata"]["photo_path"].split("/")[-1][:-4]) for h in hits]
+            self.assertTrue(all(x < 10 for x in ids), ids)
+            self.assertEqual(ids[0], 0)
+
 
 if __name__ == "__main__":
     unittest.main()
