@@ -15,8 +15,11 @@ approximate path (BASELINE.md north star, SURVEY.md §7.7) is IVF:
   clusters via a scalar-prefetch Pallas kernel (the grid's block index
   map reads the selected-cluster ids, so unprobed clusters are never
   DMA'd), with per-query probe masks and the same running-top-k merge as
-  the exact kernel.  Stored vectors are full precision, so recall loss
-  comes only from cluster pruning (exact search stays the recall oracle).
+  the exact kernel.  Stored vectors are full precision by default, so
+  recall loss comes only from cluster pruning (exact search stays the
+  recall oracle); ``quantized=True`` adds an int8 list shadow (the
+  FAISS IVF-SQ8 analogue) that nominates candidates for an exact rescore
+  — a memory option (¼ of f32 list HBM), see docs/DESIGN.md §4.
 """
 
 from __future__ import annotations
