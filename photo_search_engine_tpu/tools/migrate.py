@@ -103,6 +103,7 @@ def migrate(
     faiss_meta_path: Optional[str] = None,
     metric: Optional[str] = None,
     dimension: Optional[int] = None,
+    index_type: str = "flat",
 ) -> Dict[str, Any]:
     from photo_search_engine_tpu.core.keyword_index import KeywordIndex
     from photo_search_engine_tpu.core.vector_index import VectorIndex
@@ -130,6 +131,10 @@ def migrate(
         index_path=os.path.join(out_dir, "photo_search.index"),
         metadata_path=os.path.join(out_dir, "metadata.json"),
         metric=metric,
+        # "ivf" stamps the sidecar so a VECTOR_INDEX_TYPE=ivf server can
+        # open the migrated corpus directly (lists build lazily on first
+        # search); the stored vectors are identical either way
+        index_type=index_type,
     )
     vector_index.add_batch(vectors, metadata)
     vector_index.save()
@@ -182,6 +187,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--metric", default=None)
     parser.add_argument("--dimension", type=int, default=None)
+    parser.add_argument(
+        "--index-type", default="flat", choices=["flat", "ivf"],
+        help="index type stamped into the sidecar (ivf for million-scale)",
+    )
     args = parser.parse_args(argv)
     report = migrate(
         args.faiss_index,
@@ -189,6 +198,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         args.out_dir,
         metric=args.metric,
         dimension=args.dimension,
+        index_type=args.index_type,
     )
     print(json.dumps(report, ensure_ascii=False, indent=2))
     return 0

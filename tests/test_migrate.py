@@ -116,6 +116,47 @@ class MigrateRoundtripTest(unittest.TestCase):
             report = evaluate(out_dir, k=3)
             self.assertEqual(report["exact_recall_at_k"], 1.0)
 
+    def test_migrate_to_ivf_sidecar(self):
+        rng = np.random.default_rng(2)
+        vectors = rng.normal(size=(24, 16)).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+        metadata = [
+            {"photo_path": f"/p/{i}.jpg", "description": f"d{i}",
+             "index_text_version": "2"}
+            for i in range(24)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            index_path = os.path.join(tmp, "ref.index")
+            metadata_path = os.path.join(tmp, "metadata.json")
+            _fake_faiss_binary(index_path, vectors)
+            with open(metadata_path, "w") as f:
+                json.dump(metadata, f)
+            with open(index_path + ".meta.json", "w") as f:
+                json.dump({"metric": "cosine", "dimension": 16}, f)
+            out_dir = os.path.join(tmp, "out")
+            migrate(index_path, metadata_path, out_dir, index_type="ivf")
+
+            from photo_search_engine_tpu.core.vector_index import VectorIndex
+
+            # an ivf-configured server opens the migrated corpus directly
+            vi = VectorIndex(
+                dimension=16,
+                index_path=os.path.join(out_dir, "photo_search.index"),
+                metadata_path=os.path.join(out_dir, "metadata.json"),
+                index_type="ivf", ivf_nlist=4, ivf_nprobe=4,
+            )
+            self.assertTrue(vi.load())
+            hits = vi.search(vectors[3].tolist(), 1)
+            self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/3.jpg")
+            # while a flat-configured one refuses (type mismatch)
+            flat = VectorIndex(
+                dimension=16,
+                index_path=os.path.join(out_dir, "photo_search.index"),
+                metadata_path=os.path.join(out_dir, "metadata.json"),
+            )
+            with self.assertRaises(ValueError):
+                flat.load()
+
     @unittest.skipUnless(
         os.path.isdir(_REFERENCE_DATA), "reference data not mounted"
     )
