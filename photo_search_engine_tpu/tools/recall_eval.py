@@ -74,6 +74,22 @@ def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
             ivf_hits += len(set(got) & set(oracle[row].tolist()))
         ivf_recall = ivf_hits / (n * k_eval)
 
+    # int8 scan + exact rescore path (real embeddings, not synthetic —
+    # measures the quantized nomination on the corpus's own distribution)
+    int8_recall = None
+    if n >= 2:
+        from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+
+        q_store = EmbeddingStore.from_array(
+            corpus, metric="cosine", quantized=True, already_normalized=True
+        )
+        _, i8_idx = q_store.search(corpus, k_eval + 1, impl="int8")
+        i8_hits = 0
+        for row in range(n):
+            got = [i for i in i8_idx[row].tolist() if i != row and i >= 0][:k_eval]
+            i8_hits += len(set(got) & set(oracle[row].tolist()))
+        int8_recall = i8_hits / (n * k_eval)
+
     # masked (time-filtered) search vs host-filtered oracle
     mask_checks = 0
     mask_correct = 0
@@ -110,6 +126,7 @@ def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
         "exact_recall_at_k": round(exact_recall, 4),
         "exact_batch_seconds": round(exact_elapsed, 4),
         "ivf_recall_at_k": None if ivf_recall is None else round(ivf_recall, 4),
+        "int8_recall_at_k": None if int8_recall is None else round(int8_recall, 4),
         "masked_search_checks": mask_checks,
         "masked_search_correct": mask_correct,
         "k": k_eval,
