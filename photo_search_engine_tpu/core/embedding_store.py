@@ -60,6 +60,8 @@ class EmbeddingStore:
         store_dtype: str = "float32",
         block_rows: Optional[int] = None,
         quantized: bool = False,
+        int8_kloc: Optional[int] = None,
+        int8_cand: Optional[int] = None,
     ) -> None:
         if metric not in {"cosine", "l2", "ip"}:
             raise ValueError("metric must be cosine, l2 or ip")
@@ -78,6 +80,11 @@ class EmbeddingStore:
         # neither search path re-pads (re-padding copies the whole corpus):
         # block_rows drops to a power of two and capacity aligns to the max.
         self.quantized = bool(quantized)
+        # int8 nomination knobs (None = safe defaults, see ops/quantized.py):
+        # kloc < k trades burst-safety for ~1.3× scan QPS on corpora whose
+        # insertion order does not cluster near-duplicates
+        self.int8_kloc = int8_kloc
+        self.int8_cand = int8_cand
         self._i8_block = quant_ops.default_block_n_int8(self.dimension)
         if self.quantized:
             self.block_rows = max(128, 1 << (self.block_rows.bit_length() - 1))
@@ -210,6 +217,8 @@ class EmbeddingStore:
                 count=self._count,
                 mask=mask_dev,
                 metric=metric,
+                kloc=self.int8_kloc,
+                cand=self.int8_cand,
                 block_n=self._i8_block,
             )
         else:
@@ -269,6 +278,8 @@ class EmbeddingStore:
                 ids,
                 k,
                 count=self._count,
+                kloc=self.int8_kloc,
+                cand=self.int8_cand,
                 block_n=self._i8_block,
             )
         else:
@@ -312,6 +323,8 @@ class EmbeddingStore:
         block_rows: Optional[int] = None,
         already_normalized: bool = False,
         quantized: bool = False,
+        int8_kloc: Optional[int] = None,
+        int8_cand: Optional[int] = None,
     ) -> "EmbeddingStore":
         store = cls(
             array.shape[1],
@@ -319,6 +332,8 @@ class EmbeddingStore:
             store_dtype=store_dtype,
             block_rows=block_rows,
             quantized=quantized,
+            int8_kloc=int8_kloc,
+            int8_cand=int8_cand,
         )
         # Normalization is idempotent, so already-normalized input is safe.
         del already_normalized
