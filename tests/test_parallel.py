@@ -285,6 +285,25 @@ class ShardedCheckpointTest(unittest.TestCase):
                 smaller.reconstruct(int(idx[0][0])), vectors[3], rtol=1e-5
             )
 
+    def test_quantized_store_survives_save_load(self):
+        import tempfile
+
+        rng = np.random.default_rng(8)
+        store = ShardedEmbeddingStore(
+            16, make_mesh(), metric="ip", shard_block=8, quantized=True
+        )
+        vectors = rng.normal(size=(20, 16)).astype(np.float32)
+        store.append(vectors)
+        d_ref, i_ref = store.search(vectors[:3], 3, impl="int8")
+        with tempfile.TemporaryDirectory() as tmp:
+            store.save(tmp)
+            fresh = ShardedEmbeddingStore(
+                16, make_mesh(), metric="ip", shard_block=8, quantized=True
+            )
+            self.assertTrue(fresh.load(tmp))
+            d2, i2 = fresh.search(vectors[:3], 3, impl="int8")
+            np.testing.assert_array_equal(i2, i_ref)
+
     def test_unknown_format_rejected(self):
         import tempfile
 
