@@ -36,11 +36,6 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-@jax.jit
-def _normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
-    return topk_ops.l2_normalize(x)
-
-
 def _update_slice(buf: jnp.ndarray, rows: jnp.ndarray, start) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
 

@@ -815,8 +815,6 @@ class IVFIndex:
             )
             metric = "l2" if self.metric == "l2" else "ip"
             interpret = jax.default_backend() != "tpu"
-            dummy_qs = jnp.ones((qp, 1), jnp.float32)
-            dummy_cs = jnp.ones((1, self.nlist * self.capacity), jnp.float32)
             if self.quantized:
                 # int8 list scan nominating 2k candidates, then an exact
                 # rescore from the full-precision layout (same two-tier
@@ -875,8 +873,8 @@ class IVFIndex:
                     probe_p,
                     self._row_valid,
                     cnorms,
-                    dummy_qs,
-                    dummy_cs,
+                    jnp.ones((qp, 1), jnp.float32),
+                    jnp.ones((1, self.nlist * self.capacity), jnp.float32),
                     k,
                     bq,
                     self.capacity,
