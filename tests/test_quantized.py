@@ -364,6 +364,21 @@ class WideLaneFastPathTest(unittest.TestCase):
         )
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
 
+    def test_pallas_fast_non_pow2_block(self):
+        # bn between 1024 and 2048 needs 11 lane bits but isn't a power
+        # of two; the mask must still cover every lane id
+        rng = np.random.default_rng(3)
+        corpus = _normalize(rng.normal(size=(4000, 64))).astype(np.float32)
+        queries = _normalize(rng.normal(size=(8, 64))).astype(np.float32)
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(queries), 10, metric="ip"
+        )
+        vals, idx = exact_search(
+            jnp.asarray(corpus), jnp.asarray(queries), 10,
+            metric="ip", impl="pallas_fast", block_n=1536,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
     def test_oversized_block_rejected(self):
         from photo_search_engine_tpu.ops.topk import _extract_block_topk_fast
 
