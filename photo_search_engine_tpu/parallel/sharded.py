@@ -33,6 +33,44 @@ from photo_search_engine_tpu.ops import topk as topk_ops
 DATA_AXIS = "data"
 
 
+def _stage(mesh: Mesh, x, spec: P, dtype=None):
+    """Place a host array directly onto the mesh with an explicit sharding.
+
+    Host data must NEVER go through ``jnp.asarray``/``jnp.full`` here: those
+    commit to the *default* backend, which on some hosts is a TPU plugin the
+    CPU-mesh path must not touch (and may be broken — e.g. a libtpu version
+    mismatch).  jax.Array inputs are assumed already placed by the caller
+    (pulling a sharded corpus back to host to re-place it would cost
+    minutes/GB on this relay)."""
+    if isinstance(x, jax.Array):
+        return x
+    arr = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _row_updater(mesh: Mesh, ndim: int):
+    """Donated per-shard tail write: each shard applies a
+    ``dynamic_update_slice`` of its chunk at its own start offset —
+    the sharded analogue of core/embedding_store._update_slice_jit."""
+    spec = P(DATA_AXIS, None) if ndim == 2 else P(DATA_AXIS)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def upd(buf, chunk, starts):
+        s = jax.lax.axis_index(DATA_AXIS)
+        idx = (starts[s], 0) if ndim == 2 else (starts[s],)
+        return jax.lax.dynamic_update_slice(buf, chunk.astype(buf.dtype), idx)
+
+    return upd
+
+
 def _shard_block_n(shard_rows: int) -> int:
     """Largest int8 kernel block that divides the shard capacity (so the
     per-shard pad inside shard_map is a no-op instead of a shard copy)."""
@@ -129,12 +167,14 @@ def sharded_exact_search(
         )
     shard_rows = total_rows // n_shards
     if counts is None:
-        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
-    else:
-        counts_arr = jnp.asarray(counts, jnp.int32)
+        counts = np.full((n_shards,), shard_rows, np.int32)
+    counts_arr = _stage(mesh, counts, P(), np.int32)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "lax"
-    queries = jnp.atleast_2d(queries)
+    corpus = _stage(mesh, corpus, P(DATA_AXIS, None))
+    if not isinstance(queries, jax.Array):
+        queries = np.atleast_2d(np.asarray(queries))
+    queries = jnp.atleast_2d(_stage(mesh, queries, P()))
     k = min(k, total_rows)
     kernel_metric = "ip" if metric == "cosine" else metric
 
@@ -181,10 +221,14 @@ def sharded_int8_search(
         )
     shard_rows = total_rows // n_shards
     if counts is None:
-        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
-    else:
-        counts_arr = jnp.asarray(counts, jnp.int32)
-    queries = jnp.atleast_2d(queries).astype(jnp.float32)
+        counts = np.full((n_shards,), shard_rows, np.int32)
+    counts_arr = _stage(mesh, counts, P(), np.int32)
+    corpus_i8 = _stage(mesh, corpus_i8, P(DATA_AXIS, None))
+    scales = _stage(mesh, scales, P(DATA_AXIS), np.float32)
+    corpus_ref = _stage(mesh, corpus_ref, P(DATA_AXIS, None))
+    if not isinstance(queries, jax.Array):
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+    queries = jnp.atleast_2d(_stage(mesh, queries, P())).astype(jnp.float32)
     k = min(k, total_rows)
     kernel_metric = "ip" if metric == "cosine" else metric
     block_n = _shard_block_n(shard_rows)
@@ -244,9 +288,10 @@ def sharded_kmeans_step(
     shard_rows = total_rows // n_shards
     nlist = centroids.shape[0]
     if counts is None:
-        counts_arr = jnp.full((n_shards,), shard_rows, jnp.int32)
-    else:
-        counts_arr = jnp.asarray(counts, jnp.int32)
+        counts = np.full((n_shards,), shard_rows, np.int32)
+    counts_arr = _stage(mesh, counts, P(), np.int32)
+    corpus = _stage(mesh, corpus, P(DATA_AXIS, None))
+    centroids = _stage(mesh, centroids, P())
 
     @functools.partial(
         shard_map,
@@ -317,6 +362,9 @@ class ShardedEmbeddingStore:
         self._device_i8: Optional[jnp.ndarray] = None
         self._scales: Optional[jnp.ndarray] = None
         self._dirty = True
+        # per-shard live rows already present in the device buffer; lets
+        # _sync upload only the appended tail instead of the whole corpus
+        self._synced_counts: Optional[np.ndarray] = None
 
     @property
     def counts(self) -> np.ndarray:
@@ -332,50 +380,148 @@ class ShardedEmbeddingStore:
     _ID_STRIDE = 1 << 40
 
     def append(self, vectors: np.ndarray) -> np.ndarray:
-        """Append rows; returns stable global row ids."""
+        """Append rows; returns stable global row ids.
+
+        Placement is the balanced greedy fill (each row to the shard with
+        the fewest live rows, ties to the lowest shard id) — computed
+        vectorized: a water-fill decides how many rows each shard takes,
+        then one lexsort recovers the greedy row→slot order, and each
+        shard gets ONE concatenate for its whole batch (the round-1
+        per-row argmin+concatenate loop was O(rows²) host copying)."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return np.zeros((0,), np.int64)
         if self.metric == "cosine":
             norms = np.linalg.norm(vectors, axis=1, keepdims=True)
             vectors = np.where(norms > 0, vectors / np.maximum(norms, 1e-30), vectors)
-        ids = []
-        for row in vectors:
-            target = int(np.argmin(self.counts))
-            local = self._host_shards[target].shape[0]
-            self._host_shards[target] = np.concatenate(
-                [self._host_shards[target], row[None, :]]
-            )
-            ids.append(target * self._ID_STRIDE + local)
+        counts = self.counts.astype(np.int64)
+        take = np.zeros(self.n_shards, np.int64)
+        # water-fill: raise the lowest level until n_new rows are placed
+        level = counts + take
+        remaining = n_new
+        while remaining > 0:
+            low = level.min()
+            at_low = np.flatnonzero(level == low)
+            above = level[level > low]
+            step = (int(above.min()) - int(low)) if above.size else remaining
+            fill = min(step * at_low.size, remaining)
+            per, extra = divmod(fill, at_low.size)
+            take[at_low] += per
+            take[at_low[:extra]] += 1  # greedy ties go to lowest shard ids
+            level = counts + take
+            remaining -= fill
+        # greedy order = slots sorted by (local level, shard id)
+        slot_shard = np.repeat(np.arange(self.n_shards, dtype=np.int64), take)
+        slot_local = np.concatenate(
+            [counts[s] + np.arange(take[s], dtype=np.int64)
+             for s in range(self.n_shards)]
+        ) if n_new else np.zeros((0,), np.int64)
+        order = np.lexsort((slot_shard, slot_local))
+        # input row j lands in slot order[j]
+        ids = slot_shard[order] * self._ID_STRIDE + slot_local[order]
+        for s in range(self.n_shards):
+            if take[s]:
+                sel = slot_shard[order] == s
+                # within one shard the greedy order is local-ascending,
+                # so the selected input rows are already in position order
+                self._host_shards[s] = np.concatenate(
+                    [self._host_shards[s], vectors[sel]]
+                )
         self._dirty = True
-        return np.asarray(ids, np.int64)
+        return ids
 
     def _shard_capacity_hint(self) -> int:
         rows = max((s.shape[0] for s in self._host_shards), default=0)
         return max(self.shard_block, -(-rows // self.shard_block) * self.shard_block)
 
+    @staticmethod
+    def _quantize_host(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side mirror of ops/quantized.quantize_rows (symmetric
+        per-row absmax) — keeps _sync off the default JAX backend."""
+        absmax = np.abs(rows).max(axis=1, keepdims=True) if rows.size else \
+            np.zeros((rows.shape[0], 1), np.float32)
+        scale = absmax / 127.0
+        q = np.clip(
+            np.round(rows / np.maximum(scale, 1e-30)), -127, 127
+        ).astype(np.int8)
+        return q, scale[:, 0].astype(np.float32)
+
     def _sync(self) -> Tuple[jnp.ndarray, int]:
+        """Mirror host shards into the device buffer.
+
+        Incremental path (the common serving case — rows were appended,
+        capacity unchanged): upload ONLY the per-shard tail chunks and
+        write them with a donated per-shard ``dynamic_update_slice``
+        (shard_map), like the single-device store's append
+        (core/embedding_store.py:137-160).  Full re-upload happens only on
+        first sync, capacity growth, or row removal."""
         capacity = self._shard_capacity_hint()
-        if self._dirty or self._device is None or self._device.shape[0] != capacity * self.n_shards:
+        if (
+            not self._dirty
+            and self._device is not None
+            and self._device.shape[0] == capacity * self.n_shards
+        ):
+            return self._device, capacity
+        counts = self.counts.astype(np.int64)
+        row_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        flat_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        full = (
+            self._device is None
+            or self._device.shape[0] != capacity * self.n_shards
+            or self._synced_counts is None
+            or np.any(counts < self._synced_counts)
+        )
+        if not full:
+            deltas = counts - self._synced_counts
+            max_d = int(deltas.max())
+            if max_d == 0:
+                self._dirty = False
+                return self._device, capacity
+            # the zero-padded chunk must fit below capacity on every shard
+            # (dynamic_update_slice would clamp the start and corrupt rows)
+            if np.any(self._synced_counts + max_d > capacity):
+                full = True
+        if full:
             stacked = np.zeros(
                 (self.n_shards * capacity, self.dimension), np.float32
             )
             for shard_id, shard in enumerate(self._host_shards):
                 stacked[shard_id * capacity : shard_id * capacity + shard.shape[0]] = shard
-            sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
             self._device = jax.device_put(
-                jnp.asarray(stacked, self.store_dtype), sharding
+                stacked.astype(self.store_dtype), row_sharding
             )
             if self.quantized:
-                absmax = np.abs(stacked).max(axis=1, keepdims=True)
-                scale = absmax / 127.0
-                q = np.clip(
-                    np.round(stacked / np.maximum(scale, 1e-30)), -127, 127
-                ).astype(np.int8)
-                self._device_i8 = jax.device_put(jnp.asarray(q), sharding)
-                self._scales = jax.device_put(
-                    jnp.asarray(scale[:, 0], jnp.float32),
-                    NamedSharding(self.mesh, P(DATA_AXIS)),
+                q, scales = self._quantize_host(stacked)
+                self._device_i8 = jax.device_put(q, row_sharding)
+                self._scales = jax.device_put(scales, flat_sharding)
+        else:
+            chunk = np.zeros((self.n_shards * max_d, self.dimension), np.float32)
+            for s in range(self.n_shards):
+                if deltas[s]:
+                    chunk[s * max_d : s * max_d + deltas[s]] = self._host_shards[s][
+                        self._synced_counts[s] : counts[s]
+                    ]
+            starts = jax.device_put(
+                self._synced_counts.astype(np.int32),
+                NamedSharding(self.mesh, P()),
+            )
+            upd2 = _row_updater(self.mesh, 2)
+            self._device = upd2(
+                self._device,
+                jax.device_put(chunk.astype(self.store_dtype), row_sharding),
+                starts,
+            )
+            if self.quantized:
+                q, scales = self._quantize_host(chunk)
+                self._device_i8 = upd2(
+                    self._device_i8, jax.device_put(q, row_sharding), starts
                 )
-            self._dirty = False
+                self._scales = _row_updater(self.mesh, 1)(
+                    self._scales, jax.device_put(scales, flat_sharding), starts
+                )
+        self._synced_counts = counts.copy()
+        self._dirty = False
         return self._device, capacity
 
     def search(
@@ -399,7 +545,7 @@ class ShardedEmbeddingStore:
                 self._device_i8,
                 self._scales,
                 corpus,
-                jnp.asarray(queries, jnp.float32),
+                queries,  # staged onto the mesh by sharded_int8_search
                 min(k, self.count),
                 self.mesh,
                 counts=self.counts,
@@ -408,7 +554,7 @@ class ShardedEmbeddingStore:
         else:
             vals, idx = sharded_exact_search(
                 corpus,
-                jnp.asarray(queries, self.store_dtype),
+                queries,  # staged onto the mesh; kernels cast to store dtype
                 min(k, self.count),
                 self.mesh,
                 counts=self.counts,
@@ -501,7 +647,15 @@ class ShardedEmbeddingStore:
             )
         return shards
 
-    def load(self, directory: str) -> bool:
+    def load(self, directory: str, *, allow_reshard: bool = False) -> bool:
+        """Restore shards from a checkpoint directory.
+
+        When the checkpoint's shard count differs from this mesh, rows are
+        re-split round-robin — which REASSIGNS every stable id (ids encode
+        shard*2^40+local).  Because callers persist those ids, a silent
+        re-shard would reconstruct the wrong vectors, so it requires an
+        explicit ``allow_reshard=True`` opt-in; otherwise a mismatch
+        raises."""
         import json
         import os
 
@@ -530,6 +684,13 @@ class ShardedEmbeddingStore:
         if saved_shards == self.n_shards:
             self._host_shards = shards
         else:
+            if not allow_reshard:
+                raise ValueError(
+                    f"checkpoint has {saved_shards} shards but mesh has "
+                    f"{self.n_shards}; re-sharding reassigns every stable id "
+                    "— pass allow_reshard=True only if no persisted ids "
+                    "reference this store"
+                )
             # re-shard: mesh size changed between save and load
             rows = np.concatenate([s for s in shards if s.size]) if shards else \
                 np.zeros((0, self.dimension), np.float32)
@@ -540,4 +701,5 @@ class ShardedEmbeddingStore:
                 splits = np.array_split(rows, self.n_shards)
                 self._host_shards = [np.ascontiguousarray(s, np.float32) for s in splits]
         self._dirty = True
+        self._synced_counts = None  # host shards replaced: force full upload
         return True

@@ -207,6 +207,83 @@ class ShardedStoreTest(unittest.TestCase):
             store.reconstruct(int(found[0][0])), vectors[3], rtol=1e-5
         )
 
+    def test_vectorized_append_matches_greedy_reference(self):
+        # the water-fill + lexsort placement must equal the per-row greedy
+        # (argmin count, ties to lowest shard id) it replaced
+        store = ShardedEmbeddingStore(4, make_mesh(), metric="ip", shard_block=8)
+        rng = np.random.default_rng(11)
+        # uneven starting counts via staggered appends
+        for batch in (3, 1, 13, 6):
+            vectors = rng.normal(size=(batch, 4)).astype(np.float32)
+            counts = store.counts.astype(np.int64).copy()
+            expect = []
+            for _ in range(batch):
+                target = int(np.argmin(counts))
+                expect.append(target * store._ID_STRIDE + int(counts[target]))
+                counts[target] += 1
+            ids = store.append(vectors)
+            self.assertEqual(ids.tolist(), expect)
+        # reconstruct must return the exact row appended under each id
+        probe = rng.normal(size=(5, 4)).astype(np.float32)
+        ids = store.append(probe)
+        for row, gid in zip(probe, ids):
+            np.testing.assert_allclose(store.reconstruct(int(gid)), row, rtol=1e-6)
+
+    def test_append_syncs_incrementally_without_full_reupload(self):
+        from photo_search_engine_tpu.parallel import sharded as sharded_mod
+
+        store = ShardedEmbeddingStore(
+            8, make_mesh(), metric="ip", shard_block=8, quantized=True
+        )
+        rng = np.random.default_rng(12)
+        first = rng.normal(size=(16, 8)).astype(np.float32)
+        store.append(first)
+        store.search(first[0], 1)  # full first sync
+        self.assertIsNotNone(store._synced_counts)
+        calls = []
+        real_updater = sharded_mod._row_updater
+
+        def spy(mesh, ndim):
+            fn = real_updater(mesh, ndim)
+
+            def wrapped(*args):
+                calls.append(ndim)
+                return fn(*args)
+
+            return wrapped
+
+        orig_put = jax.device_put
+        put_rows = []
+
+        def counting_put(x, *a, **kw):
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+                put_rows.append(int(np.asarray(x.shape)[0]))
+            return orig_put(x, *a, **kw)
+
+        second = rng.normal(size=(8, 8)).astype(np.float32)
+        store.append(second)
+        try:
+            sharded_mod._row_updater = spy
+            jax.device_put = counting_put
+            _, idx = store.search(second[2], 1)
+        finally:
+            sharded_mod._row_updater = real_updater
+            jax.device_put = orig_put
+        # the donated per-shard updater ran (f32 + int8 + scales)...
+        self.assertIn(2, calls)
+        self.assertIn(1, calls)
+        # ...and nothing the size of the full 64-row capacity was uploaded
+        capacity_rows = store.n_shards * store._shard_capacity_hint()
+        self.assertTrue(all(r < capacity_rows for r in put_rows), put_rows)
+        np.testing.assert_allclose(
+            store.reconstruct(int(idx[0][0])), second[2], rtol=1e-5
+        )
+        # int8 path stays consistent after the incremental sync
+        d8, i8 = store.search(second[:3], 2, impl="int8")
+        np.testing.assert_allclose(
+            store.reconstruct(int(i8[0][0])), second[0], rtol=1e-5
+        )
+
     def test_incremental_appends_keep_searchable(self):
         store = ShardedEmbeddingStore(16, make_mesh(), metric="ip", shard_block=8)
         rng = np.random.default_rng(3)
@@ -278,7 +355,9 @@ class ShardedCheckpointTest(unittest.TestCase):
         with tempfile.TemporaryDirectory() as tmp:
             store.save(tmp, format="orbax")
             smaller = ShardedEmbeddingStore(16, make_mesh(4), metric="ip", shard_block=8)
-            self.assertTrue(smaller.load(tmp))
+            with self.assertRaises(ValueError):
+                smaller.load(tmp)  # silent re-shard would invalidate ids
+            self.assertTrue(smaller.load(tmp, allow_reshard=True))
             self.assertEqual(smaller.count, 24)
             _, idx = smaller.search(vectors[3], 1)
             np.testing.assert_allclose(
@@ -325,7 +404,9 @@ class ShardedCheckpointTest(unittest.TestCase):
             smaller = ShardedEmbeddingStore(
                 16, make_mesh(4), metric="ip", shard_block=8
             )
-            self.assertTrue(smaller.load(tmp))
+            with self.assertRaises(ValueError):
+                smaller.load(tmp)  # silent re-shard would invalidate ids
+            self.assertTrue(smaller.load(tmp, allow_reshard=True))
             self.assertEqual(smaller.count, 24)
             _, idx = smaller.search(vectors[3], 1)
             np.testing.assert_allclose(
