@@ -88,6 +88,27 @@ def _build_vision_service(config: Dict[str, Any]):
     return LocalVisionService()
 
 
+def _resolve_mesh_devices(requested: int) -> int:
+    """MESH_DEVICES semantics: 0 = single-device store, N>=1 = mesh over the
+    first N devices, -1 = all visible devices.  Clamped with a warning when
+    fewer devices exist (graceful degradation, the reference design rule)."""
+    requested = int(requested or 0)
+    if requested == 0:
+        return 0
+    import jax
+
+    available = len(jax.devices())
+    if requested < 0:
+        return available
+    if requested > available:
+        print(
+            f"[WARN] MESH_DEVICES={requested} but only {available} device(s) "
+            f"visible; using {available}"
+        )
+        return available
+    return requested
+
+
 def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Construct + wire everything; optional pieces degrade to None or a
     local backend with a warning."""
@@ -107,6 +128,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         ivf_nprobe=config.get("IVF_NPROBE", 64),
         store_block_rows=config.get("TOPK_BLOCK_N") or None,
         quantized=bool(config.get("STORE_QUANTIZED", False)),
+        mesh_devices=_resolve_mesh_devices(config.get("MESH_DEVICES", 0)),
     )
 
     keyword_index = None

@@ -192,6 +192,11 @@ def load_config() -> Dict[str, Any]:
         "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 0),
         "IVF_NLIST": _get_int("IVF_NLIST", 1024),
         "IVF_NPROBE": _get_int("IVF_NPROBE", 64),
+        # mesh shape: 0 = single-device store; N>=1 = row-shard the corpus
+        # over a jax.sharding.Mesh of the first N devices (per-shard
+        # partial top-k + all_gather merge over ICI; parallel/sharded.py);
+        # -1 = all visible devices
+        "MESH_DEVICES": _get_int("MESH_DEVICES", 0),
     }
     return config
 

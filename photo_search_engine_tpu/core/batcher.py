@@ -14,6 +14,11 @@ season/time predicates are coalesced through the grouped-mask kernel
 and each query selects its row on the MXU, so a mixed
 filtered/unfiltered batch still costs one scan.
 
+Routing: batched searches go through ``VectorIndex._route_search``, so an
+``index_type=ivf`` store keeps its cluster-pruned path under micro-batching
+(unfiltered batches probe the IVF index; filtered batches use the grouped
+exact kernel — the predicate table composes with exact recall there).
+
 No reference equivalent (net-new serving component).  Enabled via
 ``SEARCH_MICROBATCH_ENABLED`` (api/app composition).
 """

@@ -1,0 +1,210 @@
+"""Mesh-backed store with the single-device EmbeddingStore's interface.
+
+SURVEY.md §7.2: "Same code path at 1 chip (degenerate mesh) so everything
+below is topology-agnostic."  This adapter lets ``VectorIndex`` (and so the
+whole HTTP serving stack) run over a ``jax.sharding.Mesh`` by translating
+between the serving world (insertion-order row indices, which key
+``VectorIndex.metadata``) and the sharded world
+(``ShardedEmbeddingStore``'s stable ``shard*2^40+local`` ids):
+
+* appends record the stable ids assigned to each insertion-order row;
+* searches translate returned stable ids back to insertion order with a
+  vectorized ``searchsorted`` lookup;
+* insertion-order filter masks (the ES-filter analogue) are permuted into
+  the corpus layout expected by the sharded masked kernels.
+
+The reference has no counterpart (it is strictly single-process — SURVEY.md
+§2 parallelism statement); this is the net-new distributed serving tier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from photo_search_engine_tpu.parallel.sharded import (
+    ShardedEmbeddingStore,
+    make_mesh,
+)
+
+
+class MeshEmbeddingStore:
+    """EmbeddingStore-compatible facade over a row-sharded device corpus."""
+
+    def __init__(
+        self,
+        dimension: int,
+        *,
+        metric: str = "cosine",
+        store_dtype: str = "float32",
+        mesh_devices: int = 0,
+        quantized: bool = False,
+        shard_block: int = 1024,
+        mesh=None,
+    ) -> None:
+        if metric not in {"cosine", "l2", "ip"}:
+            raise ValueError("metric must be cosine, l2 or ip")
+        self.dimension = int(dimension)
+        self.metric = metric
+        self.quantized = bool(quantized)
+        self._sharded = ShardedEmbeddingStore(
+            dimension,
+            mesh or make_mesh(mesh_devices or None),
+            metric=metric,
+            store_dtype=store_dtype,
+            shard_block=shard_block,
+            quantized=quantized,
+        )
+        # insertion-order row -> stable sharded id, plus a lazily rebuilt
+        # sorted view for vectorized reverse lookup
+        self._ids = np.zeros((0,), np.int64)
+        self._sorted_ids: Optional[np.ndarray] = None
+        self._sorted_pos: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def count(self) -> int:
+        return int(self._ids.shape[0])
+
+    @property
+    def n_shards(self) -> int:
+        return self._sharded.n_shards
+
+    def _check(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if vectors.shape[1] != self.dimension:
+            raise ValueError(
+                f"vector dimension mismatch: {vectors.shape[1]} != {self.dimension}"
+            )
+        return vectors
+
+    def append(self, vectors: np.ndarray) -> None:
+        vectors = self._check(vectors)
+        if vectors.shape[0] == 0:
+            return
+        ids = self._sharded.append(vectors)
+        self._ids = np.concatenate([self._ids, ids])
+        self._sorted_ids = None
+
+    # ------------------------------------------------------------------
+    def _ensure_lookup(self) -> None:
+        if self._sorted_ids is None or self._sorted_ids.shape[0] != self._ids.shape[0]:
+            self._sorted_pos = np.argsort(self._ids, kind="stable")
+            self._sorted_ids = self._ids[self._sorted_pos]
+
+    def _translate(self, stable: np.ndarray) -> np.ndarray:
+        """Stable sharded ids -> insertion-order indices (-1 passthrough)."""
+        self._ensure_lookup()
+        flat = stable.ravel()
+        if self._sorted_ids.shape[0] == 0:
+            return np.full(stable.shape, -1, np.int32)
+        pos = np.searchsorted(self._sorted_ids, flat)
+        pos = np.clip(pos, 0, self._sorted_ids.shape[0] - 1)
+        ok = (flat >= 0) & (self._sorted_ids[pos] == flat)
+        out = np.where(ok, self._sorted_pos[pos], -1)
+        return out.reshape(stable.shape).astype(np.int32)
+
+    def _layout_mask(self, mask: np.ndarray) -> np.ndarray:
+        bits = np.asarray(mask)[: self.count]
+        return self._sharded.layout_mask(self._ids, bits)
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        mask: Optional[np.ndarray] = None,  # insertion-order, length count
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.count == 0:
+            q = np.atleast_2d(np.asarray(queries)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        layout = self._layout_mask(mask) if mask is not None else None
+        vals, stable = self._sharded.search(
+            self._check(queries), min(k, self.count), impl=impl, mask=layout
+        )
+        return np.asarray(vals), self._translate(np.asarray(stable))
+
+    def grouped_search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask_table: np.ndarray,  # [M, count] insertion-order predicates
+        mask_ids: np.ndarray,    # [Q]
+        *,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.count == 0:
+            q = np.atleast_2d(np.asarray(queries)).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        table = np.stack(
+            [self._layout_mask(row) for row in np.atleast_2d(np.asarray(mask_table))]
+        )
+        if impl == "int8":
+            # the sharded grouped kernel nominates on the f32/bf16 corpus;
+            # int8 grouped stays a single-device feature for now
+            impl = "auto"
+        vals, stable = self._sharded.grouped_search(
+            self._check(queries),
+            min(k, self.count),
+            table,
+            np.asarray(mask_ids, np.int32),
+            impl=impl,
+        )
+        return np.asarray(vals), self._translate(np.asarray(stable))
+
+    # ------------------------------------------------------------------
+    def reconstruct(self, index: int) -> np.ndarray:
+        if not 0 <= index < self.count:
+            raise IndexError(index)
+        return self._sharded.reconstruct(int(self._ids[index]))
+
+    def snapshot(self) -> np.ndarray:
+        """Float32 host copy of live rows in insertion order."""
+        out = np.empty((self.count, self.dimension), np.float32)
+        shard = self._ids // ShardedEmbeddingStore._ID_STRIDE
+        local = self._ids % ShardedEmbeddingStore._ID_STRIDE
+        for s in range(self._sharded.n_shards):
+            sel = shard == s
+            if sel.any():
+                out[sel] = self._sharded._host_shards[s][local[sel]]
+        return out
+
+    def clear(self) -> None:
+        mesh = self._sharded.mesh
+        self._sharded = ShardedEmbeddingStore(
+            self.dimension,
+            mesh,
+            metric=self.metric,
+            store_dtype=str(self._sharded.store_dtype),
+            shard_block=self._sharded.shard_block,
+            quantized=self.quantized,
+        )
+        self._ids = np.zeros((0,), np.int64)
+        self._sorted_ids = None
+
+    @classmethod
+    def from_array(
+        cls,
+        array: np.ndarray,
+        *,
+        metric: str = "cosine",
+        store_dtype: str = "float32",
+        mesh_devices: int = 0,
+        quantized: bool = False,
+        already_normalized: bool = False,
+        mesh=None,
+    ) -> "MeshEmbeddingStore":
+        store = cls(
+            array.shape[1],
+            metric=metric,
+            store_dtype=store_dtype,
+            mesh_devices=mesh_devices,
+            quantized=quantized,
+            mesh=mesh,
+        )
+        del already_normalized  # normalization is idempotent
+        store.append(array)
+        return store

@@ -44,6 +44,7 @@ class VectorIndex:
         ivf_nprobe: int = 64,
         store_block_rows: Optional[int] = None,
         quantized: bool = False,
+        mesh_devices: int = 0,
     ) -> None:
         self.dimension = dimension
         self.index_path = index_path
@@ -63,6 +64,10 @@ class VectorIndex:
         # on realistic score gaps, ~2× scan throughput; a runtime
         # acceleration, not a persistence property (checkpoints stay f32)
         self.quantized = bool(quantized)
+        # MESH_DEVICES: 0 = single-device store; >=1 = row-shard the corpus
+        # over a jax.sharding.Mesh of that many devices (1 = degenerate
+        # mesh, same code path — SURVEY.md §7.2)
+        self.mesh_devices = max(0, int(mesh_devices))
 
         self.metadata: List[Dict[str, Any]] = []
         self._store: Optional[EmbeddingStore] = (
@@ -74,7 +79,17 @@ class VectorIndex:
         self._ivf_trained_at = -1
 
     # ------------------------------------------------------------------
-    def _create_store(self, dimension: int) -> EmbeddingStore:
+    def _create_store(self, dimension: int):
+        if self.mesh_devices:
+            from photo_search_engine_tpu.core.mesh_store import MeshEmbeddingStore
+
+            return MeshEmbeddingStore(
+                dimension,
+                metric=self.metric,
+                store_dtype=self.store_dtype,
+                mesh_devices=self.mesh_devices,
+                quantized=self.quantized,
+            )
         return EmbeddingStore(
             dimension,
             metric=self.metric,
@@ -183,6 +198,35 @@ class VectorIndex:
         self._ivf_trained_at = count
         return self._ivf
 
+    def _route_search(
+        self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
+    ):
+        """One routing point for every batched search entry: IVF when
+        configured (including the micro-batcher's zero-copy path —
+        previously it silently bypassed IVF, scanning the flat store),
+        masked/exact otherwise."""
+        if self.index_type == "ivf" and mask is None:
+            if self.metric == "cosine":
+                norms = np.linalg.norm(queries, axis=1, keepdims=True)
+                queries = np.where(
+                    norms > 0, queries / np.maximum(norms, 1e-30), queries
+                )
+            return self._ensure_ivf().search(queries, k, nprobe=self.ivf_nprobe)
+        if self.index_type == "ivf":
+            # masked (time-filtered) searches on an IVF store keep cluster
+            # pruning: the mask rides inside the probe kernel (models/ivf.py)
+            if self.metric == "cosine":
+                norms = np.linalg.norm(queries, axis=1, keepdims=True)
+                queries = np.where(
+                    norms > 0, queries / np.maximum(norms, 1e-30), queries
+                )
+            ivf = self._ensure_ivf()
+            if ivf.supports_masked_search():
+                return ivf.search(
+                    queries, k, nprobe=self.ivf_nprobe, mask=mask
+                )
+        return self._store.search(queries, k, mask=mask, impl=self._search_impl)
+
     def search_batch(
         self,
         query_embeddings: np.ndarray,
@@ -198,17 +242,7 @@ class VectorIndex:
                 f"vector dimension mismatch: {queries.shape[1]} != {self.dimension}"
             )
         k = min(int(top_k), self._store.count)
-        if self.index_type == "ivf" and mask is None:
-            # masked (time-filtered) searches stay on the exact path so
-            # filter semantics never lose recall (SURVEY.md §7 hard part 2)
-            if self.metric == "cosine":
-                norms = np.linalg.norm(queries, axis=1, keepdims=True)
-                queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
-            dists, idx = self._ensure_ivf().search(queries, k, nprobe=self.ivf_nprobe)
-        else:
-            dists, idx = self._store.search(
-                queries, k, mask=mask, impl=self._search_impl
-            )
+        dists, idx = self._route_search(queries, k, mask)
         out: List[List[Dict[str, Any]]] = []
         for row_d, row_i in zip(dists, idx):
             hits = []
@@ -232,7 +266,7 @@ class VectorIndex:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
         queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
         k = min(int(top_k), self._store.count)
-        return self._store.search(queries, k, mask=mask, impl=self._search_impl)
+        return self._route_search(queries, k, mask)
 
     def raw_grouped_search_batch(
         self,
@@ -340,14 +374,11 @@ class VectorIndex:
         self._ivf_built_at = -1
         self._ivf_trained_at = -1
         self.dimension = int(array.shape[1]) if array.size else payload.get("dimension")
-        self._store = EmbeddingStore.from_array(
-            array.astype(np.float32),
-            metric=self.metric,
-            store_dtype=self.store_dtype,
-            block_rows=self.store_block_rows,
-            already_normalized=True,
-            quantized=self.quantized,
-        ) if array.size else self._create_store(self.dimension)
+        if array.size:
+            self._store = self._create_store(self.dimension)
+            self._store.append(array.astype(np.float32))
+        else:
+            self._store = self._create_store(self.dimension)
         self._rebuild_path_index()
         return True
 

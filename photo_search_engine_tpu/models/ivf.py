@@ -613,6 +613,59 @@ class IVFIndex:
         self._cscales = None
         return True
 
+    # -- filters ----------------------------------------------------------
+    def supports_masked_search(self) -> bool:
+        """Masked (per-row filtered) probing is supported for every metric:
+        the filter folds into the kernel's row-validity operand, so
+        ``index_type=ivf`` keeps cluster pruning under time filters instead
+        of falling back to a full exact scan (the reference composes ES
+        filters with ANN recall — utils/keyword_store.py:286-392 and the
+        searcher over-fetch at core/searcher.py:814-817)."""
+        return True
+
+    _MASK_LRU_SIZE = 16
+
+    def _slot_mask(self, mask: np.ndarray) -> Tuple[jnp.ndarray, float]:
+        """Original-row-order filter bits → device [1, nlist*L] slot mask
+        (LRU-cached by content), plus the live-row selectivity ratio."""
+        from collections import OrderedDict
+        import hashlib
+
+        bits = np.asarray(mask).astype(np.int32, copy=False)
+        live = self.perm >= 0
+        slot_bits = np.zeros(self.perm.shape[0], np.int32)
+        src = np.clip(self.perm[live], 0, bits.shape[0] - 1)
+        slot_bits[live] = bits[src]
+        n_live = int(live.sum())
+        ratio = float(slot_bits.sum()) / max(n_live, 1)
+        lru = getattr(self, "_mask_lru", None)
+        if lru is None:
+            lru = self._mask_lru = OrderedDict()
+        digest = hashlib.blake2b(slot_bits.tobytes(), digest_size=16).digest()
+        key = (digest, slot_bits.shape[0])
+        cached = lru.get(key)
+        if cached is not None:
+            lru.move_to_end(key)
+            return cached, ratio
+        dev = jnp.asarray(slot_bits)[None, :]
+        lru[key] = dev
+        while len(lru) > self._MASK_LRU_SIZE:
+            lru.popitem(last=False)
+        return dev, ratio
+
+    @staticmethod
+    def _inflate_nprobe(nprobe: int, ratio: float, nlist: int) -> int:
+        """Selective filters thin out probed lists; widen the probe set by
+        ~1/selectivity (the IVF analogue of the reference's candidate_k
+        over-fetch, core/searcher.py:814-817), rounded to a power of two so
+        recompiles stay bounded, capped at nlist."""
+        boost = int(np.ceil(1.0 / max(ratio, 1e-3)))
+        target = min(nlist, nprobe * min(boost, 16))
+        eff = nprobe
+        while eff < target:
+            eff *= 2
+        return min(eff, nlist)
+
     # -- probing --------------------------------------------------------
     def _probe(self, queries: jnp.ndarray, nprobe: int):
         """Stage 1: per-query probed clusters + union selection."""
@@ -757,9 +810,15 @@ class IVFIndex:
         k: int,
         nprobe: int = 64,
         *,
+        mask: Optional[np.ndarray] = None,  # original-row-order filter bits
         impl: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (distances, ORIGINAL row ids), -1 for missing slots."""
+        """Returns (distances, ORIGINAL row ids), -1 for missing slots.
+
+        ``mask`` filters by original row id WITHOUT losing cluster pruning:
+        the bits permute into the slot layout, fold into the kernel's
+        row-validity operand, and the probe width inflates by ~1/selectivity
+        (see ``_inflate_nprobe``)."""
         queries = jnp.atleast_2d(jnp.asarray(queries, self._corpus.dtype))
         q, dim = queries.shape
         queries = jnp.pad(queries, ((0, 0), (0, self._dp - dim)))
@@ -767,6 +826,11 @@ class IVFIndex:
         k = min(k, total_live)
         if k == 0:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+        row_valid = self._row_valid
+        if mask is not None:
+            slot_mask, ratio = self._slot_mask(mask)
+            row_valid = row_valid * slot_mask
+            nprobe = self._inflate_nprobe(nprobe, ratio, self.nlist)
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "lax"
         if impl == "pallas" and self.quantized and k > 64:
@@ -800,7 +864,7 @@ class IVFIndex:
                 jnp.arange(self.nlist * self.capacity, dtype=jnp.int32) // self.capacity
             )
             probed = jnp.take(probe_matrix, cluster_of_slot, axis=1) > 0
-            keep = jnp.logical_and(probed, self._row_valid > 0)
+            keep = jnp.logical_and(probed, row_valid > 0)
             scores = jnp.where(keep, scores, -jnp.inf)
             vals, idx = jax.lax.top_k(scores, k)
         else:
@@ -832,7 +896,7 @@ class IVFIndex:
                     selected,
                     jnp.reshape(sel_count, (1, 1)),
                     probe_p,
-                    self._row_valid,
+                    row_valid,
                     cnorms,
                     qs,
                     self._cscales,
@@ -871,7 +935,7 @@ class IVFIndex:
                     selected,
                     jnp.reshape(sel_count, (1, 1)),
                     probe_p,
-                    self._row_valid,
+                    row_valid,
                     cnorms,
                     jnp.ones((qp, 1), jnp.float32),
                     jnp.ones((1, self.nlist * self.capacity), jnp.float32),

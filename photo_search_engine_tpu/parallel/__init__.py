@@ -11,6 +11,7 @@ from photo_search_engine_tpu.parallel.sharded import (
     ShardedEmbeddingStore,
     make_mesh,
     sharded_exact_search,
+    sharded_grouped_search,
     sharded_int8_search,
     sharded_kmeans_step,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "ShardedEmbeddingStore",
     "make_mesh",
     "sharded_exact_search",
+    "sharded_grouped_search",
     "sharded_int8_search",
     "sharded_kmeans_step",
 ]

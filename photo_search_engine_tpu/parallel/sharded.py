@@ -95,6 +95,7 @@ def _local_topk(
     metric: str,
     impl: str,
     axis: str,
+    mask_shard: Optional[jnp.ndarray] = None,  # [shard_rows] int; >0 = keep
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     shard_id = jax.lax.axis_index(axis)
     shard_rows = corpus_shard.shape[0]
@@ -104,7 +105,8 @@ def _local_topk(
         # the live-count mask must ride INSIDE the scan (padding rows score
         # 0 for ip and would displace real hits before any post-mask)
         vals, idx = topk_ops.exact_search(
-            corpus_shard, queries, k, count=count, metric=metric, impl="pallas"
+            corpus_shard, queries, k, count=count, mask=mask_shard,
+            metric=metric, impl="pallas",
         )
         if metric == "l2":
             # merge ranks by descending score; exact_search returned
@@ -124,7 +126,10 @@ def _local_topk(
             cn = jnp.sum(jnp.square(corpus_shard.astype(jnp.float32)), 1)[None, :]
             scores = -(qn + cn - 2.0 * scores)
         rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(rows < count, scores, -jnp.inf)
+        valid = rows < count
+        if mask_shard is not None:
+            valid = jnp.logical_and(valid, mask_shard[None, :] > 0)
+        scores = jnp.where(valid, scores, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, k)
         idx = jnp.where(jnp.isneginf(vals), -1, idx)
     global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
@@ -156,9 +161,11 @@ def sharded_exact_search(
     metric: str = "ip",
     impl: str = "auto",
     axis: str = DATA_AXIS,
+    mask: Optional[np.ndarray] = None,  # [total_rows] corpus-layout filter
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN over a row-sharded corpus; returns replicated
-    (distances, global indices) with FAISS conventions."""
+    (distances, global indices) with FAISS conventions.  ``mask`` rides
+    inside each shard's scan (the ES-filter analogue, sharded)."""
     n_shards = mesh.shape[axis]
     total_rows, dim = corpus.shape
     if total_rows % n_shards:
@@ -177,21 +184,25 @@ def sharded_exact_search(
     queries = jnp.atleast_2d(_stage(mesh, queries, P()))
     k = min(k, total_rows)
     kernel_metric = "ip" if metric == "cosine" else metric
+    has_mask = mask is not None
+    mask_arr = _stage(mesh, mask, P(axis), np.int32) if has_mask else None
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(), P()),
+        in_specs=(P(axis, None), P(), P()) + ((P(axis),) if has_mask else ()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(corpus_shard, queries_rep, counts_rep):
+    def run(corpus_shard, queries_rep, counts_rep, *rest):
         vals, idx = _local_topk(
-            corpus_shard, queries_rep, counts_rep, k, kernel_metric, impl, axis
+            corpus_shard, queries_rep, counts_rep, k, kernel_metric, impl, axis,
+            mask_shard=rest[0] if rest else None,
         )
         return _merge_partials(vals, idx, k, axis)
 
-    vals, idx = jax.jit(run)(corpus, queries, counts_arr)
+    args = (corpus, queries, counts_arr) + ((mask_arr,) if has_mask else ())
+    vals, idx = jax.jit(run)(*args)
     if metric == "l2":
         empty = jnp.isneginf(vals)
         vals = jnp.where(empty, jnp.inf, -vals)
@@ -209,6 +220,7 @@ def sharded_int8_search(
     counts: Optional[np.ndarray] = None,
     metric: str = "ip",
     axis: str = DATA_AXIS,
+    mask: Optional[np.ndarray] = None,  # [total_rows] corpus-layout filter
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded int8-scan + exact-rescore k-NN (ops/quantized.py per shard,
     all_gather merge of the exactly-rescored partials over ICI).  Same
@@ -232,15 +244,18 @@ def sharded_int8_search(
     k = min(k, total_rows)
     kernel_metric = "ip" if metric == "cosine" else metric
     block_n = _shard_block_n(shard_rows)
+    has_mask = mask is not None
+    mask_arr = _stage(mesh, mask, P(axis), np.int32) if has_mask else None
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None), P(), P()),
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(), P())
+        + ((P(axis),) if has_mask else ()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(i8_shard, scales_shard, ref_shard, queries_rep, counts_rep):
+    def run(i8_shard, scales_shard, ref_shard, queries_rep, counts_rep, *rest):
         shard_id = jax.lax.axis_index(axis)
         count = counts_rep[shard_id]
         k_local = min(k, shard_rows)
@@ -251,6 +266,7 @@ def sharded_int8_search(
             queries_rep,
             k_local,
             count=count,
+            mask=rest[0] if rest else None,
             metric=kernel_metric,
             block_n=block_n,
         )
@@ -261,11 +277,70 @@ def sharded_int8_search(
         global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
         return _merge_partials(vals, global_idx, k, axis)
 
-    vals, idx = jax.jit(run)(corpus_i8, scales, corpus_ref, queries, counts_arr)
+    args = (corpus_i8, scales, corpus_ref, queries, counts_arr) + (
+        (mask_arr,) if has_mask else ()
+    )
+    vals, idx = jax.jit(run)(*args)
     if metric == "l2":
         empty = jnp.isneginf(vals)
         vals = jnp.where(empty, jnp.inf, -vals)
     return vals, idx
+
+
+def sharded_grouped_search(
+    corpus: jnp.ndarray,      # [n_shards * shard_rows, D] row-sharded
+    queries: jnp.ndarray,     # [Q, D]
+    mask_table: np.ndarray,   # [M, total_rows] corpus-layout predicates
+    mask_ids: np.ndarray,     # [Q] predicate row per query
+    k: int,
+    mesh: Mesh,
+    *,
+    counts: Optional[np.ndarray] = None,
+    impl: str = "auto",
+    axis: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query filtered top-k over the sharded corpus: each shard runs
+    the grouped-mask kernel (ops/grouped_mask.py) on its row slice of the
+    predicate table, partials merge over ICI.  Inner-product metric (the
+    serving micro-batcher's filtered path)."""
+    n_shards = mesh.shape[axis]
+    total_rows, _ = corpus.shape
+    if total_rows % n_shards:
+        raise ValueError(
+            f"corpus rows {total_rows} must divide evenly over {n_shards} shards"
+        )
+    shard_rows = total_rows // n_shards
+    if counts is None:
+        counts = np.full((n_shards,), shard_rows, np.int32)
+    counts_arr = _stage(mesh, counts, P(), np.int32)
+    corpus = _stage(mesh, corpus, P(DATA_AXIS, None))
+    if not isinstance(queries, jax.Array):
+        queries = np.atleast_2d(np.asarray(queries))
+    queries = jnp.atleast_2d(_stage(mesh, queries, P()))
+    table = _stage(mesh, mask_table, P(None, axis), np.int8)
+    ids = _stage(mesh, mask_ids, P(), np.int32)
+    k = min(k, total_rows)
+
+    from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(None, axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(corpus_shard, queries_rep, table_shard, ids_rep, counts_rep):
+        shard_id = jax.lax.axis_index(axis)
+        count = counts_rep[shard_id]
+        vals, idx = grouped_ops.grouped_mask_search(
+            corpus_shard, queries_rep, table_shard, ids_rep,
+            min(k, shard_rows), count=count, impl=impl,
+        )
+        global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+        return _merge_partials(vals, global_idx, k, axis)
+
+    return jax.jit(run)(corpus, queries, table, ids, counts_arr)
 
 
 def sharded_kmeans_step(
@@ -524,8 +599,26 @@ class ShardedEmbeddingStore:
         self._dirty = False
         return self._device, capacity
 
+    def layout_mask(
+        self, stable_ids: np.ndarray, bits: np.ndarray
+    ) -> np.ndarray:
+        """Corpus-layout ([n_shards * capacity]) filter from (stable id,
+        keep-bit) pairs — the shape ``search(mask=...)`` expects."""
+        _, capacity = self._sync()
+        out = np.zeros(self.n_shards * capacity, np.int32)
+        stable_ids = np.asarray(stable_ids, np.int64)
+        shard = stable_ids // self._ID_STRIDE
+        local = stable_ids % self._ID_STRIDE
+        out[shard * capacity + local] = np.asarray(bits, np.int32)
+        return out
+
     def search(
-        self, queries: np.ndarray, k: int, impl: str = "auto"
+        self,
+        queries: np.ndarray,
+        k: int,
+        impl: str = "auto",
+        *,
+        mask: Optional[np.ndarray] = None,  # corpus-layout, see layout_mask
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (distances, stable global row ids); -1 for empty slots."""
         if self.count == 0:
@@ -550,6 +643,7 @@ class ShardedEmbeddingStore:
                 self.mesh,
                 counts=self.counts,
                 metric=self.metric,
+                mask=mask,
             )
         else:
             vals, idx = sharded_exact_search(
@@ -560,13 +654,46 @@ class ShardedEmbeddingStore:
                 counts=self.counts,
                 metric=self.metric,
                 impl=impl,
+                mask=mask,
             )
-        # rebase transient (capacity-relative) device indices to stable ids
-        raw = np.asarray(idx, np.int64)
+        return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
+
+    def _rebase(self, raw: np.ndarray, capacity: int) -> np.ndarray:
+        """Transient (capacity-relative) device indices → stable ids."""
         shard = raw // capacity
         local = raw % capacity
-        stable = np.where(raw >= 0, shard * self._ID_STRIDE + local, -1)
-        return np.asarray(vals), stable
+        return np.where(raw >= 0, shard * self._ID_STRIDE + local, -1)
+
+    def grouped_search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask_table: np.ndarray,  # [M, n_shards * capacity] corpus layout
+        mask_ids: np.ndarray,    # [Q]
+        *,
+        impl: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched per-query filtered top-k over the mesh (distinct
+        predicate per query, one sharded scan).  Inner-product/cosine."""
+        if self.count == 0:
+            q = np.atleast_2d(queries).shape[0]
+            return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
+        corpus, capacity = self._sync()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.metric == "cosine":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
+        vals, idx = sharded_grouped_search(
+            corpus,
+            queries,
+            np.asarray(mask_table, np.int8),
+            np.asarray(mask_ids, np.int32),
+            min(k, self.count),
+            self.mesh,
+            counts=self.counts,
+            impl=impl,
+        )
+        return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
 
     def global_id_to_shard_local(self, global_id: int) -> Tuple[int, int]:
         return global_id // self._ID_STRIDE, global_id % self._ID_STRIDE

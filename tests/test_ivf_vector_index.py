@@ -57,12 +57,73 @@ class IvfVectorIndexTest(unittest.TestCase):
         self.assertEqual(results[0]["metadata"]["photo_path"], "/p/m42.jpg")
         self.assertIsNot(self.vi._ivf, built_ivf)  # >2× growth → rebuilt
 
-    def test_masked_search_uses_exact_path(self):
+    def test_masked_search_respects_filter(self):
         mask = np.zeros(121 if self.vi.get_total_items() == 121 else 120, bool)
         mask[:120][[3, 7]] = True
         results = self.vi.search_masked(self.vectors[3].tolist(), 5, mask)
         got = {r["metadata"]["photo_path"] for r in results}
         self.assertTrue(got.issubset({"/p/3.jpg", "/p/7.jpg"}))
+        self.assertIn("/p/3.jpg", got)
+
+    def test_masked_search_keeps_ivf_pruning(self):
+        # the masked path must route through the IVF index (filter folded
+        # into the probe kernel), not fall back to the exact full scan
+        self.vi.search(self.vectors[0].tolist(), 1)  # builds IVF
+        calls = {}
+        ivf = self.vi._ivf
+        real_search = ivf.search
+
+        def spy(queries, k, nprobe=64, **kw):
+            calls["mask"] = kw.get("mask")
+            calls["nprobe"] = nprobe
+            return real_search(queries, k, nprobe=nprobe, **kw)
+
+        ivf.search = spy
+        mask = np.zeros(120, bool)
+        mask[: 30] = True
+        results = self.vi.search_masked(self.vectors[11].tolist(), 5, mask)
+        self.assertIsNotNone(calls.get("mask"))
+        got = {r["metadata"]["photo_path"] for r in results}
+        self.assertTrue(all(int(p.split("/")[-1][:-4]) < 30 for p in got), got)
+        self.assertIn("/p/11.jpg", got)
+
+    def test_masked_ivf_matches_masked_exact(self):
+        # probed-recall parity: with full probing the masked IVF result set
+        # must equal the masked exact scan
+        flat = VectorIndex(
+            dimension=32,
+            index_path=os.path.join(self.tmp.name, "flat.index"),
+            metadata_path=os.path.join(self.tmp.name, "flat-meta.json"),
+            index_type="flat",
+        )
+        flat.add_batch(self.vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(120)])
+        rng = np.random.default_rng(5)
+        mask = rng.random(120) < 0.4
+        q = self.vectors[60]
+        ivf_hits = self.vi.search_masked(q.tolist(), 8, mask)
+        exact_hits = flat.search_masked(q.tolist(), 8, mask)
+        self.assertEqual(
+            [h["metadata"]["photo_path"] for h in ivf_hits],
+            [h["metadata"]["photo_path"] for h in exact_hits],
+        )
+
+    def test_microbatcher_raw_path_routes_through_ivf(self):
+        # ADVICE round 1: raw_search_batch (the micro-batcher path) must
+        # consult the IVF index, not silently scan the flat store
+        self.vi.search(self.vectors[0].tolist(), 1)  # builds IVF
+        ivf = self.vi._ivf
+        called = {}
+        real_search = ivf.search
+
+        def spy(queries, k, nprobe=64, **kw):
+            called["yes"] = True
+            return real_search(queries, k, nprobe=nprobe, **kw)
+
+        ivf.search = spy
+        dists, idx = self.vi.raw_search_batch(self.vectors[:4], 3)
+        self.assertTrue(called.get("yes"))
+        self.assertEqual(idx.shape, (4, 3))
+        self.assertEqual(int(idx[0][0]), 0)
 
     def test_save_load_roundtrip_keeps_ivf_type(self):
         self.vi.save()

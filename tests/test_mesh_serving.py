@@ -1,0 +1,224 @@
+"""Sharded serving end-to-end: the full HTTP stack on the 8-virtual-device
+CPU mesh (MESH_DEVICES) must return results identical to the single-device
+path (SURVEY.md §7.2: "same code path at 1 chip")."""
+
+import os
+import tempfile
+import unittest
+
+import numpy as np
+from PIL import Image
+
+from photo_search_engine_tpu.api.app import create_app
+from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+from photo_search_engine_tpu.core.indexer import Indexer
+from photo_search_engine_tpu.core.keyword_index import KeywordIndex
+from photo_search_engine_tpu.core.mesh_store import MeshEmbeddingStore
+from photo_search_engine_tpu.core.searcher import Searcher
+from photo_search_engine_tpu.core.vector_index import VectorIndex
+from photo_search_engine_tpu.services.vision import LocalVisionService
+from tests.helpers import FakeEmbeddingService, FakeTimeParser
+
+
+class MeshStoreParityTest(unittest.TestCase):
+    """MeshEmbeddingStore must behave exactly like EmbeddingStore."""
+
+    def setUp(self):
+        rng = np.random.default_rng(0)
+        self.vectors = rng.normal(size=(100, 24)).astype(np.float32)
+        self.queries = rng.normal(size=(5, 24)).astype(np.float32)
+        self.single = EmbeddingStore(24, metric="cosine")
+        self.single.append(self.vectors)
+        self.mesh = MeshEmbeddingStore(24, metric="cosine", mesh_devices=8)
+        self.mesh.append(self.vectors)
+
+    def test_search_parity(self):
+        d1, i1 = self.single.search(self.queries, 7)
+        d2, i2 = self.mesh.search(self.queries, 7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_masked_search_parity(self):
+        rng = np.random.default_rng(1)
+        mask = (rng.random(100) < 0.3).astype(np.int32)
+        d1, i1 = self.single.search(self.queries, 7, mask=mask)
+        d2, i2 = self.mesh.search(self.queries, 7, mask=mask)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_grouped_search_parity(self):
+        rng = np.random.default_rng(2)
+        table = (rng.random((3, 100)) < 0.5).astype(np.int8)
+        ids = np.array([0, 1, 2, 0, 1], np.int32)
+        d1, i1 = self.single.grouped_search(self.queries, 6, table, ids)
+        d2, i2 = self.mesh.grouped_search(self.queries, 6, table, ids)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_reconstruct_and_snapshot_insertion_order(self):
+        snap = self.mesh.snapshot()
+        self.assertEqual(snap.shape, (100, 24))
+        norm = self.vectors / np.linalg.norm(self.vectors, axis=1, keepdims=True)
+        np.testing.assert_allclose(snap, norm, rtol=1e-5)
+        np.testing.assert_allclose(self.mesh.reconstruct(42), norm[42], rtol=1e-5)
+
+    def test_incremental_append_translates_new_rows(self):
+        extra = np.random.default_rng(3).normal(size=(17, 24)).astype(np.float32)
+        self.single.append(extra)
+        self.mesh.append(extra)
+        d1, i1 = self.single.search(extra[4], 3)
+        d2, i2 = self.mesh.search(extra[4], 3)
+        np.testing.assert_array_equal(i1, i2)
+        self.assertEqual(int(i2[0][0]), 104)
+
+    def test_quantized_mesh_store(self):
+        mesh = MeshEmbeddingStore(24, metric="cosine", mesh_devices=8, quantized=True)
+        mesh.append(self.vectors)
+        d, i = mesh.search(self.vectors[13], 1, impl="int8")
+        self.assertEqual(int(i[0][0]), 13)
+
+
+class MeshVectorIndexTest(unittest.TestCase):
+    def _index(self, tmp, mesh_devices, name):
+        vi = VectorIndex(
+            dimension=16,
+            index_path=os.path.join(tmp, f"{name}.index"),
+            metadata_path=os.path.join(tmp, f"{name}-meta.json"),
+            mesh_devices=mesh_devices,
+        )
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(60, 16)).astype(np.float32)
+        vi.add_batch(vecs, [{"photo_path": f"/p/{i}.jpg"} for i in range(60)])
+        return vi, vecs
+
+    def test_save_load_roundtrip_on_mesh(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            vi, vecs = self._index(tmp, 8, "mesh")
+            vi.save()
+            vi2 = VectorIndex(
+                dimension=16,
+                index_path=vi.index_path,
+                metadata_path=vi.metadata_path,
+                mesh_devices=8,
+            )
+            self.assertTrue(vi2.load())
+            hits = vi2.search(vecs[9].tolist(), 1)
+            self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/9.jpg")
+            # a mesh save loads fine into a single-device index too (the
+            # checkpoint is topology-free insertion-order .npy)
+            vi3 = VectorIndex(
+                dimension=16,
+                index_path=vi.index_path,
+                metadata_path=vi.metadata_path,
+                mesh_devices=0,
+            )
+            self.assertTrue(vi3.load())
+            hits = vi3.search(vecs[9].tolist(), 1)
+            self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/9.jpg")
+
+    def test_mesh_matches_single_device_results(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            mesh_vi, vecs = self._index(tmp, 8, "mesh")
+            flat_vi, _ = self._index(tmp, 0, "flat")
+            for q in (vecs[3], vecs[41]):
+                a = mesh_vi.search(q.tolist(), 5)
+                b = flat_vi.search(q.tolist(), 5)
+                self.assertEqual(
+                    [h["metadata"]["photo_path"] for h in a],
+                    [h["metadata"]["photo_path"] for h in b],
+                )
+
+
+def _make_photo(directory, name, color):
+    path = os.path.join(directory, name)
+    Image.new("RGB", (48, 36), color).save(path)
+    return path
+
+
+class MeshHttpStackTest(unittest.TestCase):
+    """Full /init_index → /search_photos over an 8-device mesh vs single."""
+
+    def _build_stack(self, root, mesh_devices):
+        data_dir = os.path.join(root, f"data-{mesh_devices}")
+        os.makedirs(data_dir)
+        embedding = FakeEmbeddingService(dimension=16)
+        vector_index = VectorIndex(
+            dimension=16,
+            index_path=os.path.join(data_dir, "ps.index"),
+            metadata_path=os.path.join(data_dir, "metadata.json"),
+            mesh_devices=mesh_devices,
+        )
+        keyword_index = KeywordIndex(os.path.join(data_dir, "kw.json"))
+        indexer = Indexer(
+            photo_dir=self.photo_dir,
+            vector_index=vector_index,
+            vision_service=LocalVisionService(),
+            embedding_service=embedding,
+            keyword_index=keyword_index,
+            data_dir=data_dir,
+            max_retries=1,
+        )
+        searcher = Searcher(
+            embedding=embedding,
+            time_parser=FakeTimeParser(),
+            vector_index=vector_index,
+            keyword_index=keyword_index,
+            data_dir=data_dir,
+        )
+        app = create_app(
+            {
+                "config": {"TOP_K": 12, "DEFAULT_SEARCH_MODE": "balanced"},
+                "indexer": indexer,
+                "searcher": searcher,
+                "text_rerank_service": None,
+                "visual_rerank_service": None,
+            }
+        )
+        return app.test_client(), indexer
+
+    def setUp(self):
+        self.tmp = tempfile.TemporaryDirectory()
+        self.photo_dir = os.path.join(self.tmp.name, "photos")
+        os.makedirs(self.photo_dir)
+        for i, color in enumerate(
+            [(200, 40, 10), (10, 200, 40), (10, 40, 200), (220, 220, 10)]
+        ):
+            _make_photo(self.photo_dir, f"photo_{i}.jpg", color)
+
+    def tearDown(self):
+        self.tmp.cleanup()
+
+    def _drive(self, client, indexer):
+        import time
+
+        resp = client.post("/init_index", json_body={"mode": "full"})
+        self.assertEqual(resp.status_code, 200)
+        deadline = time.time() + 60
+        status = {}
+        while time.time() < deadline:
+            status = client.get("/index_status").get_json()
+            if status["status"] in {"success", "ready", "failed"}:
+                break
+            time.sleep(0.05)
+        self.assertIn(status["status"], {"success", "ready"})
+        resp = client.post(
+            "/search_photos", json_body={"query": "photo", "top_k": 4}
+        )
+        self.assertEqual(resp.status_code, 200)
+        payload = resp.get_json()
+        return [
+            (r["file_name"], round(float(r.get("similarity") or 0.0), 6))
+            for r in payload["results"]
+        ], payload
+
+    def test_mesh_http_results_match_single_device(self):
+        mesh_client, mesh_indexer = self._build_stack(self.tmp.name, 8)
+        flat_client, flat_indexer = self._build_stack(self.tmp.name, 0)
+        mesh_results, mesh_payload = self._drive(mesh_client, mesh_indexer)
+        flat_results, _ = self._drive(flat_client, flat_indexer)
+        self.assertTrue(mesh_results)
+        self.assertEqual(mesh_results, flat_results)
+
+
+if __name__ == "__main__":
+    unittest.main()
