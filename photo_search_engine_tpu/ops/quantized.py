@@ -53,7 +53,12 @@ from photo_search_engine_tpu.ops.topk import (
 )
 
 _INT8_MAX_K = 64       # larger k falls back to the full-precision path
-_INT8_MAX_KLOC = 16    # extraction unroll bound inside the kernel
+# Extraction unroll bound inside the kernel.  kloc tracks k all the way to
+# _INT8_MAX_K so a near-duplicate burst living in ONE corpus block can still
+# nominate all k true neighbors (the module-docstring contract).  The
+# packed-key extraction is a Python-unrolled loop, so larger kloc only costs
+# linear extraction rounds for the rare k > 16 calls; k <= 16 is unchanged.
+_INT8_MAX_KLOC = _INT8_MAX_K
 
 
 def default_block_n_int8(dim: int = 1536) -> int:
@@ -445,8 +450,8 @@ def int8_search(
       k: results per query (clamped to N; k > 64 falls back to the
         full-precision exact path on ``corpus_ref``).
       count / mask / metric: as in :func:`topk.exact_search`.
-      kloc: per-block candidates (default ``min(k, 16)`` but never < k
-        unless k > 16 — see module docstring on burst locality).
+      kloc: per-block candidates (default ``k`` — see module docstring on
+        burst locality; explicit values are clamped to 64).
       cand: merged candidate-pool size (default ``max(32, 2k)``).
 
     Returns ``(distances [Q, k], indices [Q, k])`` — FAISS conventions,

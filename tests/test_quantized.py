@@ -182,9 +182,10 @@ class Int8SearchPlantedTest(unittest.TestCase):
         vals, idx = self._run(k=100, metric="ip")
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
 
-    def test_small_corpus_large_k_pool_guard(self):
-        # one 2048-row block, k=60 > kloc cap 16: the nomination pool
-        # cannot cover k and the path must fall back to exact
+    def test_small_corpus_explicit_kloc_pool_guard(self):
+        # one 2048-row block with an EXPLICIT kloc=8 and k=60: the
+        # nomination pool (1 block x 8) cannot cover k and the path must
+        # fall back to exact
         rng = np.random.default_rng(31)
         corpus = _normalize(rng.normal(size=(1000, 64))).astype(np.float32)
         q8, scales = quantize_rows(jnp.asarray(corpus))
@@ -192,9 +193,35 @@ class Int8SearchPlantedTest(unittest.TestCase):
             jnp.asarray(corpus), jnp.asarray(corpus[:2]), 60, metric="ip"
         )
         vals, idx = int8_search(
-            q8, scales, jnp.asarray(corpus), jnp.asarray(corpus[:2]), 60
+            q8, scales, jnp.asarray(corpus), jnp.asarray(corpus[:2]), 60,
+            kloc=8,
         )
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+
+    def test_single_block_burst_k_above_16(self):
+        # Regression (advisor round 1): a burst of 60 near-duplicates
+        # inserted CONTIGUOUSLY — all inside one 2048-row corpus block —
+        # with k=60.  The old kloc cap of 16 let each block nominate only
+        # 16 rows, silently dropping 44 true neighbors; kloc now tracks k
+        # up to 64 so the int8 path matches the oracle exactly.
+        rng = np.random.default_rng(57)
+        k = 60
+        n, d = 5000, 64
+        corpus = _normalize(rng.normal(size=(n, d))).astype(np.float32)
+        query = _normalize(rng.normal(size=(1, d))).astype(np.float32)
+        # well-separated alphas 0.98 .. 0.744, all in block 0 (rows 100-159)
+        alphas = 0.98 - 0.004 * np.arange(k)
+        slots = np.arange(100, 100 + k)
+        _plant(corpus, query[0], slots, alphas, rng)
+        q8, scales = quantize_rows(jnp.asarray(corpus))
+        ref_v, ref_i = exact_search_oracle(
+            jnp.asarray(corpus), jnp.asarray(query), k, metric="ip"
+        )
+        vals, idx = int8_search(
+            q8, scales, jnp.asarray(corpus), jnp.asarray(query), k
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(idx)[0], slots)
 
     def test_single_query_vector(self):
         vals, idx = int8_search(
