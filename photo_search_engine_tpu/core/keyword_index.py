@@ -20,6 +20,28 @@ Tokenization: lowercase ASCII word tokens + CJK unigrams and bigrams
 (approximating the ES standard/IK analyzers, keyword_store.py:56-82).
 BM25 uses Lucene parameters k1=1.2, b=0.75.
 
+Scale design (the ES-server replacement must hold at 100k+ docs, not 77):
+
+* Documents are dense integer **rows** internally (tombstoned on
+  overwrite/delete); doc-id strings only appear at the API boundary.
+* **Columnar filters**: every exact-match field is a categorical int32
+  code column and the datetime is an epoch-seconds int64 column, so
+  ``search_with_filters`` evaluates its clauses as vectorized NumPy
+  compares over all rows instead of a per-document Python loop
+  (replaces ES's filter clauses at keyword_store.py:315-345).
+* **Indexed phrase matching**: retrieval_text token streams are stored as
+  int32 vocab-id arrays; the phrase pass runs only over docs that already
+  BM25-matched and uses a vectorized sliding-window compare.
+* **Postings persistence**: ``save`` writes a binary sidecar
+  (``<path>.postings.npz``) with the COO postings, per-doc lengths,
+  filter columns, and streams; ``load`` restores from it without
+  re-tokenizing the corpus (C++ bulk import on the native path).  The
+  documents JSON stays the source of truth — a stale/missing sidecar
+  falls back to re-tokenization.
+* BM25 scoring itself goes through the C++ postings core
+  (native/src/bm25.cc) when the toolchain is available; the pure-Python
+  fallback produces identical scores (asserted in tests).
+
 The hybrid-fusion caller treats this exactly like the ES-backed store, so
 the no-keyword-store degradation path (searcher.py:1194-1196) is
 preserved when this component is disabled.
@@ -27,13 +49,15 @@ preserved when this component is disabled.
 
 from __future__ import annotations
 
+import heapq
 import json
 import math
 import os
 import re
-from collections import defaultdict
 from datetime import datetime
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Set
+
+import numpy as np
 
 _K1 = 1.2
 _B = 0.75
@@ -62,6 +86,11 @@ FILTER_EXACT_FIELDS = (
 )
 
 _ASCII_WORD = re.compile(r"[a-z0-9_]+")
+
+_EPOCH = datetime(1970, 1, 1)
+_NO_DT = -(2**62)  # sentinel for missing/unparseable datetimes
+_SIDECAR_VERSION = 2
+_SIDECAR_SUFFIX = ".postings.npz"
 
 
 def _is_cjk(char: str) -> bool:
@@ -135,10 +164,17 @@ def _parse_dt(value: Optional[str], *, end_of_day: bool = False) -> Optional[dat
         return None
 
 
+def _epoch_seconds(dt: datetime) -> int:
+    # naive arithmetic on naive datetimes — no timezone dependence, and the
+    # same conversion is applied to document values and query bounds
+    return int((dt - _EPOCH).total_seconds())
+
+
 class _NativeBM25:
     """ctypes adapter over native/src/bm25.cc — packed postings + BM25
     scoring in C++ (the keyword channel's hot path at large corpus
-    sizes).  Maps string tokens/doc-ids to dense integer ids."""
+    sizes).  Pure integer interface: the owner maps tokens/doc-ids to
+    dense vocab ids / rows."""
 
     def __init__(self) -> None:
         from photo_search_engine_tpu.native import get_library
@@ -146,11 +182,8 @@ class _NativeBM25:
         self._lib = get_library()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
-        self._fields = list(TEXT_FIELD_BOOSTS)
-        self._handle = self._lib.pse_bm25_new(len(self._fields))
-        self._token_ids: Dict[str, int] = {}
-        self._doc_ids: Dict[str, int] = {}
-        self._doc_names: List[str] = []
+        self._n_fields = len(TEXT_FIELD_BOOSTS)
+        self._handle = self._lib.pse_bm25_new(self._n_fields)
 
     def __del__(self):  # pragma: no cover - interpreter teardown
         try:
@@ -159,73 +192,100 @@ class _NativeBM25:
         except Exception:
             pass
 
-    def _token_id(self, token: str, create: bool) -> Optional[int]:
-        tid = self._token_ids.get(token)
-        if tid is None and create:
-            tid = len(self._token_ids)
-            self._token_ids[token] = tid
-        return tid
-
-    def _doc_int(self, doc_id: str, create: bool) -> Optional[int]:
-        did = self._doc_ids.get(doc_id)
-        if did is None and create:
-            did = len(self._doc_names)
-            self._doc_ids[doc_id] = did
-            self._doc_names.append(doc_id)
-        return did
-
-    def add_document(self, doc_id: str, field_tokens: Dict[str, List[str]]) -> None:
+    @staticmethod
+    def _ptr(arr: np.ndarray, ctype):
         import ctypes
-        import numpy as np
 
-        did = self._doc_int(doc_id, create=True)
-        for field_index, field in enumerate(self._fields):
-            tokens = field_tokens.get(field) or []
-            ids = np.asarray(
-                [self._token_id(t, create=True) for t in tokens], np.int64
-            )
-            self._lib.pse_bm25_add_doc(
-                self._handle,
-                did,
-                field_index,
-                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                len(ids),
-            )
+        return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
-    def remove_document(self, doc_id: str) -> None:
-        did = self._doc_ids.get(doc_id)
-        if did is not None:
-            self._lib.pse_bm25_remove_doc(self._handle, did)
-
-    def score_field(
-        self, field: str, terms: List[str], min_required: int
-    ) -> Dict[str, float]:
+    def add_doc(self, row: int, field_index: int, tids: np.ndarray) -> None:
         import ctypes
-        import numpy as np
 
-        field_index = self._fields.index(field)
-        term_ids = [self._token_id(t, create=False) for t in terms]
-        term_arr = np.asarray([t for t in term_ids if t is not None], np.int64)
+        ids = np.ascontiguousarray(tids, np.int64)
+        self._lib.pse_bm25_add_doc(
+            self._handle, row, field_index,
+            self._ptr(ids, ctypes.c_int64), len(ids),
+        )
+
+    def remove_doc(self, row: int) -> None:
+        self._lib.pse_bm25_remove_doc(self._handle, row)
+
+    def score_field(self, field_index: int, tids: Iterable[int], min_required: int):
+        """(rows, scores, matched) arrays for docs matching >= min_required
+        distinct terms."""
+        import ctypes
+
+        term_arr = np.asarray(list(tids), np.int64)
         if term_arr.size == 0:
-            return {}
-        capacity = max(1024, len(self._doc_names))
+            empty = np.empty(0, np.int64)
+            return empty, np.empty(0, np.float64), empty
+        capacity = max(
+            1024, int(self._lib.pse_bm25_field_doc_count(self._handle, field_index))
+        )
         out_docs = np.empty(capacity, np.int64)
         out_scores = np.empty(capacity, np.float64)
+        out_matched = np.empty(capacity, np.int64)
         written = self._lib.pse_bm25_score_field(
             self._handle,
             field_index,
-            term_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._ptr(term_arr, ctypes.c_int64),
             len(term_arr),
             min_required,
-            out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._ptr(out_docs, ctypes.c_int64),
+            self._ptr(out_scores, ctypes.c_double),
+            self._ptr(out_matched, ctypes.c_int64),
             capacity,
         )
         written = min(written, capacity)
-        return {
-            self._doc_names[int(out_docs[i])]: float(out_scores[i])
-            for i in range(written)
-        }
+        return out_docs[:written], out_scores[:written], out_matched[:written]
+
+    def export_field(self, field_index: int):
+        """COO postings + per-doc lengths of one field (for persistence)."""
+        import ctypes
+
+        nnz = int(self._lib.pse_bm25_field_nnz(self._handle, field_index))
+        tids = np.empty(nnz, np.int64)
+        rows = np.empty(nnz, np.int64)
+        tfs = np.empty(nnz, np.int32)
+        if nnz:
+            self._lib.pse_bm25_export_field(
+                self._handle, field_index,
+                self._ptr(tids, ctypes.c_int64),
+                self._ptr(rows, ctypes.c_int64),
+                self._ptr(tfs, ctypes.c_int32),
+                nnz,
+            )
+        n_docs = int(self._lib.pse_bm25_field_doc_count(self._handle, field_index))
+        len_rows = np.empty(n_docs, np.int64)
+        lens = np.empty(n_docs, np.int64)
+        if n_docs:
+            self._lib.pse_bm25_export_doc_lens(
+                self._handle, field_index,
+                self._ptr(len_rows, ctypes.c_int64),
+                self._ptr(lens, ctypes.c_int64),
+                n_docs,
+            )
+        return tids, rows, tfs, len_rows, lens
+
+    def load_field(self, field_index, tids, rows, tfs, len_rows, lens) -> None:
+        """Bulk import one field (fresh index only)."""
+        import ctypes
+
+        tids = np.ascontiguousarray(tids, np.int64)
+        rows = np.ascontiguousarray(rows, np.int64)
+        tfs = np.ascontiguousarray(tfs, np.int32)
+        len_rows = np.ascontiguousarray(len_rows, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        self._lib.pse_bm25_load_field(
+            self._handle, field_index,
+            self._ptr(tids, ctypes.c_int64),
+            self._ptr(rows, ctypes.c_int64),
+            self._ptr(tfs, ctypes.c_int32),
+            len(tids),
+            self._ptr(len_rows, ctypes.c_int64),
+            self._ptr(lens, ctypes.c_int64),
+            len(len_rows),
+        )
 
 
 class KeywordIndex:
@@ -237,17 +297,38 @@ class KeywordIndex:
 
     def __init__(self, index_path: Optional[str] = None, native: Any = "auto") -> None:
         self.index_path = index_path
+        self._native: Optional[_NativeBM25] = None
+        self._want_native = native == "auto" or native is True
+        self._reset_state()
+
+    def _reset_state(self) -> None:
         self._docs: Dict[str, Dict[str, Any]] = {}
-        # field -> term -> {doc_id: tf}
-        self._postings: Dict[str, Dict[str, Dict[str, int]]] = {
-            field: defaultdict(dict) for field in TEXT_FIELD_BOOSTS
-        }
-        self._doc_len: Dict[str, Dict[str, int]] = {
+        self._vocab: Dict[str, int] = {}
+        self._vocab_list: List[str] = []
+        self._doc_row: Dict[str, int] = {}
+        self._row_doc: List[str] = []
+        self._alive: List[bool] = []
+        # columnar filter state
+        self._col_codes: Dict[str, List[int]] = {f: [] for f in FILTER_EXACT_FIELDS}
+        self._cats: Dict[str, Dict[Any, int]] = {f: {} for f in FILTER_EXACT_FIELDS}
+        self._cat_values: Dict[str, List[Any]] = {f: [] for f in FILTER_EXACT_FIELDS}
+        self._dt_col: List[int] = []
+        self._cols_np: Optional[Dict[str, np.ndarray]] = None
+        # retrieval_text id streams (phrase matching), row-indexed
+        self._streams: List[Optional[np.ndarray]] = []
+        # pure-Python postings fallback: field -> tid -> {row: tf}
+        self._postings: Dict[str, Dict[int, Dict[int, int]]] = {
             field: {} for field in TEXT_FIELD_BOOSTS
         }
-        self._doc_tokens: Dict[str, List[str]] = {}  # retrieval_text streams
-        self._native: Optional[_NativeBM25] = None
-        if native == "auto" or native is True:
+        self._doc_len: Dict[str, Dict[int, int]] = {
+            field: {} for field in TEXT_FIELD_BOOSTS
+        }
+        self._total_len: Dict[str, int] = {field: 0 for field in TEXT_FIELD_BOOSTS}
+        self._row_tids: Dict[str, Dict[int, np.ndarray]] = {
+            field: {} for field in TEXT_FIELD_BOOSTS
+        }
+        self._native = None
+        if self._want_native:
             try:
                 self._native = _NativeBM25()
             except Exception:
@@ -258,143 +339,245 @@ class KeywordIndex:
     def count(self) -> int:
         return len(self._docs)
 
+    def _tid(self, token: str, create: bool) -> Optional[int]:
+        tid = self._vocab.get(token)
+        if tid is None and create:
+            tid = len(self._vocab_list)
+            self._vocab[token] = tid
+            self._vocab_list.append(token)
+        return tid
+
+    def _cat_code(self, field: str, value: Any) -> int:
+        """Categorical code for a document value (creates on first sight);
+        unhashable values are treated as missing."""
+        try:
+            code = self._cats[field].get(value)
+        except TypeError:
+            return -1
+        if code is None:
+            code = len(self._cat_values[field])
+            self._cats[field][value] = code
+            self._cat_values[field].append(value)
+        return code
+
     def add_document(self, doc_id: str, document: Dict[str, Any]) -> None:
         """Insert or overwrite a document (reference keyword_store.py:216-238)."""
         if "photo_path" not in document or "description" not in document:
             raise ValueError("document requires photo_path and description fields")
         if doc_id in self._docs:
             self._remove(doc_id)
+        row = len(self._row_doc)
+        self._row_doc.append(doc_id)
+        self._alive.append(True)
+        self._doc_row[doc_id] = row
         self._docs[doc_id] = dict(document)
-        field_tokens: Dict[str, List[str]] = {}
-        for field in TEXT_FIELD_BOOSTS:
+
+        for field in FILTER_EXACT_FIELDS:
+            value = document.get(field)
+            code = -1 if value is None else self._cat_code(field, value)
+            self._col_codes[field].append(code)
+        doc_dt = _parse_dt(document.get("datetime"))
+        self._dt_col.append(_epoch_seconds(doc_dt) if doc_dt else _NO_DT)
+        self._cols_np = None
+
+        stream: Optional[np.ndarray] = None
+        for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
             tokens = tokenize(document.get(field))
-            field_tokens[field] = tokens
+            tids = np.asarray(
+                [self._tid(t, create=True) for t in tokens], np.int32
+            )
             if field == "retrieval_text":
-                self._doc_tokens[doc_id] = tokens
-        if self._native is not None:
-            self._native.add_document(doc_id, field_tokens)
-            return
-        for field, tokens in field_tokens.items():
-            self._doc_len[field][doc_id] = len(tokens)
-            counts: Dict[str, int] = defaultdict(int)
-            for token in tokens:
-                counts[token] += 1
-            for token, tf in counts.items():
-                self._postings[field][token][doc_id] = tf
+                stream = tids
+            if self._native is not None:
+                self._native.add_doc(row, field_index, tids)
+            else:
+                if tids.size:
+                    uniq, counts = np.unique(tids, return_counts=True)
+                else:
+                    uniq = np.empty(0, np.int32)
+                    counts = uniq
+                postings = self._postings[field]
+                for tid, tf in zip(uniq.tolist(), counts.tolist()):
+                    postings.setdefault(tid, {})[row] = tf
+                self._row_tids[field][row] = uniq
+                self._doc_len[field][row] = len(tokens)
+                self._total_len[field] += len(tokens)
+        self._streams.append(stream)
 
     def _remove(self, doc_id: str) -> None:
-        if self._native is not None:
-            self._native.remove_document(doc_id)
-        for field in TEXT_FIELD_BOOSTS:
-            self._doc_len[field].pop(doc_id, None)
-            for postings in self._postings[field].values():
-                postings.pop(doc_id, None)
-        self._doc_tokens.pop(doc_id, None)
+        row = self._doc_row.pop(doc_id, None)
         self._docs.pop(doc_id, None)
+        if row is None:
+            return
+        self._alive[row] = False
+        self._streams[row] = None
+        self._cols_np = None
+        if self._native is not None:
+            self._native.remove_doc(row)
+            return
+        for field in TEXT_FIELD_BOOSTS:
+            tids = self._row_tids[field].pop(row, None)
+            if tids is not None:
+                postings = self._postings[field]
+                for tid in tids.tolist():
+                    entry = postings.get(tid)
+                    if entry is not None:
+                        entry.pop(row, None)
+                        if not entry:
+                            postings.pop(tid)
+            length = self._doc_len[field].pop(row, None)
+            if length:
+                self._total_len[field] -= length
 
     def delete_document(self, doc_id: str) -> None:
         self._remove(doc_id)
 
     def clear(self) -> None:
         """Drop everything (reference keyword_store.py:420 delete+recreate)."""
-        self._docs.clear()
-        self._doc_tokens.clear()
-        for field in TEXT_FIELD_BOOSTS:
-            self._postings[field] = defaultdict(dict)
-            self._doc_len[field] = {}
-        if self._native is not None:
-            try:
-                self._native = _NativeBM25()
-            except Exception:
-                self._native = None
+        self._reset_state()
 
     # ------------------------------------------------------------------
-    def _field_bm25(
-        self, field: str, terms: List[str], candidates: Optional[set]
-    ) -> Dict[str, float]:
-        """Per-document BM25 for one field, honoring minimum_should_match."""
+    def _field_scores(self, field: str, tids: List[int], required: int):
+        """Per-row BM25 for one field as (rows, scores, matched) arrays,
+        honoring minimum_should_match."""
         if self._native is not None:
-            unique_terms = list(dict.fromkeys(terms))
-            required = max(1, int(_MIN_SHOULD_MATCH * len(unique_terms)))
-            scored = self._native.score_field(field, unique_terms, required)
-            if candidates is None:
-                return scored
-            return {d: s for d, s in scored.items() if d in candidates}
+            field_index = list(TEXT_FIELD_BOOSTS).index(field)
+            return self._native.score_field(field_index, tids, required)
         n_docs = max(1, len(self._docs))
         lengths = self._doc_len[field]
-        total_len = sum(lengths.values())
-        avg_len = (total_len / len(lengths)) if lengths else 0.0
-        unique_terms = list(dict.fromkeys(terms))
-        required = max(1, int(_MIN_SHOULD_MATCH * len(unique_terms)))
+        avg_len = (self._total_len[field] / len(lengths)) if lengths else 0.0
 
-        scores: Dict[str, float] = defaultdict(float)
-        matched: Dict[str, int] = defaultdict(int)
-        for term in unique_terms:
-            postings = self._postings[field].get(term)
+        scores: Dict[int, float] = {}
+        matched: Dict[int, int] = {}
+        for tid in tids:
+            postings = self._postings[field].get(tid)
             if not postings:
                 continue
             df = len(postings)
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            for doc_id, tf in postings.items():
-                if candidates is not None and doc_id not in candidates:
-                    continue
-                dl = lengths.get(doc_id, 0)
-                denom = tf + _K1 * (1.0 - _B + _B * (dl / avg_len if avg_len else 0.0))
-                scores[doc_id] += idf * (tf * (_K1 + 1.0) / denom)
-                matched[doc_id] += 1
-        return {
-            doc_id: score
-            for doc_id, score in scores.items()
-            if matched[doc_id] >= required
-        }
+            for row, tf in postings.items():
+                dl = lengths.get(row, 0)
+                denom = tf + _K1 * (1.0 - _B + (_B * dl / avg_len if avg_len else 0.0))
+                scores[row] = scores.get(row, 0.0) + idf * (tf * (_K1 + 1.0) / denom)
+                matched[row] = matched.get(row, 0) + 1
+        keep = [row for row, m in matched.items() if m >= required]
+        rows = np.asarray(keep, np.int64)
+        svals = np.asarray([scores[row] for row in keep], np.float64)
+        mvals = np.asarray([matched[row] for row in keep], np.int64)
+        return rows, svals, mvals
 
-    def _phrase_scores(
-        self, terms: List[str], candidates: Optional[set]
-    ) -> Dict[str, float]:
-        """Contiguous-subsequence bonus on retrieval_text
-        (the match_phrase clause, keyword_store.py:128-135)."""
-        if len(terms) < 2:
-            return {}
-        out: Dict[str, float] = {}
-        for doc_id, stream in self._doc_tokens.items():
-            if candidates is not None and doc_id not in candidates:
+    def _phrase_rows(
+        self, pattern: np.ndarray, candidates: Iterable[int]
+    ) -> Set[int]:
+        """Rows whose retrieval_text stream contains ``pattern`` as a
+        contiguous subsequence (the match_phrase clause,
+        keyword_store.py:128-135).  All candidate streams are packed into
+        one -1-separated buffer so the pattern match is a single vectorized
+        pass (the -1 separators can never equal a vocab id, so matches
+        cannot span documents)."""
+        plen = len(pattern)
+        sep = np.full(1, -1, np.int32)
+        parts: List[np.ndarray] = []
+        keep_rows: List[int] = []
+        starts: List[int] = []
+        pos = 0
+        for row in candidates:
+            stream = self._streams[row]
+            if stream is None or len(stream) < plen:
                 continue
-            if not stream or len(stream) < len(terms):
-                continue
-            for start in range(len(stream) - len(terms) + 1):
-                if stream[start : start + len(terms)] == terms:
-                    out[doc_id] = 1.0
-                    break
-        return out
+            starts.append(pos)
+            keep_rows.append(row)
+            parts.append(stream)
+            parts.append(sep)
+            pos += len(stream) + 1
+        if not parts:
+            return set()
+        buf = np.concatenate(parts)
+        n = len(buf) - plen + 1
+        match = buf[:n] == pattern[0]
+        for j in range(1, plen):
+            match &= buf[j : j + n] == pattern[j]
+        hit_pos = np.nonzero(match)[0]
+        if not len(hit_pos):
+            return set()
+        offsets = np.asarray(starts, np.int64)
+        idx = np.searchsorted(offsets, hit_pos, side="right") - 1
+        return {keep_rows[i] for i in set(idx.tolist())}
 
-    def _text_scores(
-        self, query: Optional[str], candidates: Optional[set]
-    ) -> Optional[Dict[str, float]]:
-        """best_fields multi_match + phrase bonus; None when no query text."""
+    def _text_scores(self, query: Optional[str], cand_rows: Optional[np.ndarray]):
+        """best_fields multi_match + phrase bonus as a dense score vector;
+        None when no query text.  Returns (rows, scores) arrays of rows with
+        a positive combined score (candidate-filtered when given)."""
         if not query or not str(query).strip():
             return None
         terms = tokenize(query)
         if not terms:
             return None
-        best: Dict[str, float] = defaultdict(float)
+        unique_terms = list(dict.fromkeys(terms))
+        # unknown terms still count toward minimum_should_match
+        required = max(1, int(_MIN_SHOULD_MATCH * len(unique_terms)))
+        known_tids = [
+            tid for tid in (self._vocab.get(t) for t in unique_terms)
+            if tid is not None
+        ]
+        n_rows = len(self._row_doc)
+        best = np.zeros(n_rows, np.float64)
+        rt_rows = rt_scores = rt_matched = None
         for field, boost in TEXT_FIELD_BOOSTS.items():
-            for doc_id, score in self._field_bm25(field, terms, candidates).items():
-                weighted = score * boost
-                if weighted > best[doc_id]:
-                    best[doc_id] = weighted
-        phrase_base = self._field_bm25("retrieval_text", terms, candidates)
-        # A full contiguous match implies every term matched in
-        # retrieval_text, so phrase candidates are a subset of phrase_base —
-        # scanning only those keeps the phrase pass O(candidates).
-        for doc_id, present in self._phrase_scores(terms, set(phrase_base)).items():
-            if present:
-                best[doc_id] = best[doc_id] + _PHRASE_BOOST * phrase_base.get(doc_id, 1.0)
-        return dict(best)
+            rows, scores, matched = self._field_scores(field, known_tids, required)
+            if field == "retrieval_text":
+                rt_rows, rt_scores, rt_matched = rows, scores, matched
+            if len(rows):
+                # rows are unique within a field, so fancy-index max is safe
+                best[rows] = np.maximum(best[rows], scores * boost)
+        if cand_rows is not None:
+            cand_mask = np.zeros(n_rows, bool)
+            cand_mask[cand_rows] = True
+        else:
+            cand_mask = None
+        # A full contiguous match needs every pattern term in retrieval_text,
+        # so phrase candidates are the matched == all-terms rows of the
+        # retrieval_text pass — the sliding-window check runs on those only.
+        pattern_tids = [self._vocab.get(t) for t in terms]
+        if (
+            len(terms) >= 2
+            and all(t is not None for t in pattern_tids)
+            and rt_rows is not None
+            and len(rt_rows)
+        ):
+            full = rt_matched >= len(known_tids)
+            if cand_mask is not None:
+                full &= cand_mask[rt_rows]
+            check_rows = rt_rows[full]
+            check_scores = rt_scores[full]
+            pattern = np.asarray(pattern_tids, np.int32)
+            hits = self._phrase_rows(pattern, check_rows.tolist())
+            if hits:
+                for row, base in zip(check_rows.tolist(), check_scores.tolist()):
+                    if row in hits:
+                        best[row] += _PHRASE_BOOST * base
+        if cand_mask is not None:
+            scored = np.nonzero((best > 0.0) & cand_mask)[0]
+        else:
+            scored = np.nonzero(best > 0.0)[0]
+        return scored, best[scored]
 
     # ------------------------------------------------------------------
-    def _filter_candidates(self, filters: Dict[str, Any]) -> Optional[set]:
-        """Doc ids passing exact-term + datetime-range filters; None when no
-        filters are given (keyword_store.py:315-345)."""
+    def _cols(self) -> Dict[str, np.ndarray]:
+        if self._cols_np is None:
+            cols: Dict[str, np.ndarray] = {
+                "alive": np.asarray(self._alive, bool),
+                "dt": np.asarray(self._dt_col, np.int64),
+            }
+            for field in FILTER_EXACT_FIELDS:
+                cols[field] = np.asarray(self._col_codes[field], np.int32)
+            self._cols_np = cols
+        return self._cols_np
+
+    def _filter_rows(self, filters: Dict[str, Any]) -> Optional[np.ndarray]:
+        """Rows passing exact-term + datetime-range filters as one vectorized
+        columnar pass; None when no filters are given
+        (keyword_store.py:315-345)."""
         clauses = []
         for field in FILTER_EXACT_FIELDS:
             value = filters.get(field)
@@ -405,52 +588,63 @@ class KeywordIndex:
         if not clauses and start is None and end is None:
             return None
 
-        passing = set()
-        for doc_id, doc in self._docs.items():
-            ok = True
-            for field, value in clauses:
-                if doc.get(field) != value:
-                    ok = False
-                    break
-            if ok and (start is not None or end is not None):
-                doc_dt = _parse_dt(doc.get("datetime"))
-                if doc_dt is None:
-                    ok = False
-                elif start is not None and doc_dt < start:
-                    ok = False
-                elif end is not None and doc_dt > end:
-                    ok = False
-            if ok:
-                passing.add(doc_id)
-        return passing
+        cols = self._cols()
+        mask = cols["alive"].copy()
+        for field, value in clauses:
+            try:
+                code = self._cats[field].get(value)
+            except TypeError:
+                code = None
+            if code is None:
+                return np.empty(0, np.int64)
+            mask &= cols[field] == code
+        if start is not None or end is not None:
+            dt = cols["dt"]
+            mask &= dt != _NO_DT
+            if start is not None:
+                mask &= dt >= _epoch_seconds(start)
+            if end is not None:
+                mask &= dt <= _epoch_seconds(end)
+        return np.nonzero(mask)[0]
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def _normalize_hits(
-        raw: Dict[str, float], docs: Dict[str, Dict[str, Any]], top_k: int
+    def _hits_from_arrays(
+        self, rows: np.ndarray, scores: np.ndarray, top_k: int
     ) -> List[Dict[str, Any]]:
-        if not raw:
+        """Top-k hits ordered by (-score, doc_id): a numeric partition cuts
+        the bulk, then a bounded heap resolves the exact tie-break order."""
+        if top_k <= 0 or not len(rows):
             return []
-        ordered = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
-        max_score = ordered[0][1] or 1.0
-        if max_score == 0:
-            max_score = 1.0
+        if len(rows) > 4 * top_k:
+            cut = len(scores) - top_k
+            kth = np.partition(scores, cut)[cut]
+            sel = scores >= kth  # keeps boundary ties for exact ordering
+            rows, scores = rows[sel], scores[sel]
+        ordered = heapq.nsmallest(
+            top_k,
+            (
+                (-float(score), self._row_doc[int(row)], int(row))
+                for row, score in zip(rows, scores)
+            ),
+        )
+        max_score = -ordered[0][0] or 1.0
         return [
             {
-                "photo_path": docs[doc_id]["photo_path"],
-                "score": (score / max_score) if score else 0.5,
+                "photo_path": self._docs[doc_id]["photo_path"],
+                "score": (-neg_score / max_score) if neg_score else 0.5,
             }
-            for doc_id, score in ordered
+            for neg_score, doc_id, _row in ordered
         ]
 
     def search(self, query: str, top_k: int = 50) -> List[Dict[str, Any]]:
         """BM25 search → [{photo_path, score∈(0,1]}] with raw min_score 0.12
         (reference keyword_store.py:240-284)."""
-        scores = self._text_scores(query, None)
-        if scores is None:
+        scored = self._text_scores(query, None)
+        if scored is None:
             return []
-        kept = {d: s for d, s in scores.items() if s >= _MIN_SCORE}
-        return self._normalize_hits(kept, self._docs, top_k)
+        rows, scores = scored
+        keep = scores >= _MIN_SCORE
+        return self._hits_from_arrays(rows[keep], scores[keep], top_k)
 
     def search_with_filters(
         self,
@@ -459,33 +653,61 @@ class KeywordIndex:
         top_k: int = 50,
     ) -> List[Dict[str, Any]]:
         """Text + EXIF filter search (reference keyword_store.py:286-392)."""
-        candidates = self._filter_candidates(filters or {})
-        scores = self._text_scores(query, candidates)
-        if scores is not None:
-            kept = {d: s for d, s in scores.items() if s >= _MIN_SCORE}
-            return self._normalize_hits(kept, self._docs, top_k)
-        if candidates is None:
+        cand_rows = self._filter_rows(filters or {})
+        scored = self._text_scores(query, cand_rows)
+        if scored is not None:
+            rows, scores = scored
+            keep = scores >= _MIN_SCORE
+            return self._hits_from_arrays(rows[keep], scores[keep], top_k)
+        if cand_rows is None:
             # no text, no filters → match_all, score 1.0 each
-            raw = {doc_id: 1.0 for doc_id in self._docs}
-            return self._normalize_hits(raw, self._docs, top_k)
+            rows = np.fromiter(
+                self._doc_row.values(), np.int64, len(self._doc_row)
+            )
+            return self._hits_from_arrays(rows, np.ones(len(rows)), top_k)
         # filter-only: ES gives _score 0 → normalized to the 0.5 sentinel
-        raw = {doc_id: 0.0 for doc_id in candidates}
-        return self._normalize_hits(raw, self._docs, top_k)
+        return self._hits_from_arrays(
+            cand_rows, np.zeros(len(cand_rows)), top_k
+        )
 
     def get_filtered_paths(
         self, filters: Dict[str, Any], top_k: int = 1000
     ) -> List[str]:
-        candidates = self._filter_candidates(filters or {})
-        if candidates is None:
-            candidates = set(self._docs)
+        rows = self._filter_rows(filters or {})
+        if rows is None:
+            row_iter: Iterable[int] = self._doc_row.values()
+        else:
+            row_iter = rows.tolist()
         paths = sorted(
-            self._docs[doc_id]["photo_path"] for doc_id in candidates
+            self._docs[self._row_doc[row]]["photo_path"] for row in row_iter
         )
         return paths[:top_k]
 
     # ------------------------------------------------------------------
+    def _export_postings(self, field: str, field_index: int):
+        """(tids, rows, tfs, len_rows, lens) COO arrays for one field."""
+        if self._native is not None:
+            return self._native.export_field(field_index)
+        postings = self._postings[field]
+        nnz = sum(len(entry) for entry in postings.values())
+        tids = np.empty(nnz, np.int64)
+        rows = np.empty(nnz, np.int64)
+        tfs = np.empty(nnz, np.int32)
+        pos = 0
+        for tid, entry in postings.items():
+            for row, tf in entry.items():
+                tids[pos] = tid
+                rows[pos] = row
+                tfs[pos] = tf
+                pos += 1
+        lengths = self._doc_len[field]
+        len_rows = np.asarray(list(lengths.keys()), np.int64)
+        lens = np.asarray(list(lengths.values()), np.int64)
+        return tids, rows, tfs, len_rows, lens
+
     def save(self, path: Optional[str] = None) -> None:
-        """Persist raw documents; postings are rebuilt on load."""
+        """Persist raw documents (JSON, the source of truth) plus a binary
+        postings sidecar so ``load`` skips re-tokenization."""
         target = path or self.index_path
         if not target:
             raise ValueError("no index path configured")
@@ -494,6 +716,65 @@ class KeywordIndex:
             os.makedirs(directory, exist_ok=True)
         with open(target, "w", encoding="utf-8") as f:
             json.dump({"documents": self._docs}, f, ensure_ascii=False)
+        try:
+            self._save_sidecar(target)
+        except Exception as exc:  # sidecar is an optimization, never fatal
+            print(f"[WARN] keyword sidecar write failed ({exc}); "
+                  "load will re-tokenize")
+            try:
+                os.remove(target + _SIDECAR_SUFFIX)
+            except OSError:
+                pass
+
+    def _save_sidecar(self, target: str) -> None:
+        n_rows = len(self._row_doc)
+        meta = {
+            "version": _SIDECAR_VERSION,
+            "n_rows": n_rows,
+            "doc_count": len(self._docs),
+            "vocab": self._vocab_list,
+            "row_doc": self._row_doc,
+            "cats": self._cat_values,
+        }
+        # cats must survive a JSON round-trip with equality intact
+        for values in self._cat_values.values():
+            for value in values:
+                if not isinstance(value, (str, int, float, bool)):
+                    raise TypeError(f"non-primitive filter value {value!r}")
+        arrays: Dict[str, np.ndarray] = {
+            "meta": np.frombuffer(
+                json.dumps(meta, ensure_ascii=False).encode("utf-8"), np.uint8
+            ),
+            "alive": np.asarray(self._alive, np.uint8),
+            "dt": np.asarray(self._dt_col, np.int64),
+        }
+        for field in FILTER_EXACT_FIELDS:
+            arrays[f"col_{field}"] = np.asarray(self._col_codes[field], np.int32)
+        offsets = np.zeros(n_rows + 1, np.int64)
+        chunks = []
+        for row in range(n_rows):
+            stream = self._streams[row]
+            size = 0 if stream is None else len(stream)
+            offsets[row + 1] = offsets[row] + size
+            if size:
+                chunks.append(stream)
+        arrays["stream_offsets"] = offsets
+        arrays["stream_data"] = (
+            np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+        )
+        for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
+            tids, rows, tfs, len_rows, lens = self._export_postings(
+                field, field_index
+            )
+            arrays[f"post_{field_index}_tid"] = tids
+            arrays[f"post_{field_index}_row"] = rows
+            arrays[f"post_{field_index}_tf"] = tfs
+            arrays[f"post_{field_index}_lrow"] = len_rows
+            arrays[f"post_{field_index}_len"] = lens
+        tmp = target + _SIDECAR_SUFFIX + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, target + _SIDECAR_SUFFIX)
 
     def load(self, path: Optional[str] = None) -> bool:
         target = path or self.index_path
@@ -501,7 +782,94 @@ class KeywordIndex:
             return False
         with open(target, "r", encoding="utf-8") as f:
             payload = json.load(f)
+        documents = payload.get("documents") or {}
         self.clear()
-        for doc_id, doc in (payload.get("documents") or {}).items():
+        sidecar_path = target + _SIDECAR_SUFFIX
+        if os.path.exists(sidecar_path):
+            try:
+                with np.load(sidecar_path) as sidecar:
+                    if self._restore_from_sidecar(sidecar, documents):
+                        return True
+            except Exception as exc:
+                print(f"[WARN] keyword sidecar load failed ({exc}); re-tokenizing")
+            self.clear()
+        for doc_id, doc in documents.items():
             self.add_document(doc_id, doc)
+        return True
+
+    def _restore_from_sidecar(
+        self, sidecar, documents: Dict[str, Dict[str, Any]]
+    ) -> bool:
+        meta = json.loads(bytes(sidecar["meta"].tobytes()).decode("utf-8"))
+        if meta.get("version") != _SIDECAR_VERSION:
+            return False
+        row_doc: List[str] = meta["row_doc"]
+        alive = sidecar["alive"].astype(bool)
+        if len(row_doc) != len(alive) or meta.get("doc_count") != len(documents):
+            return False
+        live_rows = np.nonzero(alive)[0]
+        live_ids = {row_doc[row] for row in live_rows.tolist()}
+        if live_ids != set(documents):
+            return False  # stale sidecar — documents JSON wins
+
+        self._docs = {doc_id: dict(doc) for doc_id, doc in documents.items()}
+        self._vocab_list = list(meta["vocab"])
+        self._vocab = {token: tid for tid, token in enumerate(self._vocab_list)}
+        self._row_doc = list(row_doc)
+        self._alive = alive.tolist()
+        self._doc_row = {row_doc[row]: int(row) for row in live_rows.tolist()}
+        for field in FILTER_EXACT_FIELDS:
+            values = list(meta["cats"][field])
+            self._cat_values[field] = values
+            self._cats[field] = {value: code for code, value in enumerate(values)}
+            self._col_codes[field] = sidecar[f"col_{field}"].astype(np.int32).tolist()
+        self._dt_col = sidecar["dt"].astype(np.int64).tolist()
+        self._cols_np = None
+        data = sidecar["stream_data"].astype(np.int32)
+        offsets = sidecar["stream_offsets"].astype(np.int64)
+        self._streams = []
+        for row in range(len(row_doc)):
+            lo, hi = int(offsets[row]), int(offsets[row + 1])
+            if not alive[row]:
+                self._streams.append(None)
+            else:
+                self._streams.append(data[lo:hi])
+
+        for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
+            tids = sidecar[f"post_{field_index}_tid"].astype(np.int64)
+            rows = sidecar[f"post_{field_index}_row"].astype(np.int64)
+            tfs = sidecar[f"post_{field_index}_tf"].astype(np.int32)
+            len_rows = sidecar[f"post_{field_index}_lrow"].astype(np.int64)
+            lens = sidecar[f"post_{field_index}_len"].astype(np.int64)
+            if self._native is not None:
+                self._native.load_field(field_index, tids, rows, tfs, len_rows, lens)
+                continue
+            postings = self._postings[field]
+            if len(tids):
+                order = np.lexsort((rows, tids))
+                sorted_tids = tids[order]
+                sorted_rows = rows[order]
+                sorted_tfs = tfs[order]
+                bounds = np.flatnonzero(np.diff(sorted_tids)) + 1
+                starts = np.concatenate(([0], bounds))
+                stops = np.concatenate((bounds, [len(sorted_tids)]))
+                for lo, hi in zip(starts.tolist(), stops.tolist()):
+                    postings[int(sorted_tids[lo])] = dict(
+                        zip(sorted_rows[lo:hi].tolist(), sorted_tfs[lo:hi].tolist())
+                    )
+                # per-row unique tids (targeted removal back-pointers)
+                order_r = np.lexsort((tids, rows))
+                r_rows = rows[order_r]
+                r_tids = tids[order_r]
+                bounds_r = np.flatnonzero(np.diff(r_rows)) + 1
+                starts_r = np.concatenate(([0], bounds_r))
+                stops_r = np.concatenate((bounds_r, [len(r_rows)]))
+                for lo, hi in zip(starts_r.tolist(), stops_r.tolist()):
+                    self._row_tids[field][int(r_rows[lo])] = r_tids[lo:hi].astype(
+                        np.int32
+                    )
+            self._doc_len[field] = dict(
+                zip(len_rows.tolist(), lens.tolist())
+            )
+            self._total_len[field] = int(lens.sum())
         return True

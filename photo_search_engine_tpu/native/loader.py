@@ -88,6 +88,24 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.pse_bm25_remove_doc.restype = None
     lib.pse_bm25_doc_count.argtypes = [ctypes.c_void_p]
     lib.pse_bm25_doc_count.restype = ctypes.c_int64
+    lib.pse_bm25_field_nnz.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pse_bm25_field_nnz.restype = ctypes.c_int64
+    lib.pse_bm25_field_doc_count.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pse_bm25_field_doc_count.restype = ctypes.c_int64
+    lib.pse_bm25_export_field.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, i32p, ctypes.c_int64
+    ]
+    lib.pse_bm25_export_field.restype = ctypes.c_int64
+    lib.pse_bm25_export_doc_lens.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i64p, i64p, ctypes.c_int64
+    ]
+    lib.pse_bm25_export_doc_lens.restype = ctypes.c_int64
+    lib.pse_bm25_load_field.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        i64p, i64p, i32p, ctypes.c_int64,   # COO postings
+        i64p, i64p, ctypes.c_int64,         # per-doc lengths
+    ]
+    lib.pse_bm25_load_field.restype = None
     lib.pse_bm25_score_field.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int32,    # field
@@ -96,6 +114,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,    # min matched terms required
         i64p,              # out doc ids buffer
         f64p,              # out scores buffer
+        i64p,              # out matched-term counts buffer
         ctypes.c_int64,    # buffer capacity
     ]
     lib.pse_bm25_score_field.restype = ctypes.c_int64

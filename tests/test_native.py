@@ -101,8 +101,10 @@ class NativeBm25ParityTest(unittest.TestCase):
         rng = np.random.default_rng(0)
         vocabulary = [f"tok{i}" for i in range(2000)]
 
+        # below ~2k docs the pure-Python path wins (ctypes call overhead
+        # dominates); the native core's advantage is the large-corpus regime
         def build(ki):
-            for i in range(800):
+            for i in range(4000):
                 words = " ".join(rng.choice(vocabulary, size=30))
                 ki.add_document(str(i), _doc(f"/p/{i}.jpg", words))
 
