@@ -132,12 +132,31 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
     )
 
     keyword_index = None
-    if str(config.get("KEYWORD_BACKEND") or "builtin").lower() == "builtin":
+    keyword_backend = str(config.get("KEYWORD_BACKEND") or "builtin").lower()
+    if keyword_backend == "builtin":
         try:
             keyword_index = KeywordIndex(config["KEYWORD_INDEX_PATH"])
             keyword_index.load()
         except Exception as exc:
             print(f"[WARN] keyword index disabled: {exc}")
+            keyword_index = None
+    elif keyword_backend == "elasticsearch":
+        # optional real-ES adapter; init failure degrades the keyword
+        # channel to None with a warning (reference main.py:114-127)
+        try:
+            from photo_search_engine_tpu.core.es_keyword_index import (
+                ElasticsearchKeywordIndex,
+            )
+
+            keyword_index = ElasticsearchKeywordIndex(
+                host=config.get("ELASTICSEARCH_HOST", "localhost"),
+                port=config.get("ELASTICSEARCH_PORT", 9200),
+                index_name=config.get("ELASTICSEARCH_INDEX", "photo_keywords"),
+                username=config.get("ELASTICSEARCH_USERNAME"),
+                password=config.get("ELASTICSEARCH_PASSWORD"),
+            )
+        except Exception as exc:
+            print(f"[WARN] elasticsearch keyword backend unavailable: {exc}")
             keyword_index = None
 
     time_parser = TimeParser(

@@ -171,13 +171,20 @@ def load_config() -> Dict[str, Any]:
         "RERANK_IMAGE_QUALITY": _get_int("RERANK_IMAGE_QUALITY", 75),
         "RERANK_IMAGE_FORMAT": os.getenv("RERANK_IMAGE_FORMAT", "WEBP").upper(),
         "RERANK_MAX_IMAGES": _get_int("RERANK_MAX_IMAGES", 12),
-        # Keyword channel: builtin (device-adjacent host inverted index, default)
-        # | none.  Replaces the reference's Elasticsearch dependency while
-        # preserving the degrade-when-absent contract.
+        # Keyword channel: builtin (device-adjacent host inverted index,
+        # default) | elasticsearch (real-ES adapter, reference parity) |
+        # none.  Replaces the reference's hard Elasticsearch dependency
+        # while preserving the degrade-when-absent contract.
         "KEYWORD_BACKEND": os.getenv("KEYWORD_BACKEND", "builtin"),
         "KEYWORD_INDEX_PATH": os.getenv(
             "KEYWORD_INDEX_PATH", os.path.join(runtime_data_dir, "keyword_index.json")
         ),
+        # real-ES adapter connection (reference config.py:158-162)
+        "ELASTICSEARCH_HOST": os.getenv("ELASTICSEARCH_HOST", "localhost"),
+        "ELASTICSEARCH_PORT": _get_int("ELASTICSEARCH_PORT", 9200),
+        "ELASTICSEARCH_INDEX": os.getenv("ELASTICSEARCH_INDEX", "photo_keywords"),
+        "ELASTICSEARCH_USERNAME": os.getenv("ELASTICSEARCH_USERNAME"),
+        "ELASTICSEARCH_PASSWORD": os.getenv("ELASTICSEARCH_PASSWORD"),
         "SEARCH_VALIDATE_FILE_EXISTS": _get_bool("SEARCH_VALIDATE_FILE_EXISTS", False),
         # serving-path request micro-batching (core/batcher.py)
         "SEARCH_MICROBATCH_ENABLED": _get_bool("SEARCH_MICROBATCH_ENABLED", False),
