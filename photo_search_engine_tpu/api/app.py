@@ -126,6 +126,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         store_dtype=config.get("STORE_DTYPE", "float32"),
         ivf_nlist=config.get("IVF_NLIST", 1024),
         ivf_nprobe=config.get("IVF_NPROBE", 64),
+        ivf_target_recall=config.get("IVF_TARGET_RECALL", 0.98),
         store_block_rows=config.get("TOPK_BLOCK_N") or None,
         quantized=bool(config.get("STORE_QUANTIZED", False)),
         mesh_devices=_resolve_mesh_devices(config.get("MESH_DEVICES", 0)),

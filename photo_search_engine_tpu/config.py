@@ -198,7 +198,10 @@ def load_config() -> Dict[str, Any]:
         # kernel corpus-block rows; 0 = auto (VMEM-budget-aware by dim/dtype)
         "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 0),
         "IVF_NLIST": _get_int("IVF_NLIST", 1024),
+        # 0 = autotune nprobe to IVF_TARGET_RECALL (recall@10 vs full probe
+        # on a held-out sample) after every (re)build
         "IVF_NPROBE": _get_int("IVF_NPROBE", 64),
+        "IVF_TARGET_RECALL": _get_float("IVF_TARGET_RECALL", 0.98),
         # mesh shape: 0 = single-device store; N>=1 = row-shard the corpus
         # over a jax.sharding.Mesh of the first N devices (per-shard
         # partial top-k + all_gather merge over ICI; parallel/sharded.py);

@@ -42,6 +42,7 @@ class VectorIndex:
         store_dtype: str = "float32",
         ivf_nlist: int = 1024,
         ivf_nprobe: int = 64,
+        ivf_target_recall: float = 0.98,
         store_block_rows: Optional[int] = None,
         quantized: bool = False,
         mesh_devices: int = 0,
@@ -58,7 +59,12 @@ class VectorIndex:
             raise ValueError("index_type must be flat or ivf")
         self.store_dtype = store_dtype
         self.ivf_nlist = max(1, int(ivf_nlist))
-        self.ivf_nprobe = max(1, int(ivf_nprobe))
+        # nprobe 0 = autotune: after each (re)build, pick the smallest
+        # power-of-two nprobe hitting ivf_target_recall@10 on a held-out
+        # sample of stored rows (models/ivf.py tune_nprobe)
+        self.ivf_nprobe = max(0, int(ivf_nprobe))
+        self.ivf_target_recall = float(ivf_target_recall)
+        self._ivf_nprobe_auto: Optional[int] = None
         self.store_block_rows = store_block_rows or None
         # int8 shadow scan + exact rescore (ops/quantized.py): exact results
         # on realistic score gaps, ~2× scan throughput; a runtime
@@ -188,15 +194,44 @@ class VectorIndex:
                 self._ivf_built_at = count
                 return self._ivf
         nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
+        snapshot = self._store.snapshot()
         self._ivf = IVFIndex.build(
-            self._store.snapshot(),
+            snapshot,
             nlist=nlist,
             metric="ip" if self.metric == "cosine" else self.metric,
             store_dtype=self.store_dtype,
         )
         self._ivf_built_at = count
         self._ivf_trained_at = count
+        if self.ivf_nprobe == 0:
+            # autotune on a sample of stored rows (leave-self-in on both
+            # the probed and the full-probe side, so the measured quantity
+            # is purely the cluster-pruning loss)
+            rng = np.random.default_rng(0)
+            sample = snapshot[
+                rng.choice(count, size=min(128, count), replace=False)
+            ]
+            if self.metric == "cosine":
+                norms = np.linalg.norm(sample, axis=1, keepdims=True)
+                sample = sample / np.maximum(norms, 1e-30)
+            nprobe, achieved = self._ivf.tune_nprobe(
+                sample, k=10, target_recall=self.ivf_target_recall
+            )
+            self._ivf_nprobe_auto = nprobe
+            print(
+                f"[INFO] IVF nprobe autotune: nprobe={nprobe} "
+                f"(recall@10 {achieved:.3f} vs target "
+                f"{self.ivf_target_recall:.2f}, nlist={nlist})"
+            )
         return self._ivf
+
+    @property
+    def effective_nprobe(self) -> int:
+        """The serving nprobe: the explicit config when > 0, else the last
+        autotuned value (64 until the first autotuned build)."""
+        if self.ivf_nprobe > 0:
+            return self.ivf_nprobe
+        return self._ivf_nprobe_auto or 64
 
     def _route_search(
         self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
@@ -211,7 +246,7 @@ class VectorIndex:
                 queries = np.where(
                     norms > 0, queries / np.maximum(norms, 1e-30), queries
                 )
-            return self._ensure_ivf().search(queries, k, nprobe=self.ivf_nprobe)
+            return self._ensure_ivf().search(queries, k, nprobe=self.effective_nprobe)
         if self.index_type == "ivf":
             # masked (time-filtered) searches on an IVF store keep cluster
             # pruning: the mask rides inside the probe kernel (models/ivf.py)
@@ -223,7 +258,7 @@ class VectorIndex:
             ivf = self._ensure_ivf()
             if ivf.supports_masked_search():
                 return ivf.search(
-                    queries, k, nprobe=self.ivf_nprobe, mask=mask
+                    queries, k, nprobe=self.effective_nprobe, mask=mask
                 )
         return self._store.search(queries, k, mask=mask, impl=self._search_impl)
 

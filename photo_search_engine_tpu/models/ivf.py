@@ -613,6 +613,54 @@ class IVFIndex:
         self._cscales = None
         return True
 
+    # -- nprobe autotune --------------------------------------------------
+    def tune_nprobe(
+        self,
+        queries: np.ndarray,
+        k: int,
+        target_recall: float = 0.98,
+        *,
+        start_nprobe: int = 8,
+        max_nprobe: Optional[int] = None,
+    ) -> Tuple[int, float]:
+        """Smallest power-of-two ``nprobe`` whose recall@k on the given
+        query sample reaches ``target_recall``, measured against the
+        full-probe (nprobe = nlist) result — i.e. against exact search over
+        the live rows, isolating the cluster-pruning loss.  Returns
+        ``(nprobe, achieved_recall)``.
+
+        This is the missing half of the FAISS workflow: faiss ships the
+        knob (``IndexIVF.nprobe``) and leaves tuning to the user; here the
+        serving layer can ask for a recall target instead (the reference's
+        flat indexes have recall 1.0 by construction, so matching its
+        quality budget means tuning nprobe, not hoping).  Cost: one exact
+        full-probe pass plus one probed pass per doubling, on the sample
+        only."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        total_live = int((self.perm >= 0).sum())
+        k = max(1, min(k, total_live))
+        cap = min(self.nlist, max_nprobe or self.nlist)
+        _, oracle_ids = self.search(queries, k, nprobe=self.nlist)
+
+        def recall_at(nprobe: int) -> float:
+            _, ids = self.search(queries, k, nprobe=nprobe)
+            hits = 0
+            for got, want in zip(ids, oracle_ids):
+                want_set = {int(w) for w in want if w >= 0}
+                if not want_set:
+                    continue
+                hits += len({int(g) for g in got if g >= 0} & want_set) / len(
+                    want_set
+                )
+            return hits / max(len(queries), 1)
+
+        nprobe = max(1, min(start_nprobe, cap))
+        best = recall_at(nprobe)
+        while best < target_recall and nprobe < cap:
+            nprobe = min(2 * nprobe, cap)
+            best = recall_at(nprobe)
+        return nprobe, best
+
     # -- filters ----------------------------------------------------------
     def supports_masked_search(self) -> bool:
         """Masked (per-row filtered) probing is supported for every metric:

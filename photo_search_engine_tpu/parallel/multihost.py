@@ -1,0 +1,187 @@
+"""Multi-host (DCN) dry-run: the distributed-coordination story, proven.
+
+SURVEY.md §5: "multi-host corpora coordinate over DCN via standard JAX
+multi-controller runtime."  The single-host path (parallel/sharded.py)
+shards the corpus over a ``jax.sharding.Mesh`` and merges per-shard
+partial top-k with ``all_gather`` — by construction that code is
+topology-agnostic: the SAME ``shard_map`` program runs unchanged when the
+mesh spans processes, with XLA routing the collectives over ICI within a
+host and DCN across hosts.
+
+This module is the executable proof: ``worker_main`` joins a
+``jax.distributed`` multi-controller job (CPU backend, Gloo collectives —
+the standard way to exercise multi-process JAX without a pod), builds a
+mesh over the GLOBAL device set, and runs ``sharded_exact_search`` with
+each process contributing its own local corpus shards via
+``make_array_from_process_local_data``.  The merged result is replicated
+to every process and checked against a NumPy oracle of the full corpus.
+
+``launch_dryrun`` spawns N such workers on localhost (distinct processes
+= distinct JAX controllers, coordination over TCP exactly as over DCN)
+and reports success only when every worker verified the oracle.
+
+Run directly:   python -m photo_search_engine_tpu.parallel.multihost
+As a worker:    python -m photo_search_engine_tpu.parallel.multihost \
+                    --coordinator localhost:PORT --num-processes 2 \
+                    --process-id 0 --local-devices 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+_OK_MARKER = "MULTIHOST_DRYRUN_OK"
+
+
+def worker_main(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    local_devices: int = 4,
+    rows: int = 1024,
+    dim: int = 64,
+    k: int = 10,
+) -> None:
+    """One multi-controller worker; prints the OK marker after verifying
+    the sharded search against a full-corpus NumPy oracle."""
+    import jax
+
+    # this must run before the backend initializes; the env-var alone is
+    # not enough on hosts whose sitecustomize prepends other platforms
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from photo_search_engine_tpu.parallel.sharded import sharded_exact_search
+
+    devices = jax.devices()
+    n_devices = len(devices)
+    assert n_devices == num_processes * local_devices, (
+        f"expected {num_processes * local_devices} global devices, got {n_devices}"
+    )
+    mesh = Mesh(np.array(devices), ("data",))
+
+    # identical corpus derivation on every controller (same seed), but each
+    # process UPLOADS only its own rows — the multi-host data path
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(rows, dim)).astype(np.float32)
+    queries = rng.normal(size=(8, dim)).astype(np.float32)
+    sharding = NamedSharding(mesh, P("data", None))
+    local_rows = rows // num_processes
+    local_block = corpus[process_id * local_rows : (process_id + 1) * local_rows]
+    corpus_global = jax.make_array_from_process_local_data(
+        sharding, local_block, global_shape=corpus.shape
+    )
+
+    vals, idx = sharded_exact_search(
+        corpus_global, queries, k, mesh, metric="ip"
+    )
+    got_idx = np.asarray(idx)  # replicated output → addressable everywhere
+    got_vals = np.asarray(vals)
+
+    scores = queries @ corpus.T
+    oracle_idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    oracle_vals = np.take_along_axis(scores, oracle_idx, axis=1)
+    np.testing.assert_allclose(got_vals, oracle_vals, rtol=1e-5, atol=1e-5)
+    # indices may differ only inside exact-tie windows; values above pin it
+    agree = (got_idx == oracle_idx).mean()
+    assert agree >= 0.99, f"index agreement {agree}"
+    print(f"{_OK_MARKER} process={process_id} devices={n_devices}", flush=True)
+
+
+def launch_dryrun(
+    num_processes: int = 2,
+    local_devices: int = 4,
+    timeout: float = 300.0,
+    port: Optional[int] = None,
+) -> bool:
+    """Spawn ``num_processes`` worker processes on localhost and verify
+    every one of them reached the oracle check.  Returns True on success."""
+    import socket
+
+    if port is None:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+    env = dict(os.environ)
+    # drop any inherited device-count flag (e.g. the test conftest's =8);
+    # with duplicates, the LAST occurrence wins inside XLA
+    inherited = [
+        flag
+        for flag in env.get("XLA_FLAGS", "").split()
+        if not flag.startswith("--xla_force_host_platform_device_count")
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        inherited + [f"--xla_force_host_platform_device_count={local_devices}"]
+    )
+    env.pop("JAX_PLATFORMS", None)  # the worker pins cpu via jax.config
+    procs: List[subprocess.Popen] = []
+    for pid in range(num_processes):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "photo_search_engine_tpu.parallel.multihost",
+                    "--coordinator",
+                    f"localhost:{port}",
+                    "--num-processes",
+                    str(num_processes),
+                    "--process-id",
+                    str(pid),
+                    "--local-devices",
+                    str(local_devices),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    ok = True
+    for pid, proc in enumerate(procs):
+        try:
+            out, _ = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+            ok = False
+        if proc.returncode != 0 or _OK_MARKER not in (out or ""):
+            ok = False
+            print(f"[multihost] worker {pid} failed (rc={proc.returncode}):")
+            print(out or "<no output>")
+    return ok
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--coordinator")
+    parser.add_argument("--num-processes", type=int, default=2)
+    parser.add_argument("--process-id", type=int)
+    parser.add_argument("--local-devices", type=int, default=4)
+    args = parser.parse_args(argv)
+    if args.coordinator is not None and args.process_id is not None:
+        worker_main(
+            args.coordinator,
+            args.num_processes,
+            args.process_id,
+            args.local_devices,
+        )
+        return 0
+    ok = launch_dryrun(args.num_processes, args.local_devices)
+    print(f"multihost dryrun: {'OK' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,13 +133,191 @@ def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
     }
 
 
+def evaluate_synthetic(
+    rows: int,
+    dim: int = 1536,
+    intrinsic: int = 32,
+    nlist: int = 1024,
+    k: int = 10,
+    target_recall: float = 0.98,
+    n_queries: int = 256,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Million-scale IVF recall + latency at an autotuned nprobe.
+
+    ``intrinsic`` controls data hardness: real photo/CLIP-style embeddings
+    have low intrinsic dimension (points near a low-dim manifold), where
+    IVF probing is informative; ``intrinsic=0`` generates iid unit-sphere
+    noise — the adversarial case where centroid distances carry almost no
+    information about neighbor placement and any IVF (FAISS included)
+    needs a large nprobe.  Queries are held-out perturbations of corpus
+    rows (never the rows themselves).
+
+    Latency methodology: dependency-chained ``lax.scan`` differencing via
+    ``IVFIndex.device_search_fn`` — see bench.py:10-17 for why naive loop
+    timings are untrustworthy on this relay."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from photo_search_engine_tpu.models.ivf import IVFIndex
+    from photo_search_engine_tpu.ops.topk import exact_search, l2_normalize
+
+    rng = np.random.default_rng(seed)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # build the corpus on device in chunks (bounds host memory at 1M×1536)
+    if intrinsic and intrinsic > 0:
+        basis = jnp.asarray(
+            rng.normal(size=(intrinsic, dim)).astype(np.float32)
+            / np.sqrt(intrinsic)
+        )
+        chunks = []
+        chunk_rows = max(1, rows // 16)
+        for i in range(0, rows, chunk_rows):
+            m = min(chunk_rows, rows - i)
+            z = jnp.asarray(rng.normal(size=(m, intrinsic)).astype(np.float32))
+            chunks.append(l2_normalize(z @ basis).astype(dtype))
+        corpus_dev = jnp.concatenate(chunks)
+        del chunks
+    else:
+        basis = None
+        chunks = []
+        chunk_rows = max(1, rows // 16)
+        for i in range(0, rows, chunk_rows):
+            m = min(chunk_rows, rows - i)
+            chunks.append(
+                l2_normalize(
+                    jnp.asarray(rng.normal(size=(m, dim)).astype(np.float32))
+                ).astype(dtype)
+            )
+        corpus_dev = jnp.concatenate(chunks)
+        del chunks
+    corpus_dev.block_until_ready()
+
+    # held-out queries: perturbed corpus rows
+    picks = rng.choice(rows, size=n_queries, replace=False)
+    base = np.asarray(corpus_dev[jnp.asarray(picks)], np.float32)
+    if intrinsic and intrinsic > 0:
+        noise = rng.normal(size=(n_queries, intrinsic)).astype(np.float32)
+        queries = base + 0.1 * np.asarray(jnp.asarray(noise) @ basis)
+    else:
+        queries = base + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    queries = queries.astype(np.float32)
+
+    # exact oracle over the raw corpus
+    _, oracle = exact_search(corpus_dev, jnp.asarray(queries).astype(dtype), k)
+    oracle = np.asarray(oracle)
+
+    build_started = time.perf_counter()
+    index = IVFIndex.build_on_device(corpus_dev, nlist, metric="ip", seed=seed)
+    build_seconds = time.perf_counter() - build_started
+
+    tune_started = time.perf_counter()
+    nprobe, tuned_recall = index.tune_nprobe(
+        queries[: min(64, n_queries)], k, target_recall=target_recall
+    )
+    tune_seconds = time.perf_counter() - tune_started
+
+    _, ids = index.search(queries, k, nprobe=nprobe)
+    recall = float(
+        np.mean(
+            [
+                len(set(ids[i].tolist()) & set(oracle[i].tolist())) / k
+                for i in range(n_queries)
+            ]
+        )
+    )
+
+    # latency: chained-scan differencing at serving batch 8
+    batch = 8
+    iters = 32
+    fn = index.device_search_fn(k, nprobe, batch)
+    # every scan iteration needs DISTINCT queries: with identical inputs the
+    # whole search body is loop-invariant and XLA hoists it out of the scan
+    q_pool = queries[
+        rng.integers(0, n_queries, size=(iters + 2) * batch)
+    ].reshape(iters + 2, batch, dim)
+    qstack = jnp.asarray(
+        q_pool + 1e-4 * rng.normal(size=q_pool.shape).astype(np.float32)
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(qstack, n):
+        def body(carry, q):
+            q = q + carry.astype(q.dtype) * 0
+            vals, _ = fn(q)
+            return jnp.sum(vals).astype(jnp.float32), 0
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+        return carry
+
+    float(chained(qstack, 2))
+    float(chained(qstack, iters + 2))
+    started = time.perf_counter()
+    float(chained(qstack, 2))
+    t_short = time.perf_counter() - started
+    started = time.perf_counter()
+    float(chained(qstack, iters + 2))
+    t_long = time.perf_counter() - started
+    per_batch = max((t_long - t_short) / iters, 1e-9)
+
+    return {
+        "rows": rows,
+        "dim": dim,
+        "intrinsic_dim": intrinsic,
+        "nlist": nlist,
+        "k": k,
+        "target_recall": target_recall,
+        "tuned_nprobe": int(nprobe),
+        "tune_sample_recall_vs_full_probe": round(float(tuned_recall), 4),
+        "recall_at_k_vs_exact": round(recall, 4),
+        "ivf_build_seconds": round(build_seconds, 2),
+        "tune_seconds": round(tune_seconds, 2),
+        "batch": batch,
+        "latency_ms_per_batch": round(per_batch * 1e3, 3),
+        "qps": round(batch / per_batch, 1),
+    }
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--data-dir")
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--nprobe", type=int, default=8)
+    parser.add_argument(
+        "--synthetic-rows", type=int, default=0,
+        help="evaluate IVF recall/latency on a synthetic corpus of this "
+        "many rows (autotuned nprobe) instead of a migrated data dir",
+    )
+    parser.add_argument("--dim", type=int, default=1536)
+    parser.add_argument(
+        "--intrinsic", type=int, default=32,
+        help="intrinsic dimension of the synthetic corpus (0 = iid noise, "
+        "the adversarial case)",
+    )
+    parser.add_argument("--nlist", type=int, default=1024)
+    parser.add_argument("--target-recall", type=float, default=0.98)
     args = parser.parse_args(argv)
-    print(json.dumps(evaluate(args.data_dir, args.k, args.nprobe), ensure_ascii=False, indent=2))
+    if args.synthetic_rows:
+        result = evaluate_synthetic(
+            args.synthetic_rows,
+            dim=args.dim,
+            intrinsic=args.intrinsic,
+            nlist=args.nlist,
+            k=args.k,
+            target_recall=args.target_recall,
+        )
+    else:
+        if not args.data_dir:
+            parser.error("--data-dir is required without --synthetic-rows")
+        result = evaluate(args.data_dir, args.k, args.nprobe)
+    print(json.dumps(result, ensure_ascii=False, indent=2))
     return 0
 
 

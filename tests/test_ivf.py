@@ -252,3 +252,53 @@ class IVFAppendTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TuneNprobeTest(unittest.TestCase):
+    def _clustered(self, rng, n=2000, d=64, centers=20):
+        c = rng.normal(size=(centers, d)).astype(np.float32) * 3
+        corpus = np.concatenate(
+            [x + rng.normal(scale=0.2, size=(n // centers, d)).astype(np.float32)
+             for x in c]
+        )
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        return corpus
+
+    def test_reaches_target_on_clustered_data(self):
+        rng = np.random.default_rng(7)
+        corpus = self._clustered(rng)
+        queries = corpus[rng.choice(2000, 16, replace=False)]
+        index = IVFIndex.build(corpus, nlist=32, seed=0)
+        nprobe, achieved = index.tune_nprobe(queries, k=10, target_recall=0.98)
+        self.assertGreaterEqual(achieved, 0.98)
+        self.assertLess(nprobe, 32)  # clustered data: well under full probe
+        # the tuned nprobe reproduces the measured recall
+        _, oracle = index.search(queries, 10, nprobe=32)
+        _, got = index.search(queries, 10, nprobe=nprobe)
+        hits = sum(
+            len(set(got[q].tolist()) & set(oracle[q].tolist()))
+            for q in range(len(queries))
+        )
+        self.assertGreaterEqual(hits / (len(queries) * 10.0), 0.98)
+
+    def test_caps_at_nlist_when_target_unreachable(self):
+        rng = np.random.default_rng(8)
+        corpus = rng.normal(size=(1000, 64)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = corpus[:8]
+        index = IVFIndex.build(corpus, nlist=16, seed=0)
+        nprobe, achieved = index.tune_nprobe(
+            queries, k=10, target_recall=1.01  # unreachable on purpose
+        )
+        self.assertEqual(nprobe, 16)  # walked all the way to full probe
+        self.assertGreaterEqual(achieved, 0.99)  # full probe == exact
+
+    def test_respects_max_nprobe(self):
+        rng = np.random.default_rng(9)
+        corpus = rng.normal(size=(1000, 64)).astype(np.float32)
+        queries = corpus[:4]
+        index = IVFIndex.build(corpus, nlist=16, seed=0)
+        nprobe, _ = index.tune_nprobe(
+            queries, k=5, target_recall=1.01, max_nprobe=4
+        )
+        self.assertLessEqual(nprobe, 4)

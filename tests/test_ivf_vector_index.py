@@ -153,3 +153,44 @@ class IvfVectorIndexTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class AutoNprobeTest(unittest.TestCase):
+    def test_nprobe_zero_autotunes_on_build(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=32,
+                index_path=os.path.join(tmp, "ps.index"),
+                metadata_path=os.path.join(tmp, "metadata.json"),
+                index_type="ivf",
+                ivf_nlist=8,
+                ivf_nprobe=0,  # auto
+                ivf_target_recall=0.95,
+            )
+            rng = np.random.default_rng(0)
+            centers = rng.normal(size=(8, 32)).astype(np.float32) * 3
+            vectors = np.concatenate(
+                [c + rng.normal(scale=0.2, size=(40, 32)).astype(np.float32)
+                 for c in centers]
+            )
+            vi.add_batch(
+                vectors, [{"photo_path": f"/p/{i}.jpg"} for i in range(320)]
+            )
+            self.assertEqual(vi.effective_nprobe, 64)  # pre-build default
+            hits = vi.search_batch(vectors[:4], 5)
+            self.assertTrue(all(h for h in hits))
+            self.assertIsNotNone(vi._ivf_nprobe_auto)
+            self.assertLessEqual(vi.effective_nprobe, 8)
+            self.assertEqual(vi.effective_nprobe, vi._ivf_nprobe_auto)
+
+    def test_explicit_nprobe_wins_over_auto(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=16,
+                index_path=os.path.join(tmp, "ps.index"),
+                metadata_path=os.path.join(tmp, "metadata.json"),
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_nprobe=2,
+            )
+            self.assertEqual(vi.effective_nprobe, 2)

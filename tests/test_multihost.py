@@ -1,0 +1,24 @@
+"""Multi-host (DCN) coordination dry-run — SURVEY.md §5.
+
+Spawns two real OS processes, each a separate JAX controller
+(jax.distributed over TCP on localhost, Gloo collectives on the CPU
+backend — the standard pod-free way to exercise the multi-controller
+runtime), builds one mesh over the 2×4 global devices, and runs the
+sharded exact search with each process uploading only its own corpus
+rows.  Both workers must verify the merged replicated result against a
+full-corpus NumPy oracle."""
+
+import unittest
+
+from photo_search_engine_tpu.parallel.multihost import launch_dryrun
+
+
+class MultiHostDryrunTest(unittest.TestCase):
+    def test_two_process_sharded_search_matches_oracle(self):
+        self.assertTrue(
+            launch_dryrun(num_processes=2, local_devices=4, timeout=240.0)
+        )
+
+
+if __name__ == "__main__":
+    unittest.main()
