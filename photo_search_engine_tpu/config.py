@@ -192,7 +192,9 @@ def load_config() -> Dict[str, Any]:
         "SEARCH_MICROBATCH_MAX_BATCH": _get_int("SEARCH_MICROBATCH_MAX_BATCH", 128),
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),
         # --- TPU retrieval-core knobs (no reference equivalent) ---
-        "STORE_DTYPE": os.getenv("STORE_DTYPE", "float32"),  # float32|bfloat16
+        # auto = bfloat16 on TPU (the benchmarked serving config; persistence
+        # stays float32), float32 elsewhere
+        "STORE_DTYPE": os.getenv("STORE_DTYPE", "auto"),  # auto|float32|bfloat16
         # int8 shadow scan + exact rescore (~2× scan QPS; ops/quantized.py)
         "STORE_QUANTIZED": _get_bool("STORE_QUANTIZED", False),
         # kernel corpus-block rows; 0 = auto (VMEM-budget-aware by dim/dtype)

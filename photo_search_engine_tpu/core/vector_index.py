@@ -57,7 +57,11 @@ class VectorIndex:
         self.index_type = (index_type or "flat").strip().lower()
         if self.index_type not in {"flat", "ivf"}:
             raise ValueError("index_type must be flat or ivf")
-        self.store_dtype = store_dtype
+        # "auto" = bfloat16 on TPU (the benchmarked serving configuration:
+        # half the HBM traffic of f32, exactness guarded through the
+        # rescore/tie tests), float32 elsewhere.  Persistence is float32
+        # either way (snapshot() keeps the exact host mirror).
+        self.store_dtype = self._resolve_store_dtype(store_dtype)
         self.ivf_nlist = max(1, int(ivf_nlist))
         # nprobe 0 = autotune: after each (re)build, pick the smallest
         # power-of-two nprobe hitting ivf_target_recall@10 on a held-out
@@ -85,6 +89,15 @@ class VectorIndex:
         self._ivf_trained_at = -1
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _resolve_store_dtype(store_dtype: Optional[str]) -> str:
+        resolved = (store_dtype or "float32").strip().lower()
+        if resolved != "auto":
+            return resolved
+        import jax
+
+        return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
     def _create_store(self, dimension: int):
         if self.mesh_devices:
             from photo_search_engine_tpu.core.mesh_store import MeshEmbeddingStore

@@ -260,3 +260,36 @@ class VectorIndexTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class StoreDtypeAutoTest(unittest.TestCase):
+    def test_auto_resolves_to_backend_default(self):
+        import jax
+
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=8,
+                index_path=os.path.join(tmp, "i.npy"),
+                metadata_path=os.path.join(tmp, "m.json"),
+                store_dtype="auto",
+            )
+            expected = (
+                "bfloat16" if jax.default_backend() == "tpu" else "float32"
+            )
+            self.assertEqual(vi.store_dtype, expected)
+
+    def test_explicit_dtype_passes_through(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=8,
+                index_path=os.path.join(tmp, "i.npy"),
+                metadata_path=os.path.join(tmp, "m.json"),
+                store_dtype="bfloat16",
+            )
+            self.assertEqual(vi.store_dtype, "bfloat16")
+            vi.add_batch(
+                np.ones((4, 8), np.float32),
+                [{"photo_path": f"/p/{i}.jpg"} for i in range(4)],
+            )
+            # persistence stays exact float32 regardless of device dtype
+            self.assertEqual(vi._store.snapshot().dtype, np.float32)
