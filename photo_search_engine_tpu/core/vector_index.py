@@ -55,8 +55,19 @@ class VectorIndex:
         if self.metric not in {"l2", "cosine"}:
             raise ValueError("metric must be l2 or cosine")
         self.index_type = (index_type or "flat").strip().lower()
+        if self.index_type == "hnsw":
+            # Reference configs (vector_store.py:72-81, committed data dir)
+            # use VECTOR_INDEX_TYPE=hnsw; graph traversal is latency-bound
+            # pointer chasing with no MXU mapping, so the coarse-quantized
+            # IVF path is this framework's approximate index. Honor the
+            # intent ("approximate ANN") instead of failing the migration.
+            print(
+                "[WARN] index_type=hnsw has no TPU-native analogue; "
+                "using ivf (coarse-quantized ANN) instead"
+            )
+            self.index_type = "ivf"
         if self.index_type not in {"flat", "ivf"}:
-            raise ValueError("index_type must be flat or ivf")
+            raise ValueError("index_type must be flat, ivf, or hnsw")
         # "auto" = bfloat16 on TPU (the benchmarked serving configuration:
         # half the HBM traffic of f32, exactness guarded through the
         # rescore/tie tests), float32 elsewhere.  Persistence is float32

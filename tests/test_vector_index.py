@@ -205,6 +205,17 @@ class VectorIndexTest(unittest.TestCase):
         with self.assertRaises(ValueError):
             vi2.load()
 
+    def test_hnsw_maps_to_ivf(self):
+        # reference configs use VECTOR_INDEX_TYPE=hnsw (its committed data
+        # dir is HNSW); the TPU framework maps it onto the IVF path so a
+        # migrated .env works unchanged
+        vi = _mk(self.tmp.name, index_type="hnsw", dimension=8)
+        self.assertEqual(vi.index_type, "ivf")
+        vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
+        vi.save()
+        vi2 = _mk(self.tmp.name, index_type="hnsw", dimension=8)
+        self.assertTrue(vi2.load())
+
     def test_count_mismatch_raises_on_load(self):
         vi = _mk(self.tmp.name, dimension=8)
         vi.add_item([1.0] * 8, {"photo_path": "/a.jpg"})
