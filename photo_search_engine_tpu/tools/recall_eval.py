@@ -168,6 +168,15 @@ def evaluate_synthetic(
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    def _stage(msg: str) -> None:
+        # the run is compile-bound on relay-attached hosts (every distinct
+        # nprobe is a distinct static shape → its own XLA compile, tens of
+        # seconds each); print stages so a long run is distinguishable
+        # from a wedged one
+        print(f"[recall_eval] {msg}", flush=True)
+
+    _stage(f"staging {rows}x{dim} corpus (intrinsic={intrinsic})")
+
     # build the corpus on device in chunks (bounds host memory at 1M×1536)
     if intrinsic and intrinsic > 0:
         basis = jnp.asarray(
@@ -209,19 +218,23 @@ def evaluate_synthetic(
     queries = queries.astype(np.float32)
 
     # exact oracle over the raw corpus
+    _stage("computing exact oracle")
     _, oracle = exact_search(corpus_dev, jnp.asarray(queries).astype(dtype), k)
     oracle = np.asarray(oracle)
 
+    _stage("building IVF index on device")
     build_started = time.perf_counter()
     index = IVFIndex.build_on_device(corpus_dev, nlist, metric="ip", seed=seed)
     build_seconds = time.perf_counter() - build_started
 
+    _stage("autotuning nprobe (one compile per candidate nprobe)")
     tune_started = time.perf_counter()
     nprobe, tuned_recall = index.tune_nprobe(
         queries[: min(64, n_queries)], k, target_recall=target_recall
     )
     tune_seconds = time.perf_counter() - tune_started
 
+    _stage(f"scoring recall at nprobe={int(nprobe)}")
     _, ids = index.search(queries, k, nprobe=nprobe)
     recall = float(
         np.mean(
@@ -235,7 +248,13 @@ def evaluate_synthetic(
     # latency: chained-scan differencing at serving batch 8
     batch = 8
     iters = 32
-    fn = index.device_search_fn(k, nprobe, batch)
+    _stage("measuring chained-scan latency")
+    search_fn = index.device_search_fn(k, nprobe, batch)
+    # unpack the bound device arrays into explicit jit args: closing over
+    # the multi-GB index arrays embeds them as jaxpr CONSTANTS and XLA's
+    # constant folding stalls the compile for tens of minutes
+    # (bench.py's closed-over-constant trap, the cause of a wedged run)
+    run, bound = search_fn.func, search_fn.args
     # every scan iteration needs DISTINCT queries: with identical inputs the
     # whole search body is loop-invariant and XLA hoists it out of the scan
     q_pool = queries[
@@ -248,14 +267,17 @@ def evaluate_synthetic(
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(qstack, n):
+    def _chained(bound, qstack, n):
         def body(carry, q):
             q = q + carry.astype(q.dtype) * 0
-            vals, _ = fn(q)
+            vals, _ = run(*bound, q)
             return jnp.sum(vals).astype(jnp.float32), 0
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
         return carry
+
+    def chained(qstack, n):
+        return _chained(bound, qstack, n)
 
     float(chained(qstack, 2))
     float(chained(qstack, iters + 2))
