@@ -48,20 +48,60 @@ def _round_up(value: int, multiple: int) -> int:
 # k-means training (device)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("nlist",))
-def _lloyd_step(data: jnp.ndarray, centroids: jnp.ndarray, nlist: int):
+# Cap on the k-means training subsample.  Per-list sampling alone is not
+# enough: at nlist=4096 × 256/list it reaches the full 1M corpus, and one
+# Lloyd iteration over that many rows is minutes of device time for no
+# recall benefit (64+ samples/list is plenty — FAISS warns below ~39).
+_TRAIN_SAMPLE_CAP = 262_144
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "chunk"))
+def _lloyd_step(
+    data: jnp.ndarray, centroids: jnp.ndarray, nlist: int, chunk: int = 65_536
+):
+    """One Lloyd iteration; the assignment runs in row chunks.
+
+    The naive form materializes ``(S, nlist)`` score and one-hot f32
+    matrices — 16 GB EACH at S=1M, nlist=4096 — and OOMs the chip.
+    Chunking bounds live temporaries at ``(chunk, nlist)`` while the
+    per-cluster sums/counts accumulate across chunks in a ``lax.scan``.
+    """
     x = data.astype(jnp.float32)
     cents = centroids.astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        x, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    n, d = x.shape
     cn = jnp.sum(jnp.square(cents), axis=1)[None, :]
-    assign = jnp.argmax(2.0 * scores - cn, axis=1)
-    onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
-    sums = jax.lax.dot_general(
-        onehot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    counts = jnp.sum(onehot, axis=0)
+
+    def block(xc, lv):
+        scores = jax.lax.dot_general(
+            xc, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        assign = jnp.argmax(2.0 * scores - cn, axis=1)
+        onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32) * lv
+        sums = jax.lax.dot_general(
+            onehot, xc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return sums, jnp.sum(onehot, axis=0)
+
+    if n <= chunk:  # album-scale fast path: one block, no scan
+        sums, counts = block(x, jnp.ones((n, 1), jnp.float32))
+    else:
+        nb = -(-n // chunk)
+        xp = jnp.pad(x, ((0, nb * chunk - n), (0, 0)))
+        live = (
+            (jnp.arange(nb * chunk) < n).astype(jnp.float32).reshape(nb, chunk, 1)
+        )
+        xs = xp.reshape(nb, chunk, d)
+
+        def body(carry, inp):
+            s, c = carry
+            bs, bc = block(*inp)
+            return (s + bs, c + bc), jnp.float32(0)
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((nlist, d), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
+            (xs, live),
+        )
     new_cents = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cents)
     return new_cents, counts
 
@@ -75,13 +115,14 @@ def train_kmeans(
 ) -> np.ndarray:
     """Train ``nlist`` centroids with Lloyd iterations on device.
 
-    Training subsamples to ``nlist * sample_per_list`` rows (FAISS-style
-    practice) so training cost is independent of corpus size."""
+    Training subsamples to ``nlist * sample_per_list`` rows, capped at
+    ``_TRAIN_SAMPLE_CAP`` (FAISS-style practice) so training cost is
+    independent of corpus size and bounded at large ``nlist``."""
     data = np.asarray(data, np.float32)
     n = data.shape[0]
     nlist = min(nlist, n)
     rng = np.random.default_rng(seed)
-    sample_size = min(n, nlist * sample_per_list)
+    sample_size = min(n, max(nlist, min(nlist * sample_per_list, _TRAIN_SAMPLE_CAP)))
     sample = data[rng.choice(n, size=sample_size, replace=False)]
     centroids = jnp.asarray(sample[rng.choice(sample_size, size=nlist, replace=False)])
     sample_dev = jnp.asarray(sample)
@@ -500,7 +541,7 @@ class IVFIndex:
         n, dim = corpus_dev.shape
         nlist = max(1, min(nlist, n))
         rng = np.random.default_rng(seed)
-        sample_size = min(n, nlist * 256)
+        sample_size = min(n, max(nlist, min(nlist * 256, _TRAIN_SAMPLE_CAP)))
         sample_ids = jnp.asarray(rng.choice(n, size=sample_size, replace=False))
         sample = jnp.take(corpus_dev, sample_ids, axis=0).astype(jnp.float32)
         centroids = jnp.take(
@@ -724,10 +765,16 @@ class IVFIndex:
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if self.metric == "l2":
-            qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
-            cn = jnp.sum(jnp.square(self._centroids_dev), 1)[None, :]
-            scores = -(qn + cn - 2.0 * scores)
+        # Rank probes by nearest centroid (2s − ‖c‖², the per-query-constant
+        # part of −L2 dropped) for BOTH metrics: rows were ASSIGNED to their
+        # L2-nearest centroid (_lloyd_step/_assign_chunk), and raw IP
+        # disagrees with that geometry when centroid norms vary — IP
+        # ranking favors large-norm (tight) clusters.  On near-uniform
+        # synthetic manifolds the norms are nearly equal and both rankings
+        # coincide (measured: no recall change at 1M/intrinsic-32); on
+        # skewed real corpora the nearest-centroid form is the safe one.
+        cn = jnp.sum(jnp.square(self._centroids_dev), 1)[None, :]
+        scores = 2.0 * scores - cn
         _, probe_ids = jax.lax.top_k(scores, nprobe)  # [Q, nprobe]
         q = queries.shape[0]
         probe_matrix = jnp.zeros((q, self.nlist), jnp.int32)
@@ -781,10 +828,10 @@ class IVFIndex:
                 queries.astype(jnp.float32), cents, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if metric == "l2":
-                qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), 1, keepdims=True)
-                cn = jnp.sum(jnp.square(cents), 1)[None, :]
-                scores = -(qn + cn - 2.0 * scores)
+            # nearest-centroid probe ranking for both metrics — must match
+            # the L2 assignment geometry (see _probe)
+            cn = jnp.sum(jnp.square(cents), 1)[None, :]
+            scores = 2.0 * scores - cn
             _, probe_ids = jax.lax.top_k(scores, nprobe)
             probe_matrix = jnp.zeros((batch, nlist), jnp.int32)
             probe_matrix = jax.vmap(lambda row, ids: row.at[ids].set(1))(

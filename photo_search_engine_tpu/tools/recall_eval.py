@@ -142,6 +142,8 @@ def evaluate_synthetic(
     target_recall: float = 0.98,
     n_queries: int = 256,
     seed: int = 0,
+    sweep: Optional[List[int]] = None,
+    sweep_batches: Optional[List[int]] = None,
 ) -> Dict[str, Any]:
     """Million-scale IVF recall + latency at an autotuned nprobe.
 
@@ -245,49 +247,81 @@ def evaluate_synthetic(
         )
     )
 
+    def _chained_latency(nprobe_val: int, batch: int, iters: int = 32) -> float:
+        """Per-batch seconds via chained-scan differencing (bench.py:10-17)."""
+        import functools
+
+        search_fn = index.device_search_fn(k, nprobe_val, batch)
+        # unpack the bound device arrays into explicit jit args: closing
+        # over the multi-GB index arrays embeds them as jaxpr CONSTANTS and
+        # XLA's constant folding stalls the compile for tens of minutes
+        # (bench.py's closed-over-constant trap, the cause of a wedged run)
+        run, bound = search_fn.func, search_fn.args
+        # every scan iteration needs DISTINCT queries: with identical inputs
+        # the search body is loop-invariant and XLA hoists it out of the scan
+        q_pool = queries[
+            rng.integers(0, n_queries, size=(iters + 2) * batch)
+        ].reshape(iters + 2, batch, dim)
+        qstack = jnp.asarray(
+            q_pool + 1e-4 * rng.normal(size=q_pool.shape).astype(np.float32)
+        )
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _chained(bound, qstack, n):
+            def body(carry, q):
+                q = q + carry.astype(q.dtype) * 0
+                vals, _ = run(*bound, q)
+                return jnp.sum(vals).astype(jnp.float32), 0
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
+            return carry
+
+        float(_chained(bound, qstack, 2))
+        float(_chained(bound, qstack, iters + 2))
+        started = time.perf_counter()
+        float(_chained(bound, qstack, 2))
+        t_short = time.perf_counter() - started
+        started = time.perf_counter()
+        float(_chained(bound, qstack, iters + 2))
+        t_long = time.perf_counter() - started
+        return max((t_long - t_short) / iters, 1e-9)
+
+    def _recall_at(nprobe_val: int) -> float:
+        _, got = index.search(queries, k, nprobe=nprobe_val)
+        return float(
+            np.mean(
+                [
+                    len(set(got[i].tolist()) & set(oracle[i].tolist())) / k
+                    for i in range(n_queries)
+                ]
+            )
+        )
+
+    # optional sweep: recall + latency over a grid of (nprobe, batch) —
+    # the probe UNION is shared by the whole batch (s_max = batch*nprobe),
+    # so per-query pruning degrades as batch grows; the sweep makes that
+    # tradeoff visible instead of reporting one point
+    sweep_rows: List[Dict[str, Any]] = []
+    for np_val in sweep or []:
+        np_val = max(1, min(int(np_val), nlist))
+        _stage(f"sweep nprobe={np_val}")
+        r = _recall_at(np_val)
+        for b in sweep_batches or [8]:
+            secs = _chained_latency(np_val, b)
+            sweep_rows.append(
+                {
+                    "nprobe": np_val,
+                    "recall_at_k": round(r, 4),
+                    "batch": b,
+                    "latency_ms_per_batch": round(secs * 1e3, 3),
+                    "qps": round(b / secs, 1),
+                }
+            )
+
     # latency: chained-scan differencing at serving batch 8
     batch = 8
-    iters = 32
     _stage("measuring chained-scan latency")
-    search_fn = index.device_search_fn(k, nprobe, batch)
-    # unpack the bound device arrays into explicit jit args: closing over
-    # the multi-GB index arrays embeds them as jaxpr CONSTANTS and XLA's
-    # constant folding stalls the compile for tens of minutes
-    # (bench.py's closed-over-constant trap, the cause of a wedged run)
-    run, bound = search_fn.func, search_fn.args
-    # every scan iteration needs DISTINCT queries: with identical inputs the
-    # whole search body is loop-invariant and XLA hoists it out of the scan
-    q_pool = queries[
-        rng.integers(0, n_queries, size=(iters + 2) * batch)
-    ].reshape(iters + 2, batch, dim)
-    qstack = jnp.asarray(
-        q_pool + 1e-4 * rng.normal(size=q_pool.shape).astype(np.float32)
-    )
-
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def _chained(bound, qstack, n):
-        def body(carry, q):
-            q = q + carry.astype(q.dtype) * 0
-            vals, _ = run(*bound, q)
-            return jnp.sum(vals).astype(jnp.float32), 0
-
-        carry, _ = jax.lax.scan(body, jnp.float32(0), qstack[:n])
-        return carry
-
-    def chained(qstack, n):
-        return _chained(bound, qstack, n)
-
-    float(chained(qstack, 2))
-    float(chained(qstack, iters + 2))
-    started = time.perf_counter()
-    float(chained(qstack, 2))
-    t_short = time.perf_counter() - started
-    started = time.perf_counter()
-    float(chained(qstack, iters + 2))
-    t_long = time.perf_counter() - started
-    per_batch = max((t_long - t_short) / iters, 1e-9)
+    per_batch = _chained_latency(nprobe, batch)
 
     return {
         "rows": rows,
@@ -304,6 +338,7 @@ def evaluate_synthetic(
         "batch": batch,
         "latency_ms_per_batch": round(per_batch * 1e3, 3),
         "qps": round(batch / per_batch, 1),
+        **({"sweep": sweep_rows} if sweep_rows else {}),
     }
 
 
@@ -325,6 +360,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     parser.add_argument("--nlist", type=int, default=1024)
     parser.add_argument("--target-recall", type=float, default=0.98)
+    parser.add_argument(
+        "--sweep", default="",
+        help="comma-separated nprobe values to sweep (recall + latency each)",
+    )
+    parser.add_argument(
+        "--sweep-batches", default="1,8",
+        help="comma-separated batch sizes for the sweep's latency column",
+    )
     args = parser.parse_args(argv)
     if args.synthetic_rows:
         result = evaluate_synthetic(
@@ -334,6 +377,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             nlist=args.nlist,
             k=args.k,
             target_recall=args.target_recall,
+            sweep=[int(s) for s in args.sweep.split(",") if s.strip()],
+            sweep_batches=[
+                int(s) for s in args.sweep_batches.split(",") if s.strip()
+            ],
         )
     else:
         if not args.data_dir:
