@@ -209,6 +209,12 @@ def load_config() -> Dict[str, Any]:
         # partial top-k + all_gather merge over ICI; parallel/sharded.py);
         # -1 = all visible devices
         "MESH_DEVICES": _get_int("MESH_DEVICES", 0),
+        # persistent XLA compilation cache: pins kernel schedules across
+        # processes (the int8 kernel's 47-68k QPS compile-session variance
+        # freezes to ±0.2% — docs/ABLATION_INT8.md) and removes restart
+        # compile cost.  Empty = disabled; JAX_COMPILATION_CACHE_DIR env
+        # takes precedence (native JAX knob).
+        "COMPILE_CACHE_DIR": os.getenv("COMPILE_CACHE_DIR", ""),
     }
     return config
 
