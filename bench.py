@@ -42,6 +42,21 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache (BENCH_CACHE=0 disables): pins the compiled
+    # schedule across bench sessions — the int8 kernel's 47-68k QPS
+    # compile-session variance freezes to ±0.2% (docs/ABLATION_INT8.md).
+    # The native JAX_COMPILATION_CACHE_DIR env var wins if set.
+    if os.getenv("BENCH_CACHE", "1") not in {"0", "false", "no"} and not os.getenv(
+        "JAX_COMPILATION_CACHE_DIR"
+    ):
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "data", "xla_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception as exc:
+            print(f"# bench cache disabled: {exc}")
+
     from photo_search_engine_tpu.ops.topk import _pallas_twophase_impl, l2_normalize
 
     rows = int(os.getenv("BENCH_ROWS", 1_000_000))
