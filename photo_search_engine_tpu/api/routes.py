@@ -30,6 +30,56 @@ from photo_search_engine_tpu.utils.path_utils import (
     open_in_file_manager,
 )
 
+class ServingMetrics:
+    """Per-route request counters + latency reservoirs for ``/metrics``.
+
+    Net-new operational surface (the reference has none — SURVEY.md §5
+    notes observability is print-tags + a status file).  Windowed
+    reservoir (last N) rather than unbounded history; percentiles are
+    computed on read, so the record path is O(1) per request."""
+
+    def __init__(self, window: int = 1024) -> None:
+        from collections import deque
+
+        self._window = window
+        self._deque = deque
+        self.requests: Dict[str, int] = {}
+        self.errors: Dict[str, int] = {}
+        self.latencies: Dict[str, Any] = {}
+
+    def record(self, route: str, seconds: float, error: bool = False) -> None:
+        self.requests[route] = self.requests.get(route, 0) + 1
+        if error:
+            self.errors[route] = self.errors.get(route, 0) + 1
+        bucket = self.latencies.get(route)
+        if bucket is None:
+            bucket = self.latencies[route] = self._deque(maxlen=self._window)
+        bucket.append(seconds)
+
+    def snapshot(self) -> Dict[str, Any]:
+        routes: Dict[str, Any] = {}
+        for route, count in self.requests.items():
+            lats = sorted(self.latencies.get(route) or ())
+            entry: Dict[str, Any] = {
+                "requests": count,
+                "errors": self.errors.get(route, 0),
+            }
+            if lats:
+                def pct(p: float) -> float:
+                    return round(
+                        lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 2
+                    )
+
+                entry["latency_ms"] = {
+                    "p50": pct(0.50),
+                    "p90": pct(0.90),
+                    "p99": pct(0.99),
+                    "window": len(lats),
+                }
+            routes[route] = entry
+        return routes
+
+
 _PHOTO_EXTENSIONS = {".jpg", ".jpeg", ".png", ".webp"}
 _MIME_BY_EXT = {
     ".jpg": "image/jpeg",
@@ -132,6 +182,30 @@ def register_routes(
     templates_dir = os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", "templates")
     )
+    metrics = ServingMetrics()
+
+    def _timed(route_name: str):
+        """Record request count / error count / latency for /metrics."""
+
+        def decorate(handler):
+            def wrapper(request: Request):
+                started = time.time()
+                error = True
+                try:
+                    resp = handler(request)
+                    error = (
+                        isinstance(resp, tuple)
+                        and len(resp) == 2
+                        and isinstance(resp[1], int)
+                        and resp[1] >= 400
+                    )
+                    return resp
+                finally:
+                    metrics.record(route_name, time.time() - started, error)
+
+            return wrapper
+
+        return decorate
 
     @app.route("/")
     def index(request: Request):
@@ -166,6 +240,7 @@ def register_routes(
             )
 
     @app.route("/search_photos", methods=["POST"])
+    @_timed("search_photos")
     def search_photos(request: Request):
         started = time.time()
         try:
@@ -209,6 +284,7 @@ def register_routes(
             return _error_payload(f"搜索异常: {exc}", started), 500
 
     @app.route("/search_by_image", methods=["POST"])
+    @_timed("search_by_image")
     def search_by_image(request: Request):
         started = time.time()
         try:
@@ -251,6 +327,7 @@ def register_routes(
             return _error_payload(f"以图搜图异常: {exc}", started), 500
 
     @app.route("/search_by_uploaded_image", methods=["POST"])
+    @_timed("search_by_uploaded_image")
     def search_by_uploaded_image(request: Request):
         started = time.time()
         temp_path = ""
@@ -322,6 +399,29 @@ def register_routes(
             return {"status": "error", "message": str(exc)}, 404
         except Exception as exc:
             return {"status": "error", "message": f"打开文件位置失败: {exc}"}, 500
+
+    @app.route("/metrics")
+    def metrics_route(request: Request):
+        """Serving metrics (net-new; no reference equivalent): per-route
+        request/error counters and latency percentiles over a sliding
+        window, the store's operational snapshot, indexing status, and the
+        last search's per-stage timing."""
+        payload: Dict[str, Any] = {"routes": metrics.snapshot()}
+        try:
+            payload["index"] = searcher.vector_index.describe()
+        except Exception:
+            payload["index"] = None
+        try:
+            payload["indexing"] = indexer.get_status()
+        except Exception:
+            payload["indexing"] = None
+        try:
+            payload["last_search_timing"] = (
+                searcher.get_last_search_debug() or {}
+            ).get("timing")
+        except Exception:
+            payload["last_search_timing"] = None
+        return payload
 
     @app.route("/index_status")
     def index_status(request: Request):

@@ -249,6 +249,23 @@ class VectorIndex:
             )
         return self._ivf
 
+    def describe(self) -> Dict[str, Any]:
+        """Operational snapshot for the ``/metrics`` route (net-new; the
+        reference exposes no equivalent)."""
+        return {
+            "count": len(self.metadata),
+            "dimension": self.dimension,
+            "metric": self.metric,
+            "index_type": self.index_type,
+            "store_dtype": self.store_dtype,
+            "quantized": self.quantized,
+            "mesh_devices": self.mesh_devices,
+            "ivf_nlist": self.ivf_nlist,
+            "ivf_nprobe_effective": (
+                self.effective_nprobe if self.index_type == "ivf" else None
+            ),
+        }
+
     @property
     def effective_nprobe(self) -> int:
         """The serving nprobe: the explicit config when > 0, else the last

@@ -132,6 +132,30 @@ class BasicRoutesTest(RoutesFixture):
         self.assertFalse(payload["text_reranked"])
         self.assertFalse(payload["visual_reranked"])
 
+    def test_metrics_route(self):
+        # /metrics is net-new (no reference equivalent): request counters,
+        # latency percentiles, store snapshot, indexing status
+        self._build()
+        ok = self.client.post(
+            "/search_photos", json_body={"query": "beach sunset", "top_k": 3}
+        )
+        self.assertEqual(ok.status_code, 200)
+        bad = self.client.post("/search_photos", json_body={"query": "  "})
+        self.assertEqual(bad.status_code, 400)
+
+        payload = self.client.get("/metrics").get_json()
+        stats = payload["routes"]["search_photos"]
+        self.assertEqual(stats["requests"], 2)
+        self.assertEqual(stats["errors"], 1)
+        self.assertEqual(stats["latency_ms"]["window"], 2)
+        self.assertLessEqual(
+            stats["latency_ms"]["p50"], stats["latency_ms"]["p99"]
+        )
+        self.assertGreaterEqual(payload["index"]["count"], 1)
+        self.assertEqual(payload["index"]["index_type"], "flat")
+        self.assertIn(payload["indexing"]["status"], {"success", "ready"})
+        self.assertIn("last_search_timing", payload)
+
     def test_search_requires_json_and_query(self):
         self._build()
         response = self.client.post("/search_photos")
