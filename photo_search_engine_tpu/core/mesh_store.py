@@ -208,3 +208,63 @@ class MeshEmbeddingStore:
         del already_normalized  # normalization is idempotent
         store.append(array)
         return store
+
+
+class MeshIVFAdapter:
+    """IVFIndex-shaped facade over :class:`ShardedIVFIndex` so
+    ``VectorIndex._ensure_ivf`` serves ``index_type=ivf`` on a mesh store
+    mesh-natively (per-shard layouts + probe kernels + ICI merge) instead
+    of pulling the corpus to one device.
+
+    Masked probing is not supported here — masked searches on a mesh
+    store take the sharded exact-masked path (``supports_masked_search``
+    returns False and the router falls through)."""
+
+    def __init__(self, store: "MeshEmbeddingStore", nlist: int, seed: int = 0):
+        from photo_search_engine_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        self._store = store
+        self._index = ShardedIVFIndex.build(store._sharded, nlist, seed=seed)
+        self.nlist = self._index.nlist
+
+    def search(self, queries, k, nprobe: int = 64, mask=None):
+        if mask is not None:
+            raise ValueError("masked search is routed around MeshIVFAdapter")
+        vals, stable = self._index.search(queries, k, nprobe)
+        return np.asarray(vals), self._store._translate(np.asarray(stable))
+
+    def supports_masked_search(self) -> bool:
+        return False
+
+    def append(self, delta, ids) -> bool:
+        # declining the incremental append makes VectorIndex fall back to
+        # its rebuild policy (retrain + re-layout) — correct, just not
+        # incremental yet on the mesh
+        return False
+
+    def tune_nprobe(self, queries, k, target_recall: float = 0.98,
+                    *, start_nprobe: int = 8):
+        """Same doubling loop as IVFIndex.tune_nprobe: smallest power-of-two
+        nprobe whose recall@k vs the full-probe result meets the target."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        k = max(1, min(int(k), self._store.count))
+        _, oracle = self.search(queries, k, nprobe=self.nlist)
+
+        def recall_at(nprobe: int) -> float:
+            _, ids = self.search(queries, k, nprobe=nprobe)
+            hits = 0.0
+            for got, want in zip(ids, oracle):
+                want_set = {int(w) for w in want if w >= 0}
+                if not want_set:
+                    continue
+                hits += len({int(g) for g in got if g >= 0} & want_set) / len(
+                    want_set
+                )
+            return hits / max(len(queries), 1)
+
+        nprobe = max(1, min(start_nprobe, self.nlist))
+        best = recall_at(nprobe)
+        while best < target_recall and nprobe < self.nlist:
+            nprobe = min(2 * nprobe, self.nlist)
+            best = recall_at(nprobe)
+        return nprobe, best

@@ -219,12 +219,20 @@ class VectorIndex:
                 return self._ivf
         nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
         snapshot = self._store.snapshot()
-        self._ivf = IVFIndex.build(
-            snapshot,
-            nlist=nlist,
-            metric="ip" if self.metric == "cosine" else self.metric,
-            store_dtype=self.store_dtype,
-        )
+        if hasattr(self._store, "_sharded") and self.metric == "cosine":
+            # mesh-backed store: build the IVF mesh-natively (per-shard
+            # layouts + probe kernels + ICI merge) instead of pulling the
+            # corpus onto one device (parallel/sharded_ivf.py)
+            from photo_search_engine_tpu.core.mesh_store import MeshIVFAdapter
+
+            self._ivf = MeshIVFAdapter(self._store, nlist)
+        else:
+            self._ivf = IVFIndex.build(
+                snapshot,
+                nlist=nlist,
+                metric="ip" if self.metric == "cosine" else self.metric,
+                store_dtype=self.store_dtype,
+            )
         self._ivf_built_at = count
         self._ivf_trained_at = count
         if self.ivf_nprobe == 0:

@@ -1,0 +1,308 @@
+"""Sharded IVF: cluster-pruned ANN over a row-sharded corpus.
+
+The multi-chip million-scale path: GLOBAL centroids trained data-parallel
+over the mesh (``sharded_kmeans_step`` — psum of per-centroid sums over
+ICI), a PER-SHARD cluster-major layout of each shard's own rows, the
+scalar-prefetch probe kernel (models/ivf.py ``_ivf_pallas``) running on
+every shard inside one ``shard_map``, and the same all_gather merge of
+per-shard partial top-k the exact sharded path uses.  Probing is
+replicated work (queries × global centroids — identical on every chip,
+a few microseconds), so the only cross-chip traffic is the tiny [Q, k]
+partials.
+
+The reference has no counterpart (FAISS sharding is an app-level concern
+there; SURVEY.md §2 "Parallelism strategies": net-new design).  Scope:
+ip/cosine metric, unmasked probing (masked searches on a mesh store take
+the sharded exact-masked path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from photo_search_engine_tpu.models.ivf import (
+    _ivf_pallas,
+    _round_up,
+    balanced_layout,
+)
+from photo_search_engine_tpu.parallel.sharded import (
+    DATA_AXIS,
+    ShardedEmbeddingStore,
+    _merge_partials,
+    _stage,
+    sharded_kmeans_step,
+)
+
+_LANE = 128
+
+
+def _host_assign_top3(
+    rows: np.ndarray, cents: np.ndarray, chunk: int = 65_536
+) -> np.ndarray:
+    """Top-3 nearest centroids per row, host-side numpy (chunked).
+
+    Deliberately NOT the device ``assign_clusters``: build() runs inside
+    the driver's multichip dryrun, which must never place an op on the
+    default backend (it may be a broken TPU plugin — __graft_entry__.py).
+    """
+    nlist = cents.shape[0]
+    cn = (cents.astype(np.float32) ** 2).sum(1)[None, :]
+    out = np.empty((rows.shape[0], 3), np.int64)
+    for i in range(0, rows.shape[0], chunk):
+        part = rows[i : i + chunk].astype(np.float32)
+        adj = 2.0 * (part @ cents.T) - cn
+        if nlist <= 3:
+            top = np.argsort(-adj, axis=1)
+            top = np.concatenate([top] * 3, axis=1)[:, :3]
+        else:
+            top = np.argpartition(-adj, 3, axis=1)[:, :3]
+            order = np.take_along_axis(adj, top, 1).argsort(1)[:, ::-1]
+            top = np.take_along_axis(top, order, 1)
+        out[i : i + chunk] = top
+    return out
+
+
+class ShardedIVFIndex:
+    """Cluster-pruned search over a :class:`ShardedEmbeddingStore`.
+
+    ``search`` returns ``(distances, stable_ids)`` with the store's
+    stable id convention (``shard * 2^40 + local``), so callers resolve
+    hits exactly like sharded exact results.
+    """
+
+    def __init__(
+        self,
+        mesh,
+        centroids: np.ndarray,        # [nlist, dp] f32 (zero-padded dims)
+        layout_dev: jnp.ndarray,      # [n_shards * nlist * L, dp] sharded
+        row_valid_dev: jnp.ndarray,   # [n_shards * nlist * L] int32 sharded
+        perms: List[np.ndarray],      # per shard [nlist * L] local row or -1
+        nlist: int,
+        lrows: int,
+        dim: int,
+        built_counts: np.ndarray,     # per-shard live rows at build time
+    ) -> None:
+        self.mesh = mesh
+        self.axis = DATA_AXIS
+        self.n_shards = mesh.shape[DATA_AXIS]
+        self.nlist = nlist
+        self.lrows = lrows
+        self.dim = dim
+        self.dp = centroids.shape[1]
+        self.centroids = centroids
+        self._cents_dev = _stage(mesh, centroids, P(), np.float32)
+        self._layout = layout_dev
+        self._row_valid = row_valid_dev
+        self.perms = perms
+        self.built_counts = np.asarray(built_counts, np.int64)
+        self._search_cache = {}
+
+    # -- build ------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        store: ShardedEmbeddingStore,
+        nlist: int,
+        *,
+        train_iters: int = 8,
+        slack: float = 1.5,
+        seed: int = 0,
+    ) -> "ShardedIVFIndex":
+        if store.metric not in ("cosine", "ip"):
+            raise ValueError("sharded IVF supports ip/cosine only")
+        mesh = store.mesh
+        n_shards = store.n_shards
+        dim = store.dimension
+        counts = store.counts.astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            raise ValueError("cannot build sharded IVF on an empty store")
+        nlist = max(1, min(int(nlist), total))
+        rng = np.random.default_rng(seed)
+
+        # ---- global centroids: data-parallel Lloyd over the mesh --------
+        cap = max(int(counts.max()), 1)
+        cap = -(-cap // _LANE) * _LANE
+        stacked = np.zeros((n_shards * cap, dim), np.float32)
+        for s, rows in enumerate(store._host_shards):
+            stacked[s * cap : s * cap + rows.shape[0]] = rows
+        pool = np.concatenate([r for r in store._host_shards if r.shape[0]])
+        cents_dev = pool[rng.choice(total, size=nlist, replace=False)].astype(
+            np.float32
+        )
+        # stage the padded corpus ONCE (device_put to the mesh — never the
+        # default backend); later device_puts of the placed array are no-ops
+        stacked_dev = _stage(mesh, stacked, P(DATA_AXIS, None), np.float32)
+        for _ in range(train_iters):
+            cents_dev, _ = sharded_kmeans_step(
+                stacked_dev, cents_dev, mesh, counts=counts.astype(np.int32),
+            )
+        cents = np.asarray(cents_dev, np.float32)
+
+        # ---- per-shard cluster-major layouts (common capacity L) --------
+        ranked = [
+            _host_assign_top3(rows, cents)
+            if rows.shape[0]
+            else np.zeros((0, 3), np.int64)
+            for rows in store._host_shards
+        ]
+        placed = [
+            balanced_layout(r, nlist, slack=slack)
+            if r.shape[0]
+            else (None, np.full(nlist, -1, np.int64), 1)
+            for r in ranked
+        ]
+        lrows = _round_up(max(p[2] for p in placed), _LANE)
+        dp = _round_up(dim, _LANE)
+        dtype = store.store_dtype
+        layout = np.zeros((n_shards, nlist * lrows, dp), np.float32)
+        valid = np.zeros((n_shards, nlist * lrows), np.int32)
+        perms: List[np.ndarray] = []
+        for s, (_, perm_s, cap_s) in enumerate(placed):
+            perm = np.full(nlist * lrows, -1, np.int64)
+            if perm_s.shape[0] == nlist * cap_s:
+                # re-space cluster-major [nlist, cap_s] → [nlist, lrows]
+                perm.reshape(nlist, lrows)[:, :cap_s] = perm_s.reshape(
+                    nlist, cap_s
+                )
+            live = perm >= 0
+            rows_s = store._host_shards[s]
+            if rows_s.shape[0]:
+                layout[s, live, :dim] = rows_s[perm[live]]
+            valid[s, live] = 1
+            perms.append(perm)
+
+        layout_dev = _stage(
+            mesh, layout.reshape(n_shards * nlist * lrows, dp),
+            P(DATA_AXIS, None), dtype,
+        )
+        valid_dev = _stage(
+            mesh, valid.reshape(n_shards * nlist * lrows), P(DATA_AXIS),
+            np.int32,
+        )
+        cents_p = np.zeros((nlist, dp), np.float32)
+        cents_p[:, :dim] = cents
+        return cls(
+            mesh, cents_p, layout_dev, valid_dev, perms, nlist, lrows, dim,
+            counts,
+        )
+
+    # -- search -----------------------------------------------------------
+    def _program(self, k: int, bq: int, qp: int, nprobe: int, s_max: int):
+        key = (k, bq, qp, nprobe, s_max)
+        cached = self._search_cache.get(key)
+        if cached is not None:
+            return cached
+        axis = self.axis
+        mesh = self.mesh
+        nlist, lrows, dp = self.nlist, self.lrows, self.dp
+        use_kernel = jax.default_backend() == "tpu"
+        kp = _round_up(max(k, 1), _LANE)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(layout_shard, valid_shard, cents, queries_rep):
+            # stage 1 (replicated math, identical on every shard): rank
+            # clusters by nearest centroid — matches assignment geometry
+            qf = queries_rep.astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                qf, cents, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cn = jnp.sum(jnp.square(cents), axis=1)[None, :]
+            _, probe_ids = jax.lax.top_k(2.0 * scores - cn, nprobe)
+            probe_matrix = jnp.zeros((qp, nlist), jnp.int32)
+            probe_matrix = jax.vmap(lambda row, ids: row.at[ids].set(1))(
+                probe_matrix, probe_ids
+            )
+            any_probe = jnp.sum(probe_matrix, axis=0)
+            selected = jnp.argsort(-any_probe)[:s_max].astype(jnp.int32)
+            sel_count = jnp.reshape(
+                jnp.sum((any_probe > 0).astype(jnp.int32)), (1, 1)
+            )
+
+            valid_row = valid_shard[None, :]
+            if use_kernel:
+                vals, slots = _ivf_pallas(
+                    layout_shard,
+                    queries_rep.astype(layout_shard.dtype),
+                    selected, sel_count, probe_matrix, valid_row,
+                    jnp.zeros((1, nlist * lrows), jnp.float32),
+                    jnp.ones((qp, 1), jnp.float32),
+                    jnp.ones((1, nlist * lrows), jnp.float32),
+                    k, bq, lrows, s_max,
+                    interpret=False, metric="ip", int8=False,
+                )
+                vals = vals[:, :k]
+                slots = slots[:, :k]
+            else:
+                # dense fallback (CPU mesh tests): same probe semantics,
+                # scores masked to probed clusters + valid slots
+                full = jax.lax.dot_general(
+                    qf, layout_shard.astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cluster_of_slot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nlist * lrows,), 0)
+                    // lrows
+                )
+                probed = jnp.take(probe_matrix, cluster_of_slot, axis=1)
+                keep = jnp.logical_and(probed > 0, valid_row > 0)
+                full = jnp.where(keep, full, -jnp.inf)
+                vals, slots = jax.lax.top_k(full, k)
+            shard_id = jax.lax.axis_index(axis)
+            empty = jnp.isneginf(vals)
+            slots = jnp.where(empty, -1, slots + shard_id * (nlist * lrows))
+            return _merge_partials(vals, slots, k, axis)
+
+        jitted = jax.jit(run)
+        self._search_cache[key] = jitted
+        return jitted
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probed k-NN; returns (scores desc, stable ids) with -1 padding."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        q, dim = queries.shape
+        if dim != self.dim:
+            raise ValueError(f"dimension mismatch: {dim} != {self.dim}")
+        total = int(self.built_counts.sum())
+        k = max(1, min(int(k), total))
+        nprobe = max(1, min(int(nprobe), self.nlist))
+        bq = min(128, _round_up(q, 8))
+        qp = _round_up(q, bq)
+        s_max = min(self.nlist, qp * nprobe)
+        q_pad = np.zeros((qp, self.dp), np.float32)
+        q_pad[:q, : self.dim] = queries
+        run = self._program(k, bq, qp, nprobe, s_max)
+        vals, slots = run(
+            self._layout, self._row_valid, self._cents_dev,
+            _stage(self.mesh, q_pad, P(), np.float32),
+        )
+        vals = np.asarray(vals)[:q]
+        slots = np.asarray(slots)[:q]
+        # slot → (shard, local slot) → stable id via the shard's perm
+        span = self.nlist * self.lrows
+        ids = np.full(slots.shape, -1, np.int64)
+        live = slots >= 0
+        shard = slots[live] // span
+        local_slot = slots[live] % span
+        perm_mat = np.stack(self.perms)  # [n_shards, span]
+        local_row = perm_mat[shard, local_slot]
+        ids[live] = shard.astype(np.int64) * ShardedEmbeddingStore._ID_STRIDE + local_row
+        return vals, ids

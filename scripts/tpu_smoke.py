@@ -187,6 +187,25 @@ def main() -> int:
     )
     check("sharded int8 degenerate", bool((np.asarray(idx) == np.asarray(io)).all()))
 
+    # sharded IVF on the degenerate mesh: compiled _ivf_pallas INSIDE
+    # shard_map (the mesh-native probe kernel; parallel/sharded_ivf.py)
+    from photo_search_engine_tpu.parallel.sharded import ShardedEmbeddingStore
+    from photo_search_engine_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    sivf_rows = np.array(corpus[:2048], np.float32)
+    sivf_rows /= np.linalg.norm(sivf_rows, axis=1, keepdims=True)
+    store = ShardedEmbeddingStore(sivf_rows.shape[1], mesh, metric="cosine")
+    sids = store.append(sivf_rows)
+    sivf = ShardedIVFIndex.build(store, nlist=8, train_iters=3)
+    q_unit = np.array(queries[:8], np.float32)
+    q_unit /= np.linalg.norm(q_unit, axis=1, keepdims=True)
+    _, got = sivf.search(q_unit, 10, nprobe=8)  # full probe == exact
+    ref = np.argsort(-(q_unit @ sivf_rows.T), axis=1)[:, :10]
+    ok = all(
+        set(got[q].tolist()) == set(sids[ref[q]].tolist()) for q in range(8)
+    )
+    check("sharded ivf kernel (shard_map)", ok)
+
     print("\nall kernels verified" if not failures else f"\nFAILURES: {failures}")
     return 1 if failures else 0
 

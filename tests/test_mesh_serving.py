@@ -128,6 +128,40 @@ class MeshVectorIndexTest(unittest.TestCase):
                     [h["metadata"]["photo_path"] for h in b],
                 )
 
+    def test_mesh_ivf_serving(self):
+        # index_type=ivf on a mesh store routes through MeshIVFAdapter
+        # (mesh-native sharded IVF), not a single-device snapshot build
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=16,
+                index_path=os.path.join(tmp, "mivf.index"),
+                metadata_path=os.path.join(tmp, "mivf-meta.json"),
+                mesh_devices=8,
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_nprobe=4,  # full probe at this scale: must equal exact
+            )
+            rng = np.random.default_rng(11)
+            vecs = rng.normal(size=(96, 16)).astype(np.float32)
+            vi.add_batch(
+                vecs, [{"photo_path": f"/p/{i}.jpg"} for i in range(96)]
+            )
+            from photo_search_engine_tpu.core.mesh_store import MeshIVFAdapter
+
+            hits = vi.search(vecs[17].tolist(), 3)
+            self.assertIsInstance(vi._ivf, MeshIVFAdapter)
+            self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/17.jpg")
+            # masked searches fall through to the sharded exact-masked path
+            mask = np.zeros(96, bool)
+            mask[40:60] = True
+            masked = vi.search_masked(vecs[45].tolist(), 3, mask)
+            self.assertEqual(
+                masked[0]["metadata"]["photo_path"], "/p/45.jpg"
+            )
+            for h in masked:
+                row = int(h["metadata"]["photo_path"].split("/")[-1][:-4])
+                self.assertTrue(40 <= row < 60)
+
 
 def _make_photo(directory, name, color):
     path = os.path.join(directory, name)

@@ -1,0 +1,90 @@
+"""Sharded IVF (parallel/sharded_ivf.py) on the 8-virtual-device CPU mesh.
+
+Contract: full probe == sharded exact search (same ids); partial probe
+keeps high recall on clustered data; stable ids resolve through the
+store's reconstruct().
+"""
+
+from __future__ import annotations
+
+import unittest
+
+import numpy as np
+
+from photo_search_engine_tpu.parallel.sharded import (
+    ShardedEmbeddingStore,
+    make_mesh,
+    sharded_exact_search,
+)
+from photo_search_engine_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+
+def _clustered(n, dim, intrinsic, rng):
+    basis = rng.normal(size=(intrinsic, dim)).astype(np.float32) / np.sqrt(
+        intrinsic
+    )
+    x = rng.normal(size=(n, intrinsic)).astype(np.float32) @ basis
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class ShardedIVFTest(unittest.TestCase):
+    def setUp(self):
+        self.rng = np.random.default_rng(0)
+        self.mesh = make_mesh(8)
+        self.dim = 64
+        self.store = ShardedEmbeddingStore(
+            self.dim, self.mesh, metric="cosine"
+        )
+        self.rows = _clustered(4096, self.dim, 8, self.rng)
+        self.ids = self.store.append(self.rows)
+
+    def test_full_probe_matches_sharded_exact(self):
+        index = ShardedIVFIndex.build(self.store, nlist=32, seed=1)
+        queries = self.rows[self.rng.choice(4096, 16, replace=False)]
+        vals, got = index.search(queries, k=5, nprobe=32)
+        # oracle: the sharded exact path over the same store
+        evals, eids = self.store.search(queries, 5)
+        for row in range(queries.shape[0]):
+            self.assertEqual(set(got[row].tolist()), set(np.asarray(eids)[row].tolist()))
+
+    def test_partial_probe_recall(self):
+        index = ShardedIVFIndex.build(self.store, nlist=32, seed=1)
+        picks = self.rng.choice(4096, 32, replace=False)
+        queries = self.rows[picks] + 0.05 * self.rng.normal(
+            size=(32, self.dim)
+        ).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        _, eids = self.store.search(queries, 10)
+        _, got = index.search(queries, k=10, nprobe=8)
+        hits = sum(
+            len(set(g.tolist()) & set(np.asarray(e).tolist())) / 10
+            for g, e in zip(got, eids)
+        ) / 32
+        self.assertGreaterEqual(hits, 0.9)
+
+    def test_stable_ids_reconstruct(self):
+        index = ShardedIVFIndex.build(self.store, nlist=16, seed=2)
+        query = self.rows[123]
+        _, got = index.search(query, k=1, nprobe=16)
+        top = int(got[0, 0])
+        rec = self.store.reconstruct(top)
+        self.assertGreaterEqual(float(rec @ query), 0.999)
+
+    def test_uneven_shards(self):
+        # 4097 rows: one shard has one extra row; padding slots must never
+        # surface as hits
+        store = ShardedEmbeddingStore(self.dim, self.mesh, metric="cosine")
+        rows = _clustered(4097, self.dim, 8, self.rng)
+        store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=16, seed=3)
+        queries = rows[:8]
+        vals, got = index.search(queries, k=5, nprobe=16)
+        self.assertTrue((got >= 0).all())
+        _, eids = store.search(queries, 5)
+        for row in range(8):
+            self.assertEqual(set(got[row].tolist()), set(np.asarray(eids)[row].tolist()))
+
+
+if __name__ == "__main__":
+    unittest.main()
