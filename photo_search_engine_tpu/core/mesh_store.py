@@ -237,10 +237,11 @@ class MeshIVFAdapter:
         return False
 
     def append(self, delta, ids) -> bool:
-        # declining the incremental append makes VectorIndex fall back to
-        # its rebuild policy (retrain + re-layout) — correct, just not
-        # incremental yet on the mesh
-        return False
+        # insertion-order ids → the store's stable (shard, local) ids, then
+        # the sharded index scatters each row into a free slot of its
+        # nearest cluster within its own shard (no retrain, no re-layout)
+        stable = self._store._ids[np.asarray(ids, np.int64)]
+        return self._index.append(np.asarray(delta, np.float32), stable)
 
     def tune_nprobe(self, queries, k, target_recall: float = 0.98,
                     *, start_nprobe: int = 8):

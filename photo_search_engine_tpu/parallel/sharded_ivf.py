@@ -70,6 +70,16 @@ def _host_assign_top3(
     return out
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_sharded(layout, valid, slots, rows):
+    """Donated in-place update of the sharded layout + validity — GSPMD
+    routes each update to the shard owning its slot; no full re-upload."""
+    return (
+        layout.at[slots].set(rows.astype(layout.dtype)),
+        valid.at[slots].set(1),
+    )
+
+
 class ShardedIVFIndex:
     """Cluster-pruned search over a :class:`ShardedEmbeddingStore`.
 
@@ -194,6 +204,54 @@ class ShardedIVFIndex:
             mesh, cents_p, layout_dev, valid_dev, perms, nlist, lrows, dim,
             counts,
         )
+
+    # -- incremental append ----------------------------------------------
+    def append(self, rows: np.ndarray, stable_ids: np.ndarray) -> bool:
+        """FAISS ``IndexIVF.add`` analogue on the mesh: assign each new row
+        to its nearest TRAINED centroid and scatter it into a free layout
+        slot of that cluster within the row's own shard (the stable id
+        encodes the shard — rows were already placed by the store's
+        balanced fill).  Returns False when a target cluster is full in
+        that shard (caller falls back to the retrain+re-layout rebuild);
+        partial perm mutations are harmless because the rebuild replaces
+        the whole index."""
+        rows = np.atleast_2d(np.asarray(rows, np.float32))
+        stable_ids = np.asarray(stable_ids, np.int64)
+        if rows.shape[0] == 0:
+            return True
+        top = _host_assign_top3(rows, self.centroids[:, : self.dim])
+        span = self.nlist * self.lrows
+        slots = np.empty(rows.shape[0], np.int64)
+        for i in range(rows.shape[0]):
+            shard = int(stable_ids[i] // ShardedEmbeddingStore._ID_STRIDE)
+            local = int(stable_ids[i] % ShardedEmbeddingStore._ID_STRIDE)
+            perm = self.perms[shard]
+            placed = False
+            for c in top[i]:
+                base = int(c) * self.lrows
+                free = np.flatnonzero(perm[base : base + self.lrows] < 0)
+                if free.size:
+                    slot = base + int(free[0])
+                    perm[slot] = local
+                    slots[i] = shard * span + slot
+                    placed = True
+                    break
+            if not placed:
+                return False
+        rows_p = np.zeros((rows.shape[0], self.dp), np.float32)
+        rows_p[:, : self.dim] = rows
+        self._layout, self._row_valid = _scatter_sharded(
+            self._layout,
+            self._row_valid,
+            _stage(self.mesh, slots.astype(np.int32), P(), np.int32),
+            _stage(self.mesh, rows_p, P(), np.float32),
+        )
+        per_shard = np.bincount(
+            (stable_ids // ShardedEmbeddingStore._ID_STRIDE).astype(np.int64),
+            minlength=self.n_shards,
+        )
+        self.built_counts = self.built_counts + per_shard
+        return True
 
     # -- search -----------------------------------------------------------
     def _program(self, k: int, bq: int, qp: int, nprobe: int, s_max: int):

@@ -161,6 +161,18 @@ class MeshVectorIndexTest(unittest.TestCase):
             for h in masked:
                 row = int(h["metadata"]["photo_path"].split("/")[-1][:-4])
                 self.assertTrue(40 <= row < 60)
+            # incremental adds reuse the SAME adapter via its append path
+            # (no mesh-wide retrain per indexing batch)
+            adapter_before = vi._ivf
+            extra = rng.normal(size=(5, 16)).astype(np.float32)
+            vi.add_batch(
+                extra, [{"photo_path": f"/p/n{i}.jpg"} for i in range(5)]
+            )
+            hits2 = vi.search(extra[2].tolist(), 1)
+            self.assertEqual(
+                hits2[0]["metadata"]["photo_path"], "/p/n2.jpg"
+            )
+            self.assertIs(vi._ivf, adapter_before)
 
 
 def _make_photo(directory, name, color):

@@ -71,6 +71,40 @@ class ShardedIVFTest(unittest.TestCase):
         rec = self.store.reconstruct(top)
         self.assertGreaterEqual(float(rec @ query), 0.999)
 
+    def test_incremental_append(self):
+        index = ShardedIVFIndex.build(self.store, nlist=16, seed=4)
+        new_rows = _clustered(64, self.dim, 8, self.rng)
+        new_ids = self.store.append(new_rows)
+        self.assertTrue(index.append(new_rows, new_ids))
+        # an appended row must be findable at full probe
+        _, got = index.search(new_rows[7], k=1, nprobe=16)
+        self.assertEqual(int(got[0, 0]), int(new_ids[7]))
+        # and full probe still equals sharded exact over the grown store
+        queries = new_rows[:8]
+        _, eids = self.store.search(queries, 5)
+        _, gids = index.search(queries, k=5, nprobe=16)
+        for row in range(8):
+            self.assertEqual(
+                set(gids[row].tolist()), set(np.asarray(eids)[row].tolist())
+            )
+
+    def test_append_full_cluster_declines(self):
+        from photo_search_engine_tpu.parallel.sharded_ivf import (
+            _host_assign_top3,
+        )
+
+        index = ShardedIVFIndex.build(self.store, nlist=16, seed=5)
+        row = self.rows[0:1]
+        new_id = self.store.append(row)
+        # fill every slot of the row's top-3 candidate clusters in its
+        # shard so the scatter has nowhere to go
+        shard = int(new_id[0] >> 40)
+        top = _host_assign_top3(row, index.centroids[:, : index.dim])[0]
+        for c in top:
+            base = int(c) * index.lrows
+            index.perms[shard][base : base + index.lrows] = 0
+        self.assertFalse(index.append(row, new_id))
+
     def test_uneven_shards(self):
         # 4097 rows: one shard has one extra row; padding slots must never
         # surface as hits
