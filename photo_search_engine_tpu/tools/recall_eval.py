@@ -197,11 +197,17 @@ def evaluate_synthetic(
         basis = None
         chunks = []
         chunk_rows = max(1, rows // 16)
-        for i in range(0, rows, chunk_rows):
+        # device-side generation: host-generated full-dim chunks are ~6GB
+        # of transfer on relay-attached hosts (tens of minutes); the seeds
+        # stay deterministic per chunk
+        for ci, i in enumerate(range(0, rows, chunk_rows)):
             m = min(chunk_rows, rows - i)
             chunks.append(
                 l2_normalize(
-                    jnp.asarray(rng.normal(size=(m, dim)).astype(np.float32))
+                    jax.random.normal(
+                        jax.random.PRNGKey(seed * 1000 + ci), (m, dim),
+                        jnp.float32,
+                    )
                 ).astype(dtype)
             )
         corpus_dev = jnp.concatenate(chunks)
