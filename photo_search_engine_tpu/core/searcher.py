@@ -1057,6 +1057,12 @@ class Searcher:
             key = "hybrid_search_ms" if self.keyword_index is not None else "vector_search_ms"
             if key not in debug.get("timing", {}):
                 self._record_timing(debug, key, recall_started)
+            route = getattr(self.vector_index, "last_route", None)
+            if route:
+                # which device path served this round: exact | int8 | ivf
+                # (± _masked), with nprobe and mesh size — net-new
+                # observability (the reference's debug has no equivalent)
+                debug["index_route"] = dict(route)
 
         finalize_started = time.perf_counter()
         results = self._finalize_results(

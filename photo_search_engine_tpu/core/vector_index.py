@@ -90,6 +90,11 @@ class VectorIndex:
         # mesh, same code path — SURVEY.md §7.2)
         self.mesh_devices = max(0, int(mesh_devices))
 
+        # set by _route_search: which device path served the last search
+        # ({"impl", "nprobe", "mesh_devices"}) — surfaced in search_debug
+        # and useful when diagnosing routing (e.g. ivf vs exact fallback)
+        self.last_route: Optional[Dict[str, Any]] = None
+
         self.metadata: List[Dict[str, Any]] = []
         self._store: Optional[EmbeddingStore] = (
             self._create_store(dimension) if dimension else None
@@ -295,6 +300,11 @@ class VectorIndex:
                 queries = np.where(
                     norms > 0, queries / np.maximum(norms, 1e-30), queries
                 )
+            self.last_route = {
+                "impl": "ivf",
+                "nprobe": self.effective_nprobe,
+                "mesh_devices": self.mesh_devices,
+            }
             return self._ensure_ivf().search(queries, k, nprobe=self.effective_nprobe)
         if self.index_type == "ivf":
             # masked (time-filtered) searches on an IVF store keep cluster
@@ -306,9 +316,22 @@ class VectorIndex:
                 )
             ivf = self._ensure_ivf()
             if ivf.supports_masked_search():
+                self.last_route = {
+                    "impl": "ivf_masked",
+                    "nprobe": self.effective_nprobe,
+                    "mesh_devices": self.mesh_devices,
+                }
                 return ivf.search(
                     queries, k, nprobe=self.effective_nprobe, mask=mask
                 )
+        self.last_route = {
+            "impl": (
+                ("int8" if self.quantized else "exact")
+                + ("_masked" if mask is not None else "")
+            ),
+            "nprobe": None,
+            "mesh_devices": self.mesh_devices,
+        }
         return self._store.search(queries, k, mask=mask, impl=self._search_impl)
 
     def search_batch(

@@ -84,6 +84,14 @@ def main() -> int:
 
         response = requests.get(f"http://{host}:{port}/index_status", timeout=3)
         report["server"] = f"http://{host}:{port} -> {response.json().get('status')}"
+        metrics = requests.get(f"http://{host}:{port}/metrics", timeout=3).json()
+        report["metrics"] = {
+            "index": metrics.get("index"),
+            "routes": {
+                route: entry.get("requests")
+                for route, entry in (metrics.get("routes") or {}).items()
+            },
+        }
     except Exception:
         report["server"] = f"http://{host}:{port} -> not running"
 

@@ -155,6 +155,10 @@ class BasicRoutesTest(RoutesFixture):
         self.assertEqual(payload["index"]["index_type"], "flat")
         self.assertIn(payload["indexing"]["status"], {"success", "ready"})
         self.assertIn("last_search_timing", payload)
+        # the search response's debug names the device path that served it
+        debug = ok.get_json()["search_debug"]
+        self.assertEqual(debug["index_route"]["impl"], "exact")
+        self.assertEqual(debug["index_route"]["mesh_devices"], 0)
 
     def test_search_requires_json_and_query(self):
         self._build()
