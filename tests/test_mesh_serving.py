@@ -174,6 +174,30 @@ class MeshVectorIndexTest(unittest.TestCase):
             )
             self.assertIs(vi._ivf, adapter_before)
 
+    def test_mesh_ivf_autotune(self):
+        # IVF_NPROBE=0 on a mesh store: the adapter's tune_nprobe runs the
+        # doubling loop against its own full-probe oracle
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=16,
+                index_path=os.path.join(tmp, "mtune.index"),
+                metadata_path=os.path.join(tmp, "mtune-meta.json"),
+                mesh_devices=8,
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_nprobe=0,
+                ivf_target_recall=0.98,
+            )
+            rng = np.random.default_rng(13)
+            vecs = rng.normal(size=(96, 16)).astype(np.float32)
+            vi.add_batch(
+                vecs, [{"photo_path": f"/p/{i}.jpg"} for i in range(96)]
+            )
+            hits = vi.search(vecs[30].tolist(), 3)
+            self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/30.jpg")
+            self.assertGreaterEqual(vi.effective_nprobe, 1)
+            self.assertLessEqual(vi.effective_nprobe, 4)
+
 
 def _make_photo(directory, name, color):
     path = os.path.join(directory, name)
