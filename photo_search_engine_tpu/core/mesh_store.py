@@ -245,27 +245,16 @@ class MeshIVFAdapter:
 
     def tune_nprobe(self, queries, k, target_recall: float = 0.98,
                     *, start_nprobe: int = 8):
-        """Same doubling loop as IVFIndex.tune_nprobe: smallest power-of-two
-        nprobe whose recall@k vs the full-probe result meets the target."""
+        """Delegates to the shared doubling loop (models/ivf.py
+        tune_nprobe_by_doubling) so mesh and single-device autotune use
+        identical recall accounting."""
+        from photo_search_engine_tpu.models.ivf import tune_nprobe_by_doubling
+
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         k = max(1, min(int(k), self._store.count))
-        _, oracle = self.search(queries, k, nprobe=self.nlist)
-
-        def recall_at(nprobe: int) -> float:
-            _, ids = self.search(queries, k, nprobe=nprobe)
-            hits = 0.0
-            for got, want in zip(ids, oracle):
-                want_set = {int(w) for w in want if w >= 0}
-                if not want_set:
-                    continue
-                hits += len({int(g) for g in got if g >= 0} & want_set) / len(
-                    want_set
-                )
-            return hits / max(len(queries), 1)
-
-        nprobe = max(1, min(start_nprobe, self.nlist))
-        best = recall_at(nprobe)
-        while best < target_recall and nprobe < self.nlist:
-            nprobe = min(2 * nprobe, self.nlist)
-            best = recall_at(nprobe)
-        return nprobe, best
+        return tune_nprobe_by_doubling(
+            lambda nprobe: self.search(queries, k, nprobe=nprobe)[1],
+            self.nlist,
+            target_recall,
+            start_nprobe=start_nprobe,
+        )

@@ -408,6 +408,42 @@ def _ivf_pallas(
     )(selected, sel_count, *operands)
 
 
+def tune_nprobe_by_doubling(
+    search_at,
+    nlist: int,
+    target_recall: float,
+    *,
+    start_nprobe: int = 8,
+    max_nprobe: Optional[int] = None,
+) -> Tuple[int, float]:
+    """Shared autotune loop: smallest power-of-two nprobe whose recall@k
+    against the full-probe result reaches ``target_recall``.
+
+    ``search_at(nprobe) -> ids`` runs the probed search; both the
+    single-device ``IVFIndex.tune_nprobe`` and the mesh adapter delegate
+    here so their recall accounting cannot diverge."""
+    cap = min(nlist, max_nprobe or nlist)
+    oracle_ids = search_at(nlist)
+
+    def recall_of(ids) -> float:
+        hits = 0.0
+        for got, want in zip(ids, oracle_ids):
+            want_set = {int(w) for w in want if w >= 0}
+            if not want_set:
+                continue
+            hits += len({int(g) for g in got if g >= 0} & want_set) / len(
+                want_set
+            )
+        return hits / max(len(oracle_ids), 1)
+
+    nprobe = max(1, min(start_nprobe, cap))
+    best = recall_of(search_at(nprobe))
+    while best < target_recall and nprobe < cap:
+        nprobe = min(2 * nprobe, cap)
+        best = recall_of(search_at(nprobe))
+    return nprobe, best
+
+
 # Donating the corpus updates the layout in place (no multi-GB copy per
 # incremental append).
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -680,27 +716,13 @@ class IVFIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         total_live = int((self.perm >= 0).sum())
         k = max(1, min(k, total_live))
-        cap = min(self.nlist, max_nprobe or self.nlist)
-        _, oracle_ids = self.search(queries, k, nprobe=self.nlist)
-
-        def recall_at(nprobe: int) -> float:
-            _, ids = self.search(queries, k, nprobe=nprobe)
-            hits = 0
-            for got, want in zip(ids, oracle_ids):
-                want_set = {int(w) for w in want if w >= 0}
-                if not want_set:
-                    continue
-                hits += len({int(g) for g in got if g >= 0} & want_set) / len(
-                    want_set
-                )
-            return hits / max(len(queries), 1)
-
-        nprobe = max(1, min(start_nprobe, cap))
-        best = recall_at(nprobe)
-        while best < target_recall and nprobe < cap:
-            nprobe = min(2 * nprobe, cap)
-            best = recall_at(nprobe)
-        return nprobe, best
+        return tune_nprobe_by_doubling(
+            lambda nprobe: self.search(queries, k, nprobe=nprobe)[1],
+            self.nlist,
+            target_recall,
+            start_nprobe=start_nprobe,
+            max_nprobe=max_nprobe,
+        )
 
     # -- filters ----------------------------------------------------------
     def supports_masked_search(self) -> bool:

@@ -19,7 +19,7 @@ the sharded exact-masked path).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -99,6 +99,7 @@ class ShardedIVFIndex:
         lrows: int,
         dim: int,
         built_counts: np.ndarray,     # per-shard live rows at build time
+        metric: str = "cosine",
     ) -> None:
         self.mesh = mesh
         self.axis = DATA_AXIS
@@ -108,10 +109,13 @@ class ShardedIVFIndex:
         self.dim = dim
         self.dp = centroids.shape[1]
         self.centroids = centroids
+        self.metric = metric
         self._cents_dev = _stage(mesh, centroids, P(), np.float32)
         self._layout = layout_dev
         self._row_valid = row_valid_dev
-        self.perms = perms
+        # single [n_shards, span] matrix: search indexes it directly and
+        # append mutates rows in place (no per-search np.stack copy)
+        self.perms = np.stack(perms) if isinstance(perms, list) else perms
         self.built_counts = np.asarray(built_counts, np.int64)
         self._search_cache = {}
 
@@ -139,18 +143,14 @@ class ShardedIVFIndex:
         rng = np.random.default_rng(seed)
 
         # ---- global centroids: data-parallel Lloyd over the mesh --------
-        cap = max(int(counts.max()), 1)
-        cap = -(-cap // _LANE) * _LANE
-        stacked = np.zeros((n_shards * cap, dim), np.float32)
-        for s, rows in enumerate(store._host_shards):
-            stacked[s * cap : s * cap + rows.shape[0]] = rows
+        # Reuse the store's own row-sharded device buffer (_sync stages it
+        # to the mesh and never touches the default backend) instead of
+        # host-stacking a second padded copy of the corpus.
+        stacked_dev, _cap = store._sync()
         pool = np.concatenate([r for r in store._host_shards if r.shape[0]])
         cents_dev = pool[rng.choice(total, size=nlist, replace=False)].astype(
             np.float32
         )
-        # stage the padded corpus ONCE (device_put to the mesh — never the
-        # default backend); later device_puts of the placed array are no-ops
-        stacked_dev = _stage(mesh, stacked, P(DATA_AXIS, None), np.float32)
         for _ in range(train_iters):
             cents_dev, _ = sharded_kmeans_step(
                 stacked_dev, cents_dev, mesh, counts=counts.astype(np.int32),
@@ -202,7 +202,7 @@ class ShardedIVFIndex:
         cents_p[:, :dim] = cents
         return cls(
             mesh, cents_p, layout_dev, valid_dev, perms, nlist, lrows, dim,
-            counts,
+            counts, metric=store.metric,
         )
 
     # -- incremental append ----------------------------------------------
@@ -219,6 +219,12 @@ class ShardedIVFIndex:
         stable_ids = np.asarray(stable_ids, np.int64)
         if rows.shape[0] == 0:
             return True
+        if self.metric == "cosine":
+            # the store normalizes ITS copy on append; normalize ours too,
+            # or an unnormalized caller row would carry an inflated IP
+            # score in the layout and corrupt ranking
+            norms = np.linalg.norm(rows, axis=1, keepdims=True)
+            rows = np.where(norms > 0, rows / np.maximum(norms, 1e-30), rows)
         top = _host_assign_top3(rows, self.centroids[:, : self.dim])
         span = self.nlist * self.lrows
         slots = np.empty(rows.shape[0], np.int64)
@@ -254,16 +260,29 @@ class ShardedIVFIndex:
         return True
 
     # -- search -----------------------------------------------------------
-    def _program(self, k: int, bq: int, qp: int, nprobe: int, s_max: int):
-        key = (k, bq, qp, nprobe, s_max)
+    def _program(self, k: int, bq: int, qp: int, q: int, nprobe: int, s_max: int):
+        key = (k, bq, qp, q, nprobe, s_max)
         cached = self._search_cache.get(key)
         if cached is not None:
             return cached
         axis = self.axis
         mesh = self.mesh
         nlist, lrows, dp = self.nlist, self.lrows, self.dp
-        use_kernel = jax.default_backend() == "tpu"
-        kp = _round_up(max(k, 1), _LANE)
+        # a shard can contribute at most its span of rows; n_shards*k_local
+        # >= k is guaranteed (k is clamped to the live total), so the merge
+        # still yields the exact global top-k
+        k_local = min(k, nlist * lrows)
+        # VMEM guard mirroring IVFIndex.search (models/ivf.py:934-942): the
+        # kernel double-buffers one whole cluster block plus the probe
+        # matrix; oversized layouts take the dense fallback instead of
+        # failing Mosaic lowering on the real chip
+        itemsize = jnp.dtype(self._layout.dtype).itemsize
+        block_bytes = 2 * lrows * dp * itemsize
+        probe_bytes = 2 * 128 * nlist * 4
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and block_bytes + probe_bytes <= 12 * 1024 * 1024
+        )
 
         @functools.partial(
             shard_map,
@@ -286,6 +305,13 @@ class ShardedIVFIndex:
             probe_matrix = jax.vmap(lambda row, ids: row.at[ids].set(1))(
                 probe_matrix, probe_ids
             )
+            # zero the padded query rows: they would otherwise probe the
+            # smallest-norm centroids and inflate the stage-2 union by up
+            # to qp/q on the single-query serving path
+            row_live = (
+                jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0) < q
+            ).astype(jnp.int32)
+            probe_matrix = probe_matrix * row_live
             any_probe = jnp.sum(probe_matrix, axis=0)
             selected = jnp.argsort(-any_probe)[:s_max].astype(jnp.int32)
             sel_count = jnp.reshape(
@@ -301,14 +327,15 @@ class ShardedIVFIndex:
                     jnp.zeros((1, nlist * lrows), jnp.float32),
                     jnp.ones((qp, 1), jnp.float32),
                     jnp.ones((1, nlist * lrows), jnp.float32),
-                    k, bq, lrows, s_max,
+                    k_local, bq, lrows, s_max,
                     interpret=False, metric="ip", int8=False,
                 )
-                vals = vals[:, :k]
-                slots = slots[:, :k]
+                vals = vals[:, :k_local]
+                slots = slots[:, :k_local]
             else:
-                # dense fallback (CPU mesh tests): same probe semantics,
-                # scores masked to probed clusters + valid slots
+                # dense fallback (CPU mesh tests + VMEM-guarded layouts):
+                # same probe semantics, scores masked to probed clusters +
+                # valid slots
                 full = jax.lax.dot_general(
                     qf, layout_shard.astype(jnp.float32),
                     (((1,), (1,)), ((), ())),
@@ -321,7 +348,7 @@ class ShardedIVFIndex:
                 probed = jnp.take(probe_matrix, cluster_of_slot, axis=1)
                 keep = jnp.logical_and(probed > 0, valid_row > 0)
                 full = jnp.where(keep, full, -jnp.inf)
-                vals, slots = jax.lax.top_k(full, k)
+                vals, slots = jax.lax.top_k(full, k_local)
             shard_id = jax.lax.axis_index(axis)
             empty = jnp.isneginf(vals)
             slots = jnp.where(empty, -1, slots + shard_id * (nlist * lrows))
@@ -344,10 +371,10 @@ class ShardedIVFIndex:
         nprobe = max(1, min(int(nprobe), self.nlist))
         bq = min(128, _round_up(q, 8))
         qp = _round_up(q, bq)
-        s_max = min(self.nlist, qp * nprobe)
+        s_max = min(self.nlist, q * nprobe)
         q_pad = np.zeros((qp, self.dp), np.float32)
         q_pad[:q, : self.dim] = queries
-        run = self._program(k, bq, qp, nprobe, s_max)
+        run = self._program(k, bq, qp, q, nprobe, s_max)
         vals, slots = run(
             self._layout, self._row_valid, self._cents_dev,
             _stage(self.mesh, q_pad, P(), np.float32),
@@ -360,7 +387,6 @@ class ShardedIVFIndex:
         live = slots >= 0
         shard = slots[live] // span
         local_slot = slots[live] % span
-        perm_mat = np.stack(self.perms)  # [n_shards, span]
-        local_row = perm_mat[shard, local_slot]
+        local_row = self.perms[shard, local_slot]
         ids[live] = shard.astype(np.int64) * ShardedEmbeddingStore._ID_STRIDE + local_row
         return vals, ids

@@ -105,6 +105,39 @@ class ShardedIVFTest(unittest.TestCase):
             index.perms[shard][base : base + index.lrows] = 0
         self.assertFalse(index.append(row, new_id))
 
+    def test_k_exceeding_shard_span(self):
+        # review regression: k larger than one shard's span (nlist*lrows)
+        # crashed the per-shard top_k; the local k must clamp to the span
+        # while the merge still returns the exact global top-k
+        store = ShardedEmbeddingStore(16, self.mesh, metric="cosine")
+        rows = _clustered(4096, 16, 8, self.rng)
+        store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=1, train_iters=1)
+        span = index.nlist * index.lrows
+        k = span + 64  # > per-shard span, < total
+        queries = rows[:2]
+        vals, got = index.search(queries, k=k, nprobe=1)
+        _, eids = store.search(queries, k)
+        for row in range(2):
+            self.assertEqual(
+                set(got[row].tolist()), set(np.asarray(eids)[row].tolist())
+            )
+
+    def test_append_normalizes_for_cosine(self):
+        # review regression: an unnormalized appended row must not carry
+        # an inflated IP score in the layout
+        index = ShardedIVFIndex.build(self.store, nlist=16, seed=6)
+        raw = 10.0 * _clustered(1, self.dim, 8, self.rng)  # norm 10
+        ids = self.store.append(raw)
+        self.assertTrue(index.append(raw, ids))
+        # an unrelated query must rank identically to sharded exact
+        query = self.rows[50]
+        _, eids = self.store.search(query, 5)
+        _, gids = index.search(query, k=5, nprobe=16)
+        self.assertEqual(
+            set(gids[0].tolist()), set(np.asarray(eids)[0].tolist())
+        )
+
     def test_uneven_shards(self):
         # 4097 rows: one shard has one extra row; padding slots must never
         # surface as hits
