@@ -65,9 +65,14 @@ class MicroBatcher:
         run_grouped_batch: Optional[Callable[..., Tuple[np.ndarray, np.ndarray]]] = None,
         max_batch: int = 128,
         window_s: float = 0.003,
+        dimension: Optional[int] = None,
     ) -> None:
         self._run_batch = run_batch
         self._run_grouped_batch = run_grouped_batch
+        # when known, per-request shape validation happens BEFORE enqueue —
+        # one malformed request must not poison every request coalesced
+        # into its micro-batch
+        self.dimension = dimension
         self.max_batch = int(max_batch)
         self.window_s = float(window_s)
         self._lock = threading.Condition()
@@ -80,7 +85,13 @@ class MicroBatcher:
 
     # ------------------------------------------------------------------
     def _ensure_worker(self) -> None:
-        if self._worker is None or not self._worker.is_alive():
+        # Called under self._lock.  The worker clears self._worker (under
+        # this same lock) immediately before returning, so "worker exists"
+        # is decided by self._worker alone — an is_alive() probe would race
+        # with a post-close() worker that has passed its exit check but not
+        # yet died, leaving an enqueued request with no consumer forever.
+        self._stopped = False  # a new request revives a closed batcher
+        if self._worker is None:
             self._worker = threading.Thread(
                 target=self._loop, name="search-microbatcher", daemon=True
             )
@@ -97,6 +108,9 @@ class MicroBatcher:
                 while not self._queue and not self._stopped:
                     self._lock.wait()
                 if self._stopped and not self._queue:
+                    # mark exit under the lock so _ensure_worker can spawn
+                    # a replacement without racing our death
+                    self._worker = None
                     return
                 # linger briefly so concurrent requests can coalesce
                 deadline = time.monotonic() + self.window_s
@@ -167,8 +181,15 @@ class MicroBatcher:
     ) -> Tuple[np.ndarray, np.ndarray]:
         if mask is not None and self._run_grouped_batch is None:
             raise ValueError("this MicroBatcher has no grouped (filtered) path")
+        query = np.asarray(query, np.float32).reshape(-1)
+        if self.dimension is not None and query.shape[0] != self.dimension:
+            # fail only this caller, not the whole coalesced batch
+            raise ValueError(
+                f"vector dimension mismatch: {query.shape[0]} != "
+                f"{self.dimension}"
+            )
         pending = _Pending(
-            np.asarray(query, np.float32),
+            query,
             int(k),
             None if mask is None else np.asarray(mask),
         )
@@ -209,6 +230,7 @@ def attach_microbatcher(
         run_grouped_batch=run_grouped_batch,
         max_batch=max_batch,
         window_s=window_s,
+        dimension=getattr(vector_index, "dimension", None),
     )
 
     def _hits(dists, idx):

@@ -88,8 +88,10 @@ class ElasticsearchKeywordIndex:
         """True when the cluster ships the IK Chinese analyzer
         (keyword_store.py:72-82)."""
         try:
+            # typed kwargs work on elasticsearch-py 8.x and 9.x; body=
+            # was removed in 9.x and would disable the channel at init
             response = self.es_client.indices.analyze(
-                body={"analyzer": "ik_smart", "text": "照片搜索测试"}
+                analyzer="ik_smart", text="照片搜索测试"
             )
             return bool(response.get("tokens"))
         except Exception:
@@ -120,7 +122,7 @@ class ElasticsearchKeywordIndex:
         try:
             self.es_client.indices.put_settings(
                 index=self.index_name,
-                body={"index": {"number_of_replicas": 0}},
+                settings={"index": {"number_of_replicas": 0}},
             )
         except Exception:
             pass
@@ -174,7 +176,11 @@ class ElasticsearchKeywordIndex:
                     "index": {"number_of_shards": 1, "number_of_replicas": 0}
                 },
             }
-            self.es_client.indices.create(index=self.index_name, body=mapping)
+            self.es_client.indices.create(
+                index=self.index_name,
+                mappings=mapping["mappings"],
+                settings=mapping["settings"],
+            )
             self._apply_runtime_settings()
 
     # ------------------------------------------------------------------
@@ -218,7 +224,8 @@ class ElasticsearchKeywordIndex:
 
     # ES is its own persistence; these exist for KeywordIndex interface
     # compatibility with the indexer/searcher wiring.
-    def save(self, path: Optional[str] = None) -> None:
+    def save(self, path: Optional[str] = None, *, final: bool = True) -> None:
+        del final  # persistence lives in the cluster
         return None
 
     def load(self, path: Optional[str] = None) -> bool:
@@ -273,9 +280,11 @@ class ElasticsearchKeywordIndex:
         query_clause = self._build_text_query(query)
         if query_clause is None:
             return []
-        body = {"query": query_clause, "size": top_k, "min_score": _MIN_SCORE}
         try:
-            response = self.es_client.search(index=self.index_name, body=body)
+            response = self.es_client.search(
+                index=self.index_name, query=query_clause, size=top_k,
+                min_score=_MIN_SCORE,
+            )
             return self._normalize_hits(response)
         except Exception as exc:
             print(f"[WARN] ES search failed: {exc}")
@@ -330,7 +339,7 @@ class ElasticsearchKeywordIndex:
         try:
             if must_clauses:
                 body["min_score"] = _MIN_SCORE
-            response = self.es_client.search(index=self.index_name, body=body)
+            response = self.es_client.search(index=self.index_name, **body)
             return self._normalize_hits(response)
         except Exception as exc:
             print(f"[WARN] ES search_with_filters failed: {exc}")

@@ -512,6 +512,11 @@ class Indexer:
                         self.vector_index.save()
                         if self.keyword_index is not None:
                             try:
+                                # per-batch durability save: the builtin
+                                # index throttles its postings sidecar here
+                                # (full export every batch is O(N²/B))
+                                self.keyword_index.save(final=False)
+                            except TypeError:
                                 self.keyword_index.save()
                             except Exception as exc:
                                 print(f"[WARN] keyword index save failed: {exc}")

@@ -49,6 +49,7 @@ preserved when this component is disabled.
 
 from __future__ import annotations
 
+import hashlib
 import heapq
 import json
 import math
@@ -89,7 +90,16 @@ _ASCII_WORD = re.compile(r"[a-z0-9_]+")
 
 _EPOCH = datetime(1970, 1, 1)
 _NO_DT = -(2**62)  # sentinel for missing/unparseable datetimes
-_SIDECAR_VERSION = 2
+_SIDECAR_VERSION = 3
+
+
+def _documents_digest(docs) -> str:
+    """Order-independent content hash of the documents payload (sidecar
+    freshness check — matching ids alone cannot detect edited content)."""
+    payload = json.dumps(docs, ensure_ascii=False, sort_keys=True)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
 _SIDECAR_SUFFIX = ".postings.npz"
 
 
@@ -236,7 +246,14 @@ class _NativeBM25:
             self._ptr(out_matched, ctypes.c_int64),
             capacity,
         )
-        written = min(written, capacity)
+        if written > capacity:
+            # the C core returns the REQUIRED size on overflow and writes
+            # nothing; capacity = field_doc_count makes this unreachable
+            # today, but a silent clamp would drop matching docs if that
+            # invariant ever broke — fail loudly instead
+            raise RuntimeError(
+                f"native BM25 buffer overflow: need {written} > {capacity}"
+            )
         return out_docs[:written], out_scores[:written], out_matched[:written]
 
     def export_field(self, field_index: int):
@@ -248,13 +265,19 @@ class _NativeBM25:
         rows = np.empty(nnz, np.int64)
         tfs = np.empty(nnz, np.int32)
         if nnz:
-            self._lib.pse_bm25_export_field(
+            exported = self._lib.pse_bm25_export_field(
                 self._handle, field_index,
                 self._ptr(tids, ctypes.c_int64),
                 self._ptr(rows, ctypes.c_int64),
                 self._ptr(tfs, ctypes.c_int32),
                 nnz,
             )
+            if exported != nnz:
+                # persisting np.empty garbage into the sidecar would be a
+                # silent corruption — fail loudly (load re-tokenizes)
+                raise RuntimeError(
+                    f"native BM25 export mismatch: {exported} != {nnz}"
+                )
         n_docs = int(self._lib.pse_bm25_field_doc_count(self._handle, field_index))
         len_rows = np.empty(n_docs, np.int64)
         lens = np.empty(n_docs, np.int64)
@@ -302,6 +325,9 @@ class KeywordIndex:
         self._reset_state()
 
     def _reset_state(self) -> None:
+        # rows covered by the last sidecar write (per-batch saves throttle
+        # the sidecar export — see save())
+        self._sidecar_rows_written: int = -(1 << 30)
         self._docs: Dict[str, Dict[str, Any]] = {}
         self._vocab: Dict[str, int] = {}
         self._vocab_list: List[str] = []
@@ -512,7 +538,12 @@ class KeywordIndex:
             return None
         terms = tokenize(query)
         if not terms:
-            return None
+            # non-blank text that analyzes to zero tokens (emoji,
+            # punctuation): ES's must multi_match matches NOTHING
+            # (zero_terms_query=none) — mirror that instead of silently
+            # degrading to the filter-only path, so the builtin and the
+            # ES adapter return identical results for the same request
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         unique_terms = list(dict.fromkeys(terms))
         # unknown terms still count toward minimum_should_match
         required = max(1, int(_MIN_SHOULD_MATCH * len(unique_terms)))
@@ -705,9 +736,14 @@ class KeywordIndex:
         lens = np.asarray(list(lengths.values()), np.int64)
         return tids, rows, tfs, len_rows, lens
 
-    def save(self, path: Optional[str] = None) -> None:
+    def save(self, path: Optional[str] = None, *, final: bool = True) -> None:
         """Persist raw documents (JSON, the source of truth) plus a binary
-        postings sidecar so ``load`` skips re-tokenization."""
+        postings sidecar so ``load`` skips re-tokenization.
+
+        ``final=False`` (the indexer's per-batch durability saves) throttles
+        the sidecar: exporting the whole postings structure every batch is
+        O(N²/B) over a build, and a missing/stale sidecar merely costs a
+        re-tokenize on load.  The documents JSON is always written."""
         target = path or self.index_path
         if not target:
             raise ValueError("no index path configured")
@@ -716,8 +752,21 @@ class KeywordIndex:
             os.makedirs(directory, exist_ok=True)
         with open(target, "w", encoding="utf-8") as f:
             json.dump({"documents": self._docs}, f, ensure_ascii=False)
+        rows = len(self._row_doc)
+        if not final and (
+            rows - self._sidecar_rows_written < max(1024, rows // 10)
+        ):
+            # stale sidecars are rejected by the content digest on load, but
+            # remove eagerly so a crash between now and the final save costs
+            # only a re-tokenize, never a digest mismatch surprise
+            try:
+                os.remove(target + _SIDECAR_SUFFIX)
+            except OSError:
+                pass
+            return
         try:
             self._save_sidecar(target)
+            self._sidecar_rows_written = rows
         except Exception as exc:  # sidecar is an optimization, never fatal
             print(f"[WARN] keyword sidecar write failed ({exc}); "
                   "load will re-tokenize")
@@ -732,6 +781,10 @@ class KeywordIndex:
             "version": _SIDECAR_VERSION,
             "n_rows": n_rows,
             "doc_count": len(self._docs),
+            # content digest of the documents payload: a sidecar whose ids
+            # match but whose document CONTENT is stale (crash between the
+            # documents write and the sidecar replace) must not be restored
+            "doc_digest": _documents_digest(self._docs),
             "vocab": self._vocab_list,
             "row_doc": self._row_doc,
             "cats": self._cat_values,
@@ -811,6 +864,8 @@ class KeywordIndex:
         live_ids = {row_doc[row] for row in live_rows.tolist()}
         if live_ids != set(documents):
             return False  # stale sidecar — documents JSON wins
+        if meta.get("doc_digest") != _documents_digest(documents):
+            return False  # same ids, stale content — documents JSON wins
 
         self._docs = {doc_id: dict(doc) for doc_id, doc in documents.items()}
         self._vocab_list = list(meta["vocab"])
@@ -872,4 +927,5 @@ class KeywordIndex:
                 zip(len_rows.tolist(), lens.tolist())
             )
             self._total_len[field] = int(lens.sum())
+        self._sidecar_rows_written = len(self._row_doc)
         return True

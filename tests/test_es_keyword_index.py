@@ -43,12 +43,21 @@ def _store(es, **kw):
     return ElasticsearchKeywordIndex(index_name="test_index", client=es, **kw)
 
 
+def _search_kwargs_as_body(call):
+    """The adapter sends typed kwargs (query=/size=/min_score=) — removed
+    body= support in elasticsearch-py 9.x; reshape for assertions."""
+    kw = dict(call.kwargs)
+    kw.pop("index", None)
+    return kw
+
+
 class IndexLifecycleTest(unittest.TestCase):
     def test_creates_index_with_full_mapping_when_missing(self):
         es = _fresh_mock(exists=False)
         _store(es)
         es.indices.create.assert_called_once()
-        body = es.indices.create.call_args.kwargs["body"]
+        kw = es.indices.create.call_args.kwargs
+        body = {"mappings": kw["mappings"], "settings": kw["settings"]}
         props = body["mappings"]["properties"]
         for field in (
             "photo_path", "description", "outer_scene_summary",
@@ -69,7 +78,7 @@ class IndexLifecycleTest(unittest.TestCase):
     def test_ik_analyzer_used_when_available(self):
         es = _fresh_mock(exists=False, ik=True)
         _store(es)
-        props = es.indices.create.call_args.kwargs["body"]["mappings"]["properties"]
+        props = es.indices.create.call_args.kwargs["mappings"]["properties"]
         self.assertEqual(props["description"]["analyzer"], "ik_max_word")
         self.assertEqual(props["description"]["search_analyzer"], "ik_smart")
 
@@ -88,7 +97,7 @@ class IndexLifecycleTest(unittest.TestCase):
         es.indices.delete.assert_not_called()
         es.indices.create.assert_not_called()
         es.indices.put_settings.assert_called_once()
-        body = es.indices.put_settings.call_args.kwargs["body"]
+        body = es.indices.put_settings.call_args.kwargs["settings"]
         self.assertEqual(body["index"]["number_of_replicas"], 0)
 
     def test_replica_self_heal_failure_is_non_fatal(self):
@@ -149,8 +158,7 @@ class TextQueryTest(unittest.TestCase):
         self.es.reset_mock()
 
     def _search_body(self):
-        call = self.es.search.call_args
-        return call.kwargs.get("body") or call[1].get("body")
+        return _search_kwargs_as_body(self.es.search.call_args)
 
     def test_query_shape_boosts_and_phrase(self):
         self.es.search.return_value = {"hits": {"max_score": 2.0, "hits": []}}
@@ -206,8 +214,7 @@ class FilterTest(unittest.TestCase):
         }
 
     def _search_body(self):
-        call = self.es.search.call_args
-        return call.kwargs.get("body") or call[1].get("body")
+        return _search_kwargs_as_body(self.es.search.call_args)
 
     def test_text_plus_term_filters(self):
         self.store.search_with_filters(

@@ -212,6 +212,53 @@ class PersistenceTest(unittest.TestCase):
                     ki2.search_with_filters("scene", {"year": 2021}), expected_f
                 )
 
+    def test_stale_sidecar_same_ids_changed_content(self):
+        """review regression: a sidecar whose live ids match but whose
+        document CONTENT is stale (crash between documents write and
+        sidecar replace) must be rejected by the content digest."""
+        import json
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "kw.json")
+            ki = KeywordIndex(path)
+            ki.add_document("1", _doc("/p/a.jpg", "毛茸茸的猫"))
+            ki.save()
+            # simulate: documents JSON updated, old sidecar left behind
+            with open(path) as f:
+                payload = json.load(f)
+            payload["documents"]["1"] = _doc("/p/a.jpg", "金色的狗")
+            with open(path, "w") as f:
+                json.dump(payload, f, ensure_ascii=False)
+            ki2 = KeywordIndex(path)
+            self.assertTrue(ki2.load())
+            self.assertTrue(ki2.search("金色"))
+            self.assertFalse(ki2.search("毛茸茸"))
+
+    def test_zero_token_text_with_filters_matches_es_semantics(self):
+        """non-blank text that analyzes to zero tokens matches NOTHING
+        (ES zero_terms_query=none) instead of degrading to filter-only."""
+        ki = KeywordIndex()
+        ki.add_document("1", _doc("/p/a.jpg", "海边", year=2024))
+        self.assertEqual(ki.search_with_filters("!!!", {"year": 2024}), [])
+        # blank text still takes the filter-only path
+        hits = ki.search_with_filters(None, {"year": 2024})
+        self.assertEqual(hits[0]["photo_path"], "/p/a.jpg")
+
+    def test_per_batch_save_throttles_sidecar(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "kw.json")
+            ki = KeywordIndex(path)
+            ki.add_document("1", _doc("/p/a.jpg", "海边"))
+            ki.save()  # final by default: sidecar written
+            self.assertTrue(os.path.exists(path + ".postings.npz"))
+            ki.add_document("2", _doc("/p/b.jpg", "雪山"))
+            ki.save(final=False)  # throttled: stale sidecar removed
+            self.assertFalse(os.path.exists(path + ".postings.npz"))
+            ki.save()  # final: written again and loadable
+            ki2 = KeywordIndex(path)
+            self.assertTrue(ki2.load())
+            self.assertEqual(ki2.count, 2)
+
     def test_stale_sidecar_falls_back_to_retokenize(self):
         """documents JSON is the source of truth: a sidecar that disagrees
         with it (e.g. hand-edited JSON) is ignored."""
