@@ -83,6 +83,18 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
     block_q = min(256, max(8, -(-n_queries // 8) * 8))
+    # the exact/fast variants call _pallas_twophase_impl directly, which
+    # expects a query count divisible by block_q (its grid uses floor
+    # division — a ragged BENCH_Q would silently drop queries and inflate
+    # QPS).  Pad up; padded rows do real work, so they count in the rate.
+    if n_queries % block_q:
+        n_queries = -(-n_queries // block_q) * block_q
+        print(f"# BENCH_Q padded to {n_queries} (block_q {block_q})")
+    if dim % 128 and variant in ("exact", "fast", ""):
+        raise SystemExit(
+            f"BENCH_DIM={dim} must be a multiple of 128 for the exact/fast "
+            "variants (they call the kernel impl directly, no pad wrapper)"
+        )
     # int8 shadow blocks are 2048 rows; align capacity to both so neither
     # path re-pads (a re-pad copies the whole corpus inside the scan)
     align = 2048 if int8 else block_n

@@ -362,6 +362,7 @@ def _apply_platform_override() -> None:
     import jax
 
     candidates = [wanted] if wanted != "tpu" else ["tpu", "axon,cpu", None]
+    prior = jax.config.jax_platforms
     last_exc = None
     for candidate in candidates:
         try:
@@ -375,6 +376,13 @@ def _apply_platform_override() -> None:
             return
         except Exception as exc:  # try the next candidate
             last_exc = exc
+    # restore the pre-override platform string: leaving the FAILED
+    # candidate applied would crash every later device touch instead of
+    # degrading gracefully as the WARN promises
+    try:
+        jax.config.update("jax_platforms", prior)
+    except Exception:
+        pass
     print(f"[WARN] PSE_PLATFORM={wanted} not applied: {last_exc}")
 
 

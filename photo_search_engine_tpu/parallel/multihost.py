@@ -109,6 +109,15 @@ def launch_dryrun(
     every one of them reached the oracle check.  Returns True on success."""
     import socket
 
+    rows = 1024  # worker_main default; keep the guard in sync
+    if rows % (num_processes * local_devices):
+        raise ValueError(
+            f"corpus rows ({rows}) must divide evenly by num_processes x "
+            f"local_devices ({num_processes} x {local_devices}); tail rows "
+            "would be dropped and make_array_from_process_local_data would "
+            "fail with an opaque shard-shape error"
+        )
+
     if port is None:
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))

@@ -24,13 +24,41 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 
+def _host_oracle(corpus: np.ndarray, k_eval: int, chunk: int = 4096) -> np.ndarray:
+    """Self-excluded cosine top-k per row, computed in row chunks so host
+    memory stays O(chunk·n) — a whole-corpus score matrix plus argsort is
+    ~120 GB at 100k photos."""
+    n = corpus.shape[0]
+    oracle = np.empty((n, k_eval), np.int64)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        scores = corpus[start:stop] @ corpus.T
+        scores[np.arange(stop - start), np.arange(start, stop)] = -np.inf
+        top = np.argpartition(-scores, k_eval, axis=1)[:, : k_eval + 1]
+        order = np.take_along_axis(scores, top, 1).argsort(1, kind="stable")[:, ::-1]
+        oracle[start:stop] = np.take_along_axis(top, order, 1)[:, :k_eval]
+    return oracle
+
+
 def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
     from photo_search_engine_tpu.core.vector_index import VectorIndex
 
+    # read the sidecar first: a deployment saved with VECTOR_METRIC=l2 or
+    # VECTOR_INDEX_TYPE=ivf must be opened with matching config, or load()
+    # correctly refuses it ("index type differs from config")
+    index_path = os.path.join(data_dir, "photo_search.index")
+    sidecar: Dict[str, Any] = {}
+    try:
+        with open(index_path + ".meta.json", "r", encoding="utf-8") as f:
+            sidecar = json.load(f)
+    except OSError:
+        pass
     vector_index = VectorIndex(
         dimension=None,
-        index_path=os.path.join(data_dir, "photo_search.index"),
+        index_path=index_path,
         metadata_path=os.path.join(data_dir, "metadata.json"),
+        metric=sidecar.get("metric") or "cosine",
+        index_type=sidecar.get("index_type") or "flat",
     )
     if not vector_index.load():
         raise FileNotFoundError(f"no index at {data_dir}")
@@ -38,11 +66,15 @@ def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
     metadata = vector_index.metadata
     n = corpus.shape[0]
     k_eval = min(k, n - 1)
+    if k_eval < 1:
+        return {
+            "corpus": {"count": n, "dimension": int(corpus.shape[1])},
+            "note": "fewer than 2 photos — recall undefined",
+            "k": 0,
+        }
 
-    # oracle: brute-force cosine, excluding self
-    scores = corpus @ corpus.T
-    np.fill_diagonal(scores, -np.inf)
-    oracle = np.argsort(-scores, axis=1, kind="stable")[:, :k_eval]
+    # oracle: brute-force cosine, excluding self (chunked)
+    oracle = _host_oracle(corpus, k_eval)
 
     # exact path (device kernel), k+1 then drop self
     vector_index.search_batch(corpus, k_eval + 1)  # warm (compile)
@@ -111,14 +143,23 @@ def evaluate(data_dir: str, k: int = 10, nprobe: int = 8) -> Dict[str, Any]:
         if mask.sum() == 0:
             continue
         query_row = int(np.argmax(mask))
+        k_mask = min(k_eval, int(mask.sum()))
         hits = vector_index.search_masked(
-            corpus[query_row].tolist(), min(k_eval, int(mask.sum())), mask.astype(bool)
+            corpus[query_row].tolist(), k_mask, mask.astype(bool)
         )
+        # true host-filtered oracle: top-k of the masked score vector (not
+        # just containment — wrong-but-allowed results must fail)
+        scores = corpus @ corpus[query_row]
+        scores[mask == 0] = -np.inf
+        want_rows = np.argsort(-scores, kind="stable")[:k_mask]
+        want = {metadata[int(r)].get("photo_path") for r in want_rows}
         allowed = {
             m.get("photo_path") for m, flag in zip(metadata, mask) if flag
         }
+        got = {h["metadata"]["photo_path"] for h in hits}
         mask_checks += 1
-        if all(h["metadata"]["photo_path"] in allowed for h in hits):
+        # strict oracle match, with one-slot tolerance for dtype near-ties
+        if got <= allowed and len(got & want) >= max(1, k_mask - 1):
             mask_correct += 1
 
     return {
@@ -169,6 +210,10 @@ def evaluate_synthetic(
     rng = np.random.default_rng(seed)
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # small --synthetic-rows values must not crash rng.choice/k-means
+    n_queries = max(1, min(n_queries, rows))
+    nlist = max(1, min(nlist, rows))
+    k = max(1, min(k, rows))
 
     def _stage(msg: str) -> None:
         # the run is compile-bound on relay-attached hosts (every distinct
