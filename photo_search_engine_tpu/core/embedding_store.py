@@ -73,7 +73,7 @@ class EmbeddingStore:
         # impl="int8" scan it and exact-rescore against the primary corpus
         # (ops/quantized.py).  Capacity must align to BOTH kernel blocks so
         # neither search path re-pads (re-padding copies the whole corpus):
-        # block_rows drops to a power of two and capacity aligns to the max.
+        # block_rows drops to a power of two and capacity aligns to the LCM.
         self.quantized = bool(quantized)
         # int8 nomination knobs (None = safe defaults, see ops/quantized.py):
         # kloc < k trades burst-safety for ~1.3× scan QPS on corpora whose
@@ -83,8 +83,14 @@ class EmbeddingStore:
         self._i8_block = quant_ops.default_block_n_int8(self.dimension)
         if self.quantized:
             self.block_rows = max(128, 1 << (self.block_rows.bit_length() - 1))
+        # the LCM, not the max: capacity must divide by BOTH block sizes or
+        # the non-aligned search path re-pads (a whole-corpus device copy
+        # per call) whenever block_rows does not divide _i8_block (e.g.
+        # dim=3072: block_rows=512, _i8_block=1280)
         self._capacity_align = (
-            max(self.block_rows, self._i8_block) if self.quantized else self.block_rows
+            int(np.lcm(self.block_rows, self._i8_block))
+            if self.quantized
+            else self.block_rows
         )
         self._count = 0
         self._device: Optional[jnp.ndarray] = None  # [capacity, D] store dtype
@@ -92,8 +98,8 @@ class EmbeddingStore:
         self._scales: Optional[jnp.ndarray] = None     # [capacity] f32
         self._host = np.zeros((0, self.dimension), np.float32)
         # device-resident filter masks, keyed by content digest: repeated
-        # filtered searches (season buckets etc.) skip the [capacity]-int32
-        # host→device upload (4 MB/call at 1M rows)
+        # filtered searches (season buckets etc.) skip the [capacity]-int8
+        # host→device upload (1 MB/call at 1M rows)
         self._mask_lru: "OrderedDict[Tuple[bytes, int], jnp.ndarray]" = OrderedDict()
 
     # ------------------------------------------------------------------
@@ -163,9 +169,10 @@ class EmbeddingStore:
 
     def _device_mask(self, mask: np.ndarray) -> jnp.ndarray:
         """Capacity-padded device mask, LRU-cached by content digest.
-        Hashing 1 byte/row beats re-uploading 4 bytes/row every call."""
-        mask_arr = np.zeros(self.capacity, np.int32)
-        mask_arr[: self._count] = np.asarray(mask[: self._count], np.int32)
+        Hashing/uploading 1 byte/row (int8; the kernel wrapper casts to
+        int32 on device) beats re-hashing 4 bytes/row every call."""
+        mask_arr = np.zeros(self.capacity, np.int8)
+        mask_arr[: self._count] = np.asarray(mask[: self._count], bool)
         digest = hashlib.blake2b(mask_arr.tobytes(), digest_size=16).digest()
         key = (digest, self.capacity)
         cached = self._mask_lru.get(key)

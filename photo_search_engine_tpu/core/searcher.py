@@ -334,9 +334,16 @@ class Searcher:
             raise ValueError("向量维度不一致")
         if self.keyword_index is not None:
             try:
-                self.keyword_index.load()
-            except Exception:
-                pass
+                if not self.keyword_index.load():
+                    print("[WARN] keyword index not found; strict-filtered "
+                          "hybrid searches depend on the keyword channel "
+                          "(reference ES-filter semantics)")
+            except Exception as exc:
+                # fail-soft like the reference composition root, but LOUDLY:
+                # an empty keyword channel silently zeroes every
+                # strict-time-filtered hybrid query, which is miserable to
+                # diagnose without this line
+                print(f"[WARN] keyword index load failed: {exc}")
         self.index_loaded = True
         self._refresh_metadata_cache()
         return True
@@ -712,6 +719,9 @@ class Searcher:
         keyword_scores: Dict[str, float] = {}
         filtered_paths: Optional[Set[str]] = None
         if self.keyword_index is not None:
+            # constructor top_k (not the per-call one) sizes the keyword
+            # channel — reference-faithful (searcher.py:904), including the
+            # consequence that strict-filtered recall is capped by this set
             keyword_k = max(1, min(candidate_k, max(self.top_k * 3, 15)))
             keyword_filters = self._keyword_filters_from_constraints(filters) if filters else {}
             if keyword_filters:
@@ -815,6 +825,10 @@ class Searcher:
             return self._memory_filter_search(constraints, top_k)
         results = []
         for rank, hit in enumerate(hits[:top_k], start=1):
+            # ghosts (paths without vector metadata) pass through with an
+            # empty description — reference-faithful for the filter-only
+            # path (searcher.py:1080-1090), unlike the hybrid path's
+            # ES-ghost drop
             metadata = self._metadata_for(hit["photo_path"]) or {}
             results.append(
                 {
@@ -898,6 +912,10 @@ class Searcher:
                 fallback_pool = filtered
 
         strict_floor, broad_floor = self._round_score_floors(relaxation_level)
+        # NOTE: after the identity reorder above, `filtered` is no longer
+        # sorted by score; the threshold math inherits that quirk from the
+        # reference verbatim (searcher.py:1488-1500) — behavior-parity over
+        # statistical neatness
         scores = [item["score"] for item in filtered]
         if scores:
             dynamic = self._calculate_dynamic_threshold(scores, normalized_top_k)
@@ -941,6 +959,8 @@ class Searcher:
             "raw_count": len(filtered),
             "returned_count": len(final),
             "reliable_count": len(reliable),
+            # reference names this len(prioritized) (searcher.py:1554) —
+            # i.e. reliable+generalized, kept verbatim for debug parity
             "generalized_count": len(prioritized),
             "fallback_used_count": fallback_used,
             "strict_threshold": round(strict_threshold, 6),

@@ -470,3 +470,19 @@ class QuantizedEmbeddingStoreTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class CapacityAlignmentTest(unittest.TestCase):
+    def test_quantized_capacity_divides_both_blocks(self):
+        # review regression: alignment must be the LCM of the two kernel
+        # block sizes, not the max — otherwise the exact path re-pads (a
+        # whole-corpus copy) whenever block_rows does not divide _i8_block
+        import numpy as np
+
+        from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+
+        for dim in (1536, 3072, 768):
+            store = EmbeddingStore(dim, quantized=True)
+            store.append(np.random.default_rng(0).normal(size=(10, dim)))
+            self.assertEqual(store.capacity % store.block_rows, 0, dim)
+            self.assertEqual(store.capacity % store._i8_block, 0, dim)
