@@ -217,6 +217,13 @@ def create_chat_completion(
             return client.chat.completions.create(**kwargs)
         except Exception as exc:  # vendor-specific failure shapes
             last_error = exc
+            # parameter degradation exists for strict gateways that REJECT
+            # a parameter shape; a timeout/connection failure will fail the
+            # same way for every shape — retrying the remaining shapes
+            # multiplies a 45s hang by 4 (and callers retry on top)
+            name = type(exc).__name__.lower()
+            if "timeout" in name or "connection" in name:
+                raise
     if last_error is not None:
         raise last_error
     raise ValueError("chat completion failed")

@@ -27,6 +27,7 @@ import time
 from datetime import datetime
 from typing import Any, Dict, List, Optional
 
+from photo_search_engine_tpu.services.vision import parse_json_object
 from photo_search_engine_tpu.services.llm_compat import (
     OpenAIHttpClient,
     create_chat_completion,
@@ -42,11 +43,17 @@ _TIME_HINT_PATTERN = re.compile(
     r"(今天|昨天|前天|明天|后天|今年|去年|前年|明年|上周|这周|下周|上个月|这个月|下个月|最近"
     r"|(?:19|20)\d{2}\s*年(?:\s*\d{1,2}\s*月(?:\s*\d{1,2}\s*日)?)?|\d{1,2}\s*月(?:\s*\d{1,2}\s*日)?)"
 )
-_POLITENESS = (
+# multi-char phrases may strip anywhere; the single-char "请" and the verb
+# "搜索"/"查找" family strip only at the START of the query — bare
+# substring removal corrupts content words that contain them
+# ("邀请函"→"邀函", "搜索引擎"→"引擎")
+_POLITENESS_ANYWHERE = (
     "帮我找", "帮我搜", "帮我看", "给我看", "给我找", "请展示", "请给我", "请找",
-    "搜索", "检索", "查找", "找一下", "找找", "帮我", "请", "我想看", "我要找", "show me",
+    "找一下", "找找", "帮我", "我想看", "我要找", "show me",
 )
-_GENERIC_NOUNS = ("照片", "图片", "相片", "图像", "的照片", "的图片")
+_POLITENESS_PREFIX = ("搜索", "检索", "查找", "请")
+# longest-first so "的照片" matches before "照片" eats it
+_GENERIC_NOUNS = ("的照片", "的图片", "照片", "图片", "相片", "图像")
 _MEDIA_HINTS = {
     "截图": "截图", "屏幕截图": "截图", "screenshot": "screenshot",
     "海报": "海报", "poster": "poster", "表情包": "表情包", "meme": "meme",
@@ -251,12 +258,22 @@ class QueryFormatter:
         text = str(user_query or "").strip()
         season = next((w for w in SEASON_WORDS if w in text), None)
         time_period = next((w for w in TIME_PERIOD_WORDS if w in text), None)
-        hint_match = _TIME_HINT_PATTERN.search(text)
-        time_hint = hint_match.group(0) if hint_match else None
+        # keep EVERY time hint (e.g. "去年3月" matches twice) — the hint
+        # feeds the time parser; dropping the tail silently widens ranges
+        time_hint = "".join(
+            m.group(0) for m in _TIME_HINT_PATTERN.finditer(text)
+        ) or None
 
         cleaned = text
-        for phrase in _POLITENESS:
+        for phrase in _POLITENESS_ANYWHERE:
             cleaned = cleaned.replace(phrase, "")
+        changed = True
+        while changed:
+            changed = False
+            for phrase in _POLITENESS_PREFIX:
+                if cleaned.startswith(phrase):
+                    cleaned = cleaned[len(phrase):]
+                    changed = True
         # lift time words out of the visual text
         cleaned = _TIME_HINT_PATTERN.sub("", cleaned)
         for word in SEASON_WORDS + TIME_PERIOD_WORDS:
@@ -328,7 +345,7 @@ class QueryFormatter:
                     timeout=self.timeout,
                     reasoning_effort=self.reasoning_effort,
                 )
-                payload = json.loads(extract_response_text(response))
+                payload = parse_json_object(extract_response_text(response))
                 return self.normalize_intent_payload(
                     payload,
                     user_query=user_query,
@@ -384,7 +401,7 @@ class QueryFormatter:
                     timeout=self.timeout,
                     reasoning_effort=self.reasoning_effort,
                 )
-                payload = json.loads(extract_response_text(response))
+                payload = parse_json_object(extract_response_text(response))
                 alternatives = payload.get("alternatives") or []
                 normalized: List[Dict[str, Any]] = []
                 for item in alternatives[:max_alternatives]:
@@ -492,7 +509,7 @@ class QueryFormatter:
                     timeout=self.timeout,
                     reasoning_effort=self.reasoning_effort,
                 )
-                payload = json.loads(extract_response_text(response))
+                payload = parse_json_object(extract_response_text(response))
                 if not payload or not isinstance(payload, dict):
                     return {}
                 if not str(payload.get("search_text") or "").strip() and not payload.get(

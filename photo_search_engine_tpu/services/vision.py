@@ -39,6 +39,7 @@ from photo_search_engine_tpu.services.llm_compat import (
     resolve_api_key,
 )
 from photo_search_engine_tpu.utils.image_parser import (
+    filename_tokens,
     generate_fallback_description,
     get_image_dimensions,
     resize_and_optimize_image,
@@ -196,7 +197,9 @@ class OpenAIVisionService(VisionService):
         repair_max_output_tokens: int = 420,
         enhanced_analysis_enabled: bool = True,
     ) -> None:
-        if requires_api_key(base_url) and not api_key:
+        if client is None and requires_api_key(base_url) and not api_key:
+            # an injected client is already authenticated (mirror the
+            # QueryFormatter contract, query_formatter.py:92)
             raise ValueError("VISION_API_KEY is not set")
         resolved = resolve_api_key(api_key, base_url)
         self.api_key = resolved
@@ -208,6 +211,8 @@ class OpenAIVisionService(VisionService):
         self.image_max_size = image_max_size
         self.image_quality = image_quality
         self.image_format = (image_format or "WEBP").upper()
+        if self.image_format == "JPG":  # PIL/mime canonical name
+            self.image_format = "JPEG"
         self.reasoning_effort = reasoning_effort
         self.enhanced_reasoning_effort = enhanced_reasoning_effort
         self.base_max_output_tokens = max(128, int(base_max_output_tokens))
@@ -224,8 +229,10 @@ class OpenAIVisionService(VisionService):
             quality=self.image_quality,
             format=self.image_format,
         )
+        # unknown formats fall through image_parser's else-branch and emit
+        # JPEG bytes — the declared mime must match the actual encoding
         mime = {"JPEG": "image/jpeg", "PNG": "image/png", "WEBP": "image/webp"}.get(
-            self.image_format, "image/webp"
+            self.image_format, "image/jpeg"
         )
         return f"data:{mime};base64,{base64.b64encode(blob).decode('utf-8')}"
 
@@ -379,17 +386,28 @@ class OpenAIVisionService(VisionService):
 
         parse_started = time.perf_counter()
         text = extract_response_text(response)
+        repaired = None
         try:
             parsed = parse_json_object(text)
+            # a truncated reply can balance on an INNER fragment (e.g. one
+            # tag object) — run the same sanity check the repair path uses
+            # so junk never reaches _normalize marked as success
+            if not any(key in parsed for key in ANALYSIS_KEYS):
+                raise ValueError("parsed fragment lacks analysis keys")
         except Exception:
+            parse_elapsed = time.perf_counter() - parse_started
             repaired = self._repair(text, "base")
             parsed = repaired["payload"]
             attempt_info["base_repair_seconds"] = repaired["elapsed"]
             metrics["base_repair_seconds"] = round(
                 metrics["base_repair_seconds"] + repaired["elapsed"], 4
             )
+        # parse time excludes the repair round-trip (it has its own metric;
+        # including it double-counted repair latency in per-stage sums)
+        if repaired is None:
+            parse_elapsed = time.perf_counter() - parse_started
         metrics["base_parse_seconds"] = round(
-            metrics["base_parse_seconds"] + (time.perf_counter() - parse_started), 4
+            metrics["base_parse_seconds"] + parse_elapsed, 4
         )
 
         normalize_started = time.perf_counter()
@@ -429,15 +447,18 @@ class OpenAIVisionService(VisionService):
             text = extract_response_text(response)
             try:
                 parsed = parse_json_object(text)
+                parse_elapsed = time.perf_counter() - parse_started
             except Exception:
+                parse_elapsed = time.perf_counter() - parse_started
                 repaired = self._repair(text, "enhanced")
                 parsed = repaired["payload"]
                 attempt_info["enhanced_repair_seconds"] = repaired["elapsed"]
                 metrics["enhanced_repair_seconds"] = round(
                     metrics["enhanced_repair_seconds"] + repaired["elapsed"], 4
                 )
+            # parse metric excludes the repair round-trip (own metric)
             metrics["enhanced_parse_seconds"] = round(
-                metrics["enhanced_parse_seconds"] + (time.perf_counter() - parse_started), 4
+                metrics["enhanced_parse_seconds"] + parse_elapsed, 4
             )
             # merge only fields the second pass actually returned
             merged = dict(normalized)
@@ -488,11 +509,7 @@ class LocalVisionService(VisionService):
         }
         width, height = get_image_dimensions(image_path)
         caption = generate_fallback_description(image_path)
-        import os as _os
-        import re as _re
-
-        stem = _os.path.splitext(_os.path.basename(image_path))[0]
-        tokens = [t for t in _re.split(r"[\W_]+", stem) if t and not t.isdigit()]
+        tokens = filename_tokens(image_path)
         tags = tokens[:6]
         if width > 0 and height > 0:
             tags.append(f"{width}x{height}")

@@ -163,10 +163,16 @@ def get_image_dimensions(file_path: str) -> Tuple[int, int]:
         return 0, 0
 
 
+def filename_tokens(file_path: str) -> list:
+    """Non-numeric word tokens of the filename stem (shared by the
+    fallback caption and the local vision backend's tag derivation)."""
+    stem = os.path.splitext(os.path.basename(file_path))[0]
+    return [t for t in re.split(r"[\W_]+", stem) if t and not t.isdigit()]
+
+
 def generate_fallback_description(file_path: str) -> str:
     """Filename-token fallback caption (reference image_parser.py:169-185)."""
-    stem = os.path.splitext(os.path.basename(file_path))[0]
-    tokens = [t for t in re.split(r"[\W_]+", stem) if t and not t.isdigit()]
+    tokens = filename_tokens(file_path)
     if not tokens:
         return "一张照片"
     if len(tokens) == 1:
