@@ -349,7 +349,7 @@ def register_routes(
             enable_text = str(form.get("enable_text_rerank", "")).lower() in {"true", "1", "on"}
             enable_visual = str(form.get("enable_visual_rerank", "")).lower() in {"true", "1", "on"}
             query_hint = (form.get("query_hint") or "").strip() or None
-            analysis = indexer.generate_analysis(temp_path)
+            analysis = indexer.generate_analysis(temp_path, count_fallback=False)
             results = searcher.search_by_uploaded_image(temp_path, analysis=analysis, top_k=top_k)
             results, rerank_state = apply_rerank_pipeline(
                 results=results,
@@ -395,6 +395,8 @@ def register_routes(
                 return {"status": "error", "message": "图片路径不能为空"}, 400
             open_in_file_manager(image_path)
             return {"status": "success", "message": "已尝试打开文件所在位置"}
+        except ValueError as exc:  # malformed JSON body
+            return {"status": "error", "message": str(exc)}, 400
         except FileNotFoundError as exc:
             return {"status": "error", "message": str(exc)}, 404
         except Exception as exc:

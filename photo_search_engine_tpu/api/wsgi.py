@@ -41,8 +41,13 @@ class Request:
         self.environ = environ
         self.method = environ.get("REQUEST_METHOD", "GET").upper()
         self.path = environ.get("PATH_INFO", "/")
+        # keep_blank_values: "?path=" must surface as {"path": ""} like
+        # Flask/werkzeug, not vanish
         self.query: Dict[str, str] = {
-            k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+            k: v[0]
+            for k, v in parse_qs(
+                environ.get("QUERY_STRING", ""), keep_blank_values=True
+            ).items()
         }
         self.content_type = environ.get("CONTENT_TYPE", "")
         try:
@@ -56,15 +61,23 @@ class Request:
 
     # ------------------------------------------------------------------
     def get_json(self, silent: bool = False) -> Optional[Dict[str, Any]]:
+        """JSON-object body, or None for an EMPTY body.  Malformed or
+        non-object JSON raises ValueError unless ``silent`` (Flask
+        semantics — handlers' ValueError→400 mapping turns it into a
+        client error instead of conflating it with 'no body')."""
         if not self.body:
             return None
         try:
             data = json.loads(self.body.decode("utf-8"))
-            return data if isinstance(data, dict) else None
         except Exception:
             if silent:
                 return None
-            return None
+            raise ValueError("请求体必须为JSON格式")
+        if not isinstance(data, dict):
+            if silent:
+                return None
+            raise ValueError("请求体必须为JSON对象")
+        return data
 
     def _parse_form(self) -> None:
         self._form = {}

@@ -157,16 +157,24 @@ class Indexer:
     # ------------------------------------------------------------------
     # Scanning & analysis
     # ------------------------------------------------------------------
-    def scan_photos(self) -> List[str]:
+    def scan_photos(self, validate: bool = True) -> List[str]:
         """Recursive scan of valid images, oldest-mtime first
-        (reference indexer.py:232-253)."""
+        (reference indexer.py:232-253).
+
+        ``validate=False`` checks extensions only — the HTTP-blocking
+        count scan in start_build_in_background must not PIL-verify a
+        50k-photo library twice (the build's own scan still does)."""
         if not os.path.isdir(self.photo_dir):
             return []
+        exts = {".jpg", ".jpeg", ".png", ".webp"}
         found: List[str] = []
         for root, _, files in os.walk(self.photo_dir):
             for name in files:
                 path = os.path.abspath(os.path.join(root, name))
-                if is_valid_image(path):
+                if validate:
+                    if is_valid_image(path):
+                        found.append(path)
+                elif os.path.splitext(name)[1].lower() in exts:
                     found.append(path)
 
         def mtime(path: str) -> float:
@@ -178,9 +186,15 @@ class Indexer:
         found.sort(key=mtime)
         return found
 
-    def generate_analysis(self, photo_path: str) -> Dict[str, Any]:
+    def generate_analysis(
+        self, photo_path: str, *, count_fallback: bool = True
+    ) -> Dict[str, Any]:
         """Vision analysis with cache reuse, retries, and a local fallback
-        (reference indexer.py:255-330)."""
+        (reference indexer.py:255-330).
+
+        ``count_fallback=False`` is for the upload-search request path
+        (routes.py): its fallbacks must not bleed into a concurrent
+        build's acceptance-gate counter."""
         cached = self._cached_analyses.get(photo_path)
         if cached and cached.get("retrieval_text"):
             print(f"[INFO] reusing cached analysis: {photo_path}")
@@ -209,7 +223,8 @@ class Indexer:
 
         print("[FALLBACK] vision unavailable; using filename-derived analysis")
         del last_error
-        self._fallback_count += 1
+        if count_fallback:
+            self._fallback_count += 1
         caption = generate_fallback_description(photo_path)
         fallback = normalize_analysis_payload(
             {
@@ -355,6 +370,10 @@ class Indexer:
     def _preload_cached_analyses(self) -> None:
         self._cached_analyses.clear()
         for item in self.vector_index.metadata or []:
+            if not isinstance(item, dict):
+                # corrupt entries are exactly what triggers the auto
+                # rebuild — they must not crash the preload that precedes it
+                continue
             path = item.get("photo_path")
             retrieval_text = item.get("retrieval_text")
             if not path or not isinstance(retrieval_text, str) or not retrieval_text:
@@ -584,6 +603,12 @@ class Indexer:
                 fallback_ratio=fallback_ratio,
                 elapsed=elapsed,
             )
+        except Exception as exc:
+            # the thread runner has this net; the PROCESS worker path does
+            # not — without it an unexpected crash releases the lock but
+            # leaves the status file 'processing' forever (no lock to reap,
+            # no ready marker), blocking every search/build route
+            return self._finish("failed", f"索引构建异常: {exc}")
         finally:
             self._release_lock()
             self._run_id = None
@@ -660,7 +685,7 @@ class Indexer:
             if os.path.exists(self._lock_path):
                 return self.get_status()
 
-            total_count = len(self.scan_photos())
+            total_count = len(self.scan_photos(validate=False))
             indexed_count = 0 if force_rebuild else self.vector_index.get_total_items()
             self._remove_ready_marker()
             self._set_status(
@@ -700,6 +725,11 @@ class Indexer:
         command.append("--index-worker")
         if force_rebuild:
             command.append("--force-rebuild")
+        # claim the lock atomically BEFORE spawning (the worker runs with
+        # lock_already_held=True — spawn-then-lock left a window where a
+        # second build could also start), then hand the lock to the child
+        if not self._create_lock():
+            return self.get_status()
         try:
             log_dir = os.path.dirname(self._worker_log_path)
             if log_dir:
@@ -714,18 +744,14 @@ class Indexer:
                     command, stdout=log_file, stderr=subprocess.STDOUT
                 )
         except Exception as exc:
+            self._release_lock()
             self._set_status(
                 "failed", f"后台索引进程启动失败: {exc}",
                 total_count, indexed_count, 0, 0.0, 0.0,
             )
             return dict(self._status)
 
-        if not self._create_lock(owner_pid=process.pid):
-            try:
-                process.terminate()
-            except Exception:
-                pass
-            return self.get_status()
+        self._update_lock_pid(process.pid)
         self._background_process = process
         self._append_timing(
             {
@@ -774,11 +800,14 @@ class Indexer:
 
     def _create_lock(self, owner_pid: Optional[int] = None) -> bool:
         self._clear_stale_lock_if_needed()
-        if os.path.exists(self._lock_path):
-            return False
         try:
             now = datetime.now().isoformat()
-            with open(self._lock_path, "w", encoding="utf-8") as f:
+            # O_CREAT|O_EXCL: exists-check-then-open raced concurrent
+            # builds in multi-process servers (both saw no lock, both won)
+            fd = os.open(
+                self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+            )
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
                 json.dump(
                     {
                         "pid": int(owner_pid if owner_pid is not None else os.getpid()),
@@ -788,8 +817,23 @@ class Indexer:
                     f,
                 )
             return True
+        except FileExistsError:
+            return False
         except Exception:
             return False
+
+    def _update_lock_pid(self, pid: int) -> None:
+        """Re-point an already-held lock at the worker's pid (the parent
+        claims atomically BEFORE spawning, then hands ownership over)."""
+        payload = self._read_lock_payload()
+        payload.pop("legacy", None)
+        payload["pid"] = int(pid)
+        payload["updated_at"] = datetime.now().isoformat()
+        try:
+            with open(self._lock_path, "w", encoding="utf-8") as f:
+                json.dump(payload, f)
+        except Exception:
+            pass
 
     def _release_lock(self) -> None:
         try:
@@ -807,7 +851,10 @@ class Indexer:
         except Exception:
             return {}
         if not raw:
-            return {}
+            # a 0-byte lock (crash between create and json.dump) is
+            # definitionally stale — reap it like a legacy lock, or builds
+            # block forever
+            return {"legacy": True}
         try:
             payload = json.loads(raw)
         except json.JSONDecodeError:
@@ -816,13 +863,19 @@ class Indexer:
 
     def _clear_stale_lock_if_needed(self) -> bool:
         """Reap locks whose owner pid is dead (reference indexer.py:1203-1245)."""
+        if self._background_process is not None:
+            # reap a finished child: a zombie still answers os.kill(pid, 0),
+            # which would keep its lock "alive" forever
+            self._background_process.poll()
         payload = self._read_lock_payload()
         if not payload:
             return False
         if not payload.get("legacy"):
             pid = payload.get("pid")
             if not isinstance(pid, int):
-                return False
+                # malformed payload — no live owner to respect
+                self._release_lock()
+                return True
             if self._pid_exists(pid):
                 return False
         self._release_lock()
