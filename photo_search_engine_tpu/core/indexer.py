@@ -794,6 +794,9 @@ class Indexer:
         return status
 
     def _fallback_ratio(self, success_count: int) -> float:
+        # NOTE: on incremental builds success_count includes pre-existing
+        # items, so the acceptance gate is diluted by corpus size — kept
+        # verbatim from the reference (indexer.py:741, 1077) for parity
         if success_count <= 0:
             return 0.0
         return round(self._fallback_count / float(success_count), 4)
