@@ -1370,7 +1370,9 @@ class Searcher:
             "precision": "none",
         }
         try:
-            constraints = self.time_parser.extract_time_constraints(query)
+            constraints = self.time_parser.extract_time_constraints(
+                query, strategy=self.time_parse_strategy
+            )
             if not isinstance(constraints, dict):
                 return result
             result["start_date"] = constraints.get("start_date")

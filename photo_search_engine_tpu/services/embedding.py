@@ -127,8 +127,11 @@ class OpenAICompatibleEmbeddingService(EmbeddingService):
     def generate_embedding_batch(self, texts: List[str]) -> List[List[float]]:
         if not texts:
             return []
-        cleaned = [t for t in texts if t and t.strip()]
-        if not cleaned:
+        # keep ROW ALIGNMENT with the input: dropping blanks silently
+        # misaligns any caller that zips texts with the result — blanks
+        # are substituted with a neutral placeholder instead
+        cleaned = [t if (t and t.strip()) else "." for t in texts]
+        if not any(t.strip() for t in cleaned):
             raise ValueError("texts to embed must not be empty")
         for attempt in range(self.max_retries):
             try:

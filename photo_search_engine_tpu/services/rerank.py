@@ -85,11 +85,17 @@ def merge_with_unprocessed(
     (reference rerank_service.py:196-248)."""
     if rerank_top_k <= 0:
         return []
+    from photo_search_engine_tpu.utils.path_utils import normalize_local_path
+
     merged: List[Dict[str, Any]] = []
     seen: set = set()
     for source in (reranked, original):
         for item in source:
-            path = str(item.get("photo_path") or "")
+            # normalize for the dedup key: _readable_candidates rewrites
+            # reranked paths to local form while originals keep the raw
+            # (possibly Windows-style) path — exact-string dedup showed
+            # the same photo twice
+            path = normalize_local_path(str(item.get("photo_path") or ""))
             if path and path in seen:
                 continue
             merged.append(dict(item))

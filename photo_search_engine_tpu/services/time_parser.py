@@ -149,8 +149,14 @@ class TimeParser:
     # ------------------------------------------------------------------
     # Extraction
     # ------------------------------------------------------------------
-    def extract_time_constraints(self, query: str) -> Dict[str, Any]:
-        if not self.detect_time_terms(query):
+    def extract_time_constraints(
+        self, query: str, strategy: str = "local_first"
+    ) -> Dict[str, Any]:
+        # the caller's configured strategy must reach this gate too: with
+        # strategy="always" the remote detector may say True for queries
+        # with no LOCAL_TIME_HINTS words, and re-detecting here with the
+        # default would veto the extraction it just paid for
+        if not self.detect_time_terms(query, strategy=strategy):
             return dict(_EMPTY)
         if self.backend == "openai":
             result = self._extract_remote(query)
@@ -277,7 +283,16 @@ class TimeParser:
         return date(year, 1, 1), date(year, 12, 31)
 
     @staticmethod
-    def _explicit_date_span(text: str, today: date):
+    def _relative_year(text: str, today: date) -> int:
+        """Year implied by a relative-year word, defaulting to this year —
+        "去年3月" must resolve the month against LAST year, not today's."""
+        for word, offset in (("前年", -2), ("去年", -1), ("明年", 1), ("今年", 0)):
+            if word in text:
+                return today.year + offset
+        return today.year
+
+    @classmethod
+    def _explicit_date_span(cls, text: str, today: date):
         full = re.search(r"((?:19|20)\d{2})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日", text)
         if full:
             try:
@@ -298,11 +313,22 @@ class TimeParser:
             if 1 <= month <= 12:
                 return date(year, month, 1), _month_end(year, month)
             return None
+        # month (+ optional day) without a 4-digit year: the year comes
+        # from any relative-year word ("去年3月", "明年2月") or this year
+        month_day = re.search(r"(?<![\d])(\d{1,2})\s*月\s*(\d{1,2})\s*日", text)
+        if month_day:
+            month, day = int(month_day.group(1)), int(month_day.group(2))
+            try:
+                d = date(cls._relative_year(text, today), month, day)
+                return d, d
+            except ValueError:
+                return None
         bare_month = re.search(r"(?<![\d])(\d{1,2})\s*月", text)
         if bare_month:
             month = int(bare_month.group(1))
             if 1 <= month <= 12:
-                return date(today.year, month, 1), _month_end(today.year, month)
+                year = cls._relative_year(text, today)
+                return date(year, month, 1), _month_end(year, month)
         return None
 
     # ------------------------------------------------------------------

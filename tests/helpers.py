@@ -101,7 +101,7 @@ class FakeTimeParser:
     def detect_time_terms(self, query: str, strategy: str = "local_first") -> bool:
         return any(key in (query or "") for key in self.mapping)
 
-    def extract_time_constraints(self, query: str) -> Dict[str, Any]:
+    def extract_time_constraints(self, query: str, strategy: str = "local_first") -> Dict[str, Any]:
         for key, constraints in self.mapping.items():
             if key in (query or ""):
                 return dict(constraints)
