@@ -186,8 +186,11 @@ def load_config() -> Dict[str, Any]:
         "ELASTICSEARCH_USERNAME": os.getenv("ELASTICSEARCH_USERNAME"),
         "ELASTICSEARCH_PASSWORD": os.getenv("ELASTICSEARCH_PASSWORD"),
         "SEARCH_VALIDATE_FILE_EXISTS": _get_bool("SEARCH_VALIDATE_FILE_EXISTS", False),
-        # serving-path request micro-batching (core/batcher.py)
-        "SEARCH_MICROBATCH_ENABLED": _get_bool("SEARCH_MICROBATCH_ENABLED", False),
+        # serving-path request micro-batching (core/batcher.py) — ON by
+        # default: it is the configuration validated under concurrent load
+        # (docs/DESIGN.md load section); single-request latency cost is one
+        # window (3 ms)
+        "SEARCH_MICROBATCH_ENABLED": _get_bool("SEARCH_MICROBATCH_ENABLED", True),
         "SEARCH_MICROBATCH_WINDOW_MS": _get_float("SEARCH_MICROBATCH_WINDOW_MS", 3.0),
         "SEARCH_MICROBATCH_MAX_BATCH": _get_int("SEARCH_MICROBATCH_MAX_BATCH", 128),
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),

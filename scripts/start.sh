@@ -3,7 +3,7 @@
 # env profile selection, data-dir pinning, health check).
 #
 # Usage:
-#   scripts/start.sh [--profile offline|online] [--env FILE] [--port N]
+#   scripts/start.sh [--profile offline|online|country] [--env FILE] [--port N]
 #
 # The offline profile (default) needs NO external services: deterministic
 # local vision/embedding/planner backends run everything on this machine

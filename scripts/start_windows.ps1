@@ -7,7 +7,7 @@
 #
 # Usage:
 #   powershell -ExecutionPolicy Bypass -File scripts\start_windows.ps1 `
-#       [-Profile offline|online] [-EnvFile path\to\.env] [-Port 10001]
+#       [-Profile offline|online|country] [-EnvFile path\to\.env] [-Port 10001]
 #
 # Note: the device compute path targets TPU via JAX; on a Windows
 # workstation JAX falls back to CPU — every kernel has an interpreter-mode
