@@ -19,6 +19,8 @@ The reference has no counterpart (it is strictly single-process — SURVEY.md
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from typing import Optional, Tuple
 
 import numpy as np
@@ -61,6 +63,7 @@ class MeshEmbeddingStore:
         self._ids = np.zeros((0,), np.int64)
         self._sorted_ids: Optional[np.ndarray] = None
         self._sorted_pos: Optional[np.ndarray] = None
+        self._mask_lru: OrderedDict = OrderedDict()
 
     # ------------------------------------------------------------------
     @property
@@ -105,9 +108,33 @@ class MeshEmbeddingStore:
         out = np.where(ok, self._sorted_pos[pos], -1)
         return out.reshape(stable.shape).astype(np.int32)
 
+    _MASK_LRU_SIZE = 16
+
     def _layout_mask(self, mask: np.ndarray) -> np.ndarray:
-        bits = np.asarray(mask)[: self.count]
-        return self._sharded.layout_mask(self._ids, bits)
+        """Insertion-order bits → corpus-layout bits, LRU-cached by content
+        digest: under micro-batching the same few predicates (season /
+        time-of-day tables) repeat every request, and the O(N) permutation
+        at 1M rows is pure host churn (round-2 verdict weak #6).  The key
+        includes count and the device capacity — appends change both the
+        id set and the layout width, so stale entries can't be returned."""
+        bits = np.ascontiguousarray(
+            np.asarray(mask)[: self.count], np.int32
+        )
+        _, capacity = self._sharded._sync()
+        key = (
+            hashlib.blake2b(bits.tobytes(), digest_size=16).digest(),
+            self.count,
+            capacity,
+        )
+        cached = self._mask_lru.get(key)
+        if cached is not None:
+            self._mask_lru.move_to_end(key)
+            return cached
+        out = self._sharded.layout_mask(self._ids, bits)
+        self._mask_lru[key] = out
+        while len(self._mask_lru) > self._MASK_LRU_SIZE:
+            self._mask_lru.popitem(last=False)
+        return out
 
     # ------------------------------------------------------------------
     def search(
@@ -184,6 +211,7 @@ class MeshEmbeddingStore:
         )
         self._ids = np.zeros((0,), np.int64)
         self._sorted_ids = None
+        self._mask_lru.clear()
 
     @classmethod
     def from_array(
@@ -216,9 +244,11 @@ class MeshIVFAdapter:
     mesh-natively (per-shard layouts + probe kernels + ICI merge) instead
     of pulling the corpus to one device.
 
-    Masked probing is not supported here — masked searches on a mesh
-    store take the sharded exact-masked path (``supports_masked_search``
-    returns False and the router falls through)."""
+    Masked probing IS supported: insertion-order filter bits permute
+    through each shard's slot layout (``_slot_bits``) and ride inside the
+    sharded probe kernel, so ``MESH_DEVICES=N`` + ``index_type=ivf`` + a
+    time filter keeps cluster pruning instead of degrading to a sharded
+    exact full scan (the flagship million-scale filtered query)."""
 
     def __init__(self, store: "MeshEmbeddingStore", nlist: int, seed: int = 0):
         from photo_search_engine_tpu.parallel.sharded_ivf import ShardedIVFIndex
@@ -227,14 +257,38 @@ class MeshIVFAdapter:
         self._index = ShardedIVFIndex.build(store._sharded, nlist, seed=seed)
         self.nlist = self._index.nlist
 
+    def _slot_bits(self, mask: np.ndarray):
+        """Insertion-order filter bits → [n_shards * span] slot-layout bits
+        (+ live-slot selectivity ratio) via perm → stable id → insertion
+        index.  Pure vectorized numpy — O(total slots) per call."""
+        bits = np.asarray(mask)[: self._store.count].astype(np.int32, copy=False)
+        perm = self._index.perms  # [n_shards, span] local row or -1
+        live = perm >= 0
+        shard_ids = np.broadcast_to(
+            np.arange(perm.shape[0], dtype=np.int64)[:, None], perm.shape
+        )
+        stable = np.where(
+            live, shard_ids * ShardedEmbeddingStore._ID_STRIDE + perm, -1
+        )
+        ins = self._store._translate(stable)  # -1 passthrough
+        slot_bits = np.zeros(perm.shape, np.int32)
+        ok = ins >= 0
+        slot_bits[ok] = bits[ins[ok]]
+        ratio = float(slot_bits.sum()) / max(int(live.sum()), 1)
+        return slot_bits.reshape(-1), ratio
+
     def search(self, queries, k, nprobe: int = 64, mask=None):
-        if mask is not None:
-            raise ValueError("masked search is routed around MeshIVFAdapter")
-        vals, stable = self._index.search(queries, k, nprobe)
+        if mask is None:
+            vals, stable = self._index.search(queries, k, nprobe)
+        else:
+            slot_bits, ratio = self._slot_bits(mask)
+            vals, stable = self._index.search(
+                queries, k, nprobe, slot_mask=slot_bits, mask_ratio=ratio
+            )
         return np.asarray(vals), self._store._translate(np.asarray(stable))
 
     def supports_masked_search(self) -> bool:
-        return False
+        return True
 
     def append(self, delta, ids) -> bool:
         # insertion-order ids → the store's stable (shard, local) ids, then

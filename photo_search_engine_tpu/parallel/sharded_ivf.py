@@ -12,14 +12,21 @@ partials.
 
 The reference has no counterpart (FAISS sharding is an app-level concern
 there; SURVEY.md §2 "Parallelism strategies": net-new design).  Scope:
-ip/cosine metric, unmasked probing (masked searches on a mesh store take
-the sharded exact-masked path).
+ip/cosine metric.  Masked (per-row filtered) probing IS supported: the
+filter bits permute into each shard's slot layout, fold into the kernel's
+row-validity operand inside the shard_map, and the probe width inflates
+by ~1/selectivity — the same recipe as the single-device
+models/ivf.py:939-950, so ``index_type=ivf`` keeps cluster pruning under
+time filters on a mesh (the reference composes ES filters with ANN
+recall — utils/keyword_store.py:286-392, core/searcher.py:814-817).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+import hashlib
+from collections import OrderedDict
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -118,6 +125,11 @@ class ShardedIVFIndex:
         self.perms = np.stack(perms) if isinstance(perms, list) else perms
         self.built_counts = np.asarray(built_counts, np.int64)
         self._search_cache = {}
+        # staged device slot masks, LRU by content digest (the mesh twin of
+        # IVFIndex._slot_mask's cache — repeated filters skip the host→mesh
+        # restage)
+        self._mask_lru: "OrderedDict" = OrderedDict()
+        self._MASK_LRU_SIZE = 16
 
     # -- build ------------------------------------------------------------
     @classmethod
@@ -260,8 +272,11 @@ class ShardedIVFIndex:
         return True
 
     # -- search -----------------------------------------------------------
-    def _program(self, k: int, bq: int, qp: int, q: int, nprobe: int, s_max: int):
-        key = (k, bq, qp, q, nprobe, s_max)
+    def _program(
+        self, k: int, bq: int, qp: int, q: int, nprobe: int, s_max: int,
+        has_mask: bool = False,
+    ):
+        key = (k, bq, qp, q, nprobe, s_max, has_mask)
         cached = self._search_cache.get(key)
         if cached is not None:
             return cached
@@ -287,11 +302,17 @@ class ShardedIVFIndex:
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(), P()),
+            in_specs=(P(axis, None), P(axis), P(), P())
+            + ((P(axis),) if has_mask else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(layout_shard, valid_shard, cents, queries_rep):
+        def run(layout_shard, valid_shard, cents, queries_rep, *rest):
+            if rest:
+                # per-shard slot-permuted filter bits × row validity: the
+                # mask rides INSIDE the probe kernel, so cluster pruning
+                # survives filtered queries (models/ivf.py:939-950 per shard)
+                valid_shard = valid_shard * rest[0]
             # stage 1 (replicated math, identical on every shard): rank
             # clusters by nearest centroid — matches assignment geometry
             qf = queries_rep.astype(jnp.float32)
@@ -358,10 +379,40 @@ class ShardedIVFIndex:
         self._search_cache[key] = jitted
         return jitted
 
+    def _stage_mask(self, slot_mask: np.ndarray) -> jnp.ndarray:
+        """[n_shards * span] int32 slot mask → sharded device array,
+        LRU-cached by content digest."""
+        bits = np.ascontiguousarray(slot_mask, np.int32)
+        key = (
+            hashlib.blake2b(bits.tobytes(), digest_size=16).digest(),
+            bits.shape[0],
+        )
+        cached = self._mask_lru.get(key)
+        if cached is not None:
+            self._mask_lru.move_to_end(key)
+            return cached
+        dev = _stage(self.mesh, bits, P(DATA_AXIS), np.int32)
+        self._mask_lru[key] = dev
+        while len(self._mask_lru) > self._MASK_LRU_SIZE:
+            self._mask_lru.popitem(last=False)
+        return dev
+
     def search(
-        self, queries: np.ndarray, k: int, nprobe: int
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int,
+        *,
+        slot_mask: Optional[np.ndarray] = None,  # [n_shards * span] slot bits
+        mask_ratio: Optional[float] = None,      # live-slot selectivity
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Probed k-NN; returns (scores desc, stable ids) with -1 padding."""
+        """Probed k-NN; returns (scores desc, stable ids) with -1 padding.
+
+        ``slot_mask`` filters rows WITHOUT losing cluster pruning: bits are
+        already permuted into the sharded slot layout (the caller maps
+        insertion/stable order through ``perms`` — MeshIVFAdapter), they
+        fold into each shard's row-validity operand, and the probe width
+        inflates by ~1/selectivity (IVFIndex._inflate_nprobe)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         q, dim = queries.shape
         if dim != self.dim:
@@ -369,16 +420,29 @@ class ShardedIVFIndex:
         total = int(self.built_counts.sum())
         k = max(1, min(int(k), total))
         nprobe = max(1, min(int(nprobe), self.nlist))
+        if slot_mask is not None:
+            from photo_search_engine_tpu.models.ivf import IVFIndex
+
+            if mask_ratio is None:
+                mask_ratio = float(np.asarray(slot_mask).sum()) / max(
+                    int(self.built_counts.sum()), 1
+                )
+            nprobe = IVFIndex._inflate_nprobe(nprobe, mask_ratio, self.nlist)
         bq = min(128, _round_up(q, 8))
         qp = _round_up(q, bq)
         s_max = min(self.nlist, q * nprobe)
         q_pad = np.zeros((qp, self.dp), np.float32)
         q_pad[:q, : self.dim] = queries
-        run = self._program(k, bq, qp, q, nprobe, s_max)
-        vals, slots = run(
+        run = self._program(
+            k, bq, qp, q, nprobe, s_max, has_mask=slot_mask is not None
+        )
+        args = (
             self._layout, self._row_valid, self._cents_dev,
             _stage(self.mesh, q_pad, P(), np.float32),
         )
+        if slot_mask is not None:
+            args = args + (self._stage_mask(slot_mask),)
+        vals, slots = run(*args)
         vals = np.asarray(vals)[:q]
         slots = np.asarray(slots)[:q]
         # slot → (shard, local slot) → stable id via the shard's perm

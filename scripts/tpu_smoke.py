@@ -206,6 +206,36 @@ def main() -> int:
     )
     check("sharded ivf kernel (shard_map)", ok)
 
+    # masked sharded IVF: slot-permuted filter bits ride inside the probe
+    # kernel (round-3: cluster pruning survives filters on the mesh)
+    keep = (rng.random(2048) < 0.5).astype(np.int32)
+    shard_of = (sids // ShardedEmbeddingStore._ID_STRIDE).astype(np.int64)
+    local_of = (sids % ShardedEmbeddingStore._ID_STRIDE).astype(np.int64)
+    slot_bits = np.zeros(sivf.perms.shape, np.int32)
+    for s in range(sivf.perms.shape[0]):
+        sel = shard_of == s
+        if not sel.any():
+            continue
+        local_bits = np.zeros(int(local_of[sel].max()) + 1, np.int32)
+        local_bits[local_of[sel]] = keep[sel]
+        live = sivf.perms[s] >= 0
+        src = sivf.perms[s][live]
+        inb = src < local_bits.shape[0]
+        row_bits = np.zeros(int(live.sum()), np.int32)
+        row_bits[inb] = local_bits[src[inb]]
+        slot_bits[s, live] = row_bits
+    _, mgot = sivf.search(
+        q_unit, 10, nprobe=8, slot_mask=slot_bits.reshape(-1),
+        mask_ratio=float(keep.mean()),
+    )
+    mscores = q_unit @ sivf_rows.T
+    mscores[:, keep == 0] = -np.inf
+    mref = np.argsort(-mscores, axis=1)[:, :10]
+    ok = all(
+        set(mgot[q].tolist()) == set(sids[mref[q]].tolist()) for q in range(8)
+    )
+    check("sharded ivf masked kernel (shard_map)", ok)
+
     print("\nall kernels verified" if not failures else f"\nFAILURES: {failures}")
     return 1 if failures else 0
 

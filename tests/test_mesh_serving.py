@@ -151,10 +151,12 @@ class MeshVectorIndexTest(unittest.TestCase):
             hits = vi.search(vecs[17].tolist(), 3)
             self.assertIsInstance(vi._ivf, MeshIVFAdapter)
             self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/17.jpg")
-            # masked searches fall through to the sharded exact-masked path
+            # masked searches stay on the sharded IVF path (cluster pruning
+            # survives filters on the mesh — round-3 closure of the matrix)
             mask = np.zeros(96, bool)
             mask[40:60] = True
             masked = vi.search_masked(vecs[45].tolist(), 3, mask)
+            self.assertEqual(vi.last_route["impl"], "ivf_masked")
             self.assertEqual(
                 masked[0]["metadata"]["photo_path"], "/p/45.jpg"
             )

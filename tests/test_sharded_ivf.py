@@ -138,6 +138,85 @@ class ShardedIVFTest(unittest.TestCase):
             set(gids[0].tolist()), set(np.asarray(eids)[0].tolist())
         )
 
+    def _slot_mask_from_insertion_bits(self, index, keep):
+        """Insertion-order keep bits → [n_shards * span] slot-layout bits
+        (test-side mirror of MeshIVFAdapter._slot_bits, but keyed by the
+        store append's stable ids directly)."""
+        shard = (self.ids // (1 << 40)).astype(np.int64)
+        local = (self.ids % (1 << 40)).astype(np.int64)
+        slot_bits = np.zeros(index.perms.shape, np.int32)
+        for s in range(index.perms.shape[0]):
+            sel = shard == s
+            if not sel.any():
+                continue
+            local_bits = np.zeros(int(local[sel].max()) + 1, np.int32)
+            local_bits[local[sel]] = keep[sel]
+            live = index.perms[s] >= 0
+            src = index.perms[s][live]
+            inb = src < local_bits.shape[0]
+            bits_row = np.zeros(int(live.sum()), np.int32)
+            bits_row[inb] = local_bits[src[inb]]
+            slot_bits[s, live] = bits_row
+        return slot_bits.reshape(-1)
+
+    def test_masked_full_probe_matches_exact_masked(self):
+        # the round-3 contract: filters keep cluster pruning on the mesh —
+        # at full probe the masked sharded IVF must agree with the sharded
+        # exact-masked oracle exactly
+        index = ShardedIVFIndex.build(self.store, nlist=32, seed=7)
+        keep = (self.rng.random(4096) < 0.25).astype(np.int32)
+        slot_mask = self._slot_mask_from_insertion_bits(index, keep)
+        queries = self.rows[self.rng.choice(4096, 12, replace=False)]
+        _, got = index.search(
+            queries, k=8, nprobe=32, slot_mask=slot_mask,
+            mask_ratio=float(keep.mean()),
+        )
+        layout = self.store.layout_mask(self.ids, keep)
+        _, eids = self.store.search(queries, 8, mask=layout)
+        for row in range(queries.shape[0]):
+            self.assertEqual(
+                set(got[row].tolist()), set(np.asarray(eids)[row].tolist())
+            )
+        # every hit satisfies the filter
+        keep_by_stable = {int(i): int(b) for i, b in zip(self.ids, keep)}
+        for row in got:
+            for sid in row.tolist():
+                if sid >= 0:
+                    self.assertEqual(keep_by_stable[sid], 1)
+
+    def test_masked_partial_probe_recall_with_inflation(self):
+        # selective filters inflate the probe width (~1/selectivity); the
+        # masked probed search must hold high recall vs exact-masked
+        index = ShardedIVFIndex.build(self.store, nlist=32, seed=8)
+        keep = (self.rng.random(4096) < 0.5).astype(np.int32)
+        slot_mask = self._slot_mask_from_insertion_bits(index, keep)
+        picks = self.rng.choice(4096, 24, replace=False)
+        queries = self.rows[picks] + 0.05 * self.rng.normal(
+            size=(24, self.dim)
+        ).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        layout = self.store.layout_mask(self.ids, keep)
+        _, eids = self.store.search(queries, 10, mask=layout)
+        _, got = index.search(
+            queries, k=10, nprobe=8, slot_mask=slot_mask,
+            mask_ratio=float(keep.mean()),
+        )
+        hits = sum(
+            len(set(g.tolist()) & set(np.asarray(e).tolist())) / 10
+            for g, e in zip(got, eids)
+        ) / 24
+        self.assertGreaterEqual(hits, 0.9)
+
+    def test_masked_empty_filter_returns_padding(self):
+        index = ShardedIVFIndex.build(self.store, nlist=16, seed=9)
+        slot_mask = np.zeros(
+            index.perms.shape[0] * index.nlist * index.lrows, np.int32
+        )
+        _, got = index.search(
+            self.rows[:3], k=5, nprobe=16, slot_mask=slot_mask, mask_ratio=0.0
+        )
+        self.assertTrue((got == -1).all())
+
     def test_uneven_shards(self):
         # 4097 rows: one shard has one extra row; padding slots must never
         # surface as hits
