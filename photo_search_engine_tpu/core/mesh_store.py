@@ -257,6 +257,27 @@ class MeshIVFAdapter:
         self._index = ShardedIVFIndex.build(store._sharded, nlist, seed=seed)
         self.nlist = self._index.nlist
 
+    # -- persistence -------------------------------------------------------
+    def state(self) -> dict:
+        """Trained state of the inner sharded index (mesh twin of
+        ``IVFIndex.state`` — see VectorIndex.save's ``.ivf.npz`` sidecar)."""
+        return self._index.state()
+
+    @classmethod
+    def from_state(
+        cls, store: "MeshEmbeddingStore", state: dict
+    ) -> "MeshIVFAdapter":
+        """Restore without retraining: the store must hold the same rows in
+        the same insertion order (shard placement is deterministic), so the
+        persisted per-shard perms remain valid."""
+        from photo_search_engine_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        adapter = cls.__new__(cls)
+        adapter._store = store
+        adapter._index = ShardedIVFIndex.from_state(store._sharded, state)
+        adapter.nlist = adapter._index.nlist
+        return adapter
+
     def _slot_bits(self, mask: np.ndarray):
         """Insertion-order filter bits → [n_shards * span] slot-layout bits
         (+ live-slot selectivity ratio) via perm → stable id → insertion

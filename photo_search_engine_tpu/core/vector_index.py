@@ -103,6 +103,10 @@ class VectorIndex:
         self._ivf = None
         self._ivf_built_at = -1
         self._ivf_trained_at = -1
+        # trained-IVF sidecar (centroids/layout perm/autotuned nprobe):
+        # restart restores the index without re-running k-means — the
+        # faiss.read_index analogue (reference utils/vector_store.py:239-249)
+        self.ivf_sidecar_path = f"{self.index_path}.ivf.npz"
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -221,6 +225,7 @@ class VectorIndex:
             ids = np.arange(self._ivf_built_at, count, dtype=np.int64)
             if self._ivf.append(delta, ids):
                 self._ivf_built_at = count
+                self._persist_ivf_if_fresh(count)
                 return self._ivf
         nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
         snapshot = self._store.snapshot()
@@ -260,7 +265,22 @@ class VectorIndex:
                 f"(recall@10 {achieved:.3f} vs target "
                 f"{self.ivf_target_recall:.2f}, nlist={nlist})"
             )
+        self._persist_ivf_if_fresh(count)
         return self._ivf
+
+    def _persist_ivf_if_fresh(self, count: int) -> None:
+        """Opportunistic persistence: the IVF builds/extends lazily on the
+        first routed search — usually AFTER the indexer's final save() — so
+        write the sidecar now if it would match the rows already on disk
+        (load() validates built_at against the loaded count)."""
+        try:
+            if os.path.exists(self.meta_path):
+                with open(self.meta_path, "r", encoding="utf-8") as f:
+                    saved_count = json.load(f).get("count")
+                if saved_count is not None and int(saved_count) == count:
+                    self._save_ivf_sidecar()
+        except Exception as exc:  # noqa: BLE001 — persistence is best-effort
+            print(f"[WARN] IVF sidecar write skipped ({exc})")
 
     def describe(self) -> Dict[str, Any]:
         """Operational snapshot for the ``/metrics`` route (net-new; the
@@ -447,6 +467,84 @@ class VectorIndex:
             json.dump(self._meta_payload(), f, ensure_ascii=False, indent=2)
         with open(self.metadata_path, "w", encoding="utf-8") as f:
             json.dump(self.metadata, f, ensure_ascii=False, indent=2)
+        self._save_ivf_sidecar()
+
+    # -- IVF sidecar --------------------------------------------------------
+    def _save_ivf_sidecar(self) -> None:
+        """Persist the trained IVF next to the ``.npy`` so ``load()``
+        restores it without retraining (centroids + layout perm + autotuned
+        nprobe — ~37 MB at 1M rows vs the 15–27 s k-means it replaces).
+        Written atomically; removed when there is no current trained index
+        (a stale sidecar must never outlive the rows it indexed)."""
+        current = (
+            self.index_type == "ivf"
+            and self._ivf is not None
+            and self._ivf_built_at == self.get_total_items()
+        )
+        if not current:
+            if os.path.exists(self.ivf_sidecar_path):
+                os.remove(self.ivf_sidecar_path)
+            return
+        state = dict(self._ivf.state())
+        meta = {
+            "format_version": _FORMAT_VERSION,
+            "kind": "mesh" if self.mesh_devices else "single",
+            "metric": str(state.pop("metric", self.metric)),
+            "mesh_devices": self.mesh_devices,
+            "built_at": self._ivf_built_at,
+            "trained_at": self._ivf_trained_at,
+            "nprobe_auto": self._ivf_nprobe_auto,
+        }
+        tmp = f"{self.ivf_sidecar_path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, __meta__=json.dumps(meta), **state)
+        os.replace(tmp, self.ivf_sidecar_path)
+
+    def _load_ivf_sidecar(self) -> None:
+        """Restore the trained IVF from the sidecar when it matches the
+        loaded rows; any mismatch (count, metric, mesh width, corrupt file)
+        just falls back to the lazy rebuild — persistence is an
+        optimization, never a correctness dependency."""
+        if self.index_type != "ivf" or not os.path.exists(self.ivf_sidecar_path):
+            return
+        try:
+            with np.load(self.ivf_sidecar_path, allow_pickle=False) as payload:
+                meta = json.loads(str(payload["__meta__"]))
+                state = {
+                    key: payload[key] for key in payload.files if key != "__meta__"
+                }
+            expected_kind = "mesh" if self.mesh_devices else "single"
+            if (
+                meta.get("kind") != expected_kind
+                or int(meta.get("mesh_devices", 0)) != self.mesh_devices
+                or int(meta.get("built_at", -1)) != self.get_total_items()
+            ):
+                raise ValueError("IVF sidecar does not match the loaded index")
+            state["metric"] = meta.get("metric", self.metric)
+            if self.mesh_devices:
+                from photo_search_engine_tpu.core.mesh_store import MeshIVFAdapter
+
+                self._ivf = MeshIVFAdapter.from_state(self._store, state)
+            else:
+                from photo_search_engine_tpu.models.ivf import IVFIndex
+
+                self._ivf = IVFIndex.from_state(
+                    self._store.snapshot(),
+                    state,
+                    store_dtype=self.store_dtype,
+                    quantized=self.quantized,
+                )
+            self._ivf_built_at = int(meta["built_at"])
+            self._ivf_trained_at = int(meta.get("trained_at", meta["built_at"]))
+            nprobe_auto = meta.get("nprobe_auto")
+            self._ivf_nprobe_auto = (
+                int(nprobe_auto) if nprobe_auto is not None else None
+            )
+        except Exception as exc:  # noqa: BLE001 — deliberate fail-soft
+            print(f"[WARN] IVF sidecar ignored ({exc}); index will rebuild")
+            self._ivf = None
+            self._ivf_built_at = -1
+            self._ivf_trained_at = -1
 
     def load(self) -> bool:
         """Load and validate; False when absent, ValueError on any
@@ -487,6 +585,7 @@ class VectorIndex:
         else:
             self._store = self._create_store(self.dimension)
         self._rebuild_path_index()
+        self._load_ivf_sidecar()
         return True
 
     def clear(self) -> None:

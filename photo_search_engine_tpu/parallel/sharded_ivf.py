@@ -217,6 +217,74 @@ class ShardedIVFIndex:
             counts, metric=store.metric,
         )
 
+    # -- persistence -------------------------------------------------------
+    def state(self) -> dict:
+        """Host-side trained state (centroids + per-shard perms + shape) —
+        the mesh twin of ``IVFIndex.state``.  The sharded layout arrays are
+        NOT included: ``from_state`` re-gathers them from the store's host
+        shards through the perms (a deterministic permutation), so restoring
+        skips the expensive parts (data-parallel k-means + assignment +
+        placement) and pays only the layout upload."""
+        return {
+            "centroids": self.centroids,           # [nlist, dp] padded
+            "perms": self.perms,                   # [n_shards, nlist*lrows]
+            "nlist": np.int64(self.nlist),
+            "lrows": np.int64(self.lrows),
+            "dim": np.int64(self.dim),
+            "built_counts": self.built_counts,
+            "metric": self.metric,
+        }
+
+    @classmethod
+    def from_state(
+        cls, store: ShardedEmbeddingStore, state: dict
+    ) -> "ShardedIVFIndex":
+        """Restore from ``state()`` + a store re-appended in the same
+        insertion order (shard placement is deterministic, so each perm's
+        local row indices remain valid — validated against the store's
+        per-shard counts)."""
+        mesh = store.mesh
+        n_shards = store.n_shards
+        nlist = int(state["nlist"])
+        lrows = int(state["lrows"])
+        dim = int(state["dim"])
+        perms = np.asarray(state["perms"], np.int64)
+        built_counts = np.asarray(state["built_counts"], np.int64)
+        if perms.shape != (n_shards, nlist * lrows):
+            raise ValueError("sharded IVF state shape mismatch with mesh")
+        if dim != store.dimension:
+            raise ValueError("sharded IVF state dimension mismatch")
+        counts = store.counts.astype(np.int64)
+        for s in range(n_shards):
+            live = perms[s] >= 0
+            if live.any() and int(perms[s][live].max()) >= int(counts[s]):
+                raise ValueError(
+                    "sharded IVF state references rows beyond shard "
+                    f"{s} ({int(counts[s])} rows)"
+                )
+        dp = _round_up(dim, _LANE)
+        layout = np.zeros((n_shards, nlist * lrows, dp), np.float32)
+        valid = np.zeros((n_shards, nlist * lrows), np.int32)
+        for s in range(n_shards):
+            live = perms[s] >= 0
+            rows_s = store._host_shards[s]
+            if rows_s.shape[0]:
+                layout[s, live, :dim] = rows_s[perms[s][live]]
+            valid[s, live] = 1
+        layout_dev = _stage(
+            mesh, layout.reshape(n_shards * nlist * lrows, dp),
+            P(DATA_AXIS, None), store.store_dtype,
+        )
+        valid_dev = _stage(
+            mesh, valid.reshape(n_shards * nlist * lrows), P(DATA_AXIS),
+            np.int32,
+        )
+        cents = np.asarray(state["centroids"], np.float32)
+        return cls(
+            mesh, cents, layout_dev, valid_dev, perms, nlist, lrows, dim,
+            built_counts, metric=str(state.get("metric", store.metric)),
+        )
+
     # -- incremental append ----------------------------------------------
     def append(self, rows: np.ndarray, stable_ids: np.ndarray) -> bool:
         """FAISS ``IndexIVF.add`` analogue on the mesh: assign each new row
