@@ -307,6 +307,12 @@ class EmbeddingStore:
         """Float32 host copy of live rows (for persistence)."""
         return self._host[: self._count].copy()
 
+    def snapshot_range(self, start: int, stop: int) -> np.ndarray:
+        """Float32 host copy of rows [start, stop) — O(stop-start); the
+        segmented durability path flushes only the new rows per batch."""
+        stop = min(stop, self._count)
+        return self._host[start:stop].copy()
+
     def clear(self) -> None:
         self._count = 0
         self._device = None

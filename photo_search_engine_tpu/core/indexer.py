@@ -525,10 +525,14 @@ class Indexer:
                     except Exception as exc:
                         return self._finish("failed", f"索引写入失败: {exc}")
 
-                    # durability: persist after every successful batch
+                    # durability: persist after every successful batch —
+                    # same contract as the reference (indexer.py:942-956)
+                    # at O(batch) cost: new rows flush as an append-only
+                    # segment committed by an atomic manifest replace; the
+                    # final save below compacts segments into the base
                     try:
                         save_started = time.perf_counter()
-                        self.vector_index.save()
+                        self.vector_index.save_incremental()
                         if self.keyword_index is not None:
                             try:
                                 # per-batch durability save: the builtin

@@ -190,9 +190,17 @@ class MeshEmbeddingStore:
 
     def snapshot(self) -> np.ndarray:
         """Float32 host copy of live rows in insertion order."""
-        out = np.empty((self.count, self.dimension), np.float32)
-        shard = self._ids // ShardedEmbeddingStore._ID_STRIDE
-        local = self._ids % ShardedEmbeddingStore._ID_STRIDE
+        return self.snapshot_range(0, self.count)
+
+    def snapshot_range(self, start: int, stop: int) -> np.ndarray:
+        """Float32 host copy of rows [start, stop) in insertion order —
+        O(stop-start); the segmented durability path flushes only the new
+        rows per batch."""
+        stop = min(stop, self.count)
+        ids = self._ids[start:stop]
+        out = np.empty((ids.shape[0], self.dimension), np.float32)
+        shard = ids // ShardedEmbeddingStore._ID_STRIDE
+        local = ids % ShardedEmbeddingStore._ID_STRIDE
         for s in range(self._sharded.n_shards):
             sel = shard == s
             if sel.any():

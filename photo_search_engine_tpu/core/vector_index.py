@@ -107,6 +107,13 @@ class VectorIndex:
         # restart restores the index without re-running k-means — the
         # faiss.read_index analogue (reference utils/vector_store.py:239-249)
         self.ivf_sidecar_path = f"{self.index_path}.ivf.npz"
+        # segmented durability (SURVEY §7 hard-part 3): per-batch flushes
+        # append O(batch) segments next to the base snapshot instead of
+        # rewriting the whole corpus (the reference saves everything per
+        # batch — indexer.py:942-956 — fine at 77 photos, ~6 GB/batch at 1M)
+        self.segments_dir = f"{self.index_path}.segments"
+        self._manifest_path = os.path.join(self.segments_dir, "manifest.json")
+        self._durable_count = 0  # rows persisted on disk (base + segments)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -271,14 +278,12 @@ class VectorIndex:
     def _persist_ivf_if_fresh(self, count: int) -> None:
         """Opportunistic persistence: the IVF builds/extends lazily on the
         first routed search — usually AFTER the indexer's final save() — so
-        write the sidecar now if it would match the rows already on disk
-        (load() validates built_at against the loaded count)."""
+        write the sidecar now if it would match the rows already on disk,
+        base + committed segments (load() validates built_at against the
+        loaded count)."""
         try:
-            if os.path.exists(self.meta_path):
-                with open(self.meta_path, "r", encoding="utf-8") as f:
-                    saved_count = json.load(f).get("count")
-                if saved_count is not None and int(saved_count) == count:
-                    self._save_ivf_sidecar()
+            if os.path.exists(self.meta_path) and self._durable_count == count:
+                self._save_ivf_sidecar()
         except Exception as exc:  # noqa: BLE001 — persistence is best-effort
             print(f"[WARN] IVF sidecar write skipped ({exc})")
 
@@ -450,9 +455,25 @@ class VectorIndex:
             "quantized": self.quantized,
         }
 
+    @staticmethod
+    def _write_durable(path: str, writer) -> None:
+        """tmp + fsync + atomic rename: either the old file or the complete
+        new one is on disk, never a torn write."""
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            writer(f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     def save(self) -> None:
         """Persist embeddings (.npy float32) + metadata + meta sidecar
-        (reference vector_store.py:217-236)."""
+        (reference vector_store.py:217-236) — the full/compacting save.
+
+        Commit ordering: metadata → embeddings → meta sidecar (the commit
+        point: its ``count`` must match the rows, so a crash between writes
+        fails load() validation loudly instead of serving torn state) →
+        segment cleanup (segments are now folded into the base)."""
         if self._store is None:
             raise ValueError("index not initialized")
         for directory in {
@@ -461,13 +482,156 @@ class VectorIndex:
         }:
             if directory:
                 os.makedirs(directory, exist_ok=True)
-        with open(self.index_path, "wb") as f:
-            np.save(f, self._store.snapshot())
-        with open(self.meta_path, "w", encoding="utf-8") as f:
-            json.dump(self._meta_payload(), f, ensure_ascii=False, indent=2)
-        with open(self.metadata_path, "w", encoding="utf-8") as f:
-            json.dump(self.metadata, f, ensure_ascii=False, indent=2)
+        self._write_durable(
+            self.metadata_path,
+            lambda f: f.write(
+                json.dumps(self.metadata, ensure_ascii=False, indent=2).encode(
+                    "utf-8"
+                )
+            ),
+        )
+        self._write_durable(
+            self.index_path, lambda f: np.save(f, self._store.snapshot())
+        )
+        self._write_durable(
+            self.meta_path,
+            lambda f: f.write(
+                json.dumps(
+                    self._meta_payload(), ensure_ascii=False, indent=2
+                ).encode("utf-8")
+            ),
+        )
+        self._durable_count = self.get_total_items()
+        self._remove_segments()
         self._save_ivf_sidecar()
+
+    # -- segmented durability ------------------------------------------------
+    def _remove_segments(self) -> None:
+        if not os.path.isdir(self.segments_dir):
+            return
+        import shutil
+
+        shutil.rmtree(self.segments_dir, ignore_errors=True)
+
+    def _read_manifest(self) -> Optional[Dict[str, Any]]:
+        if not os.path.exists(self._manifest_path):
+            return None
+        try:
+            with open(self._manifest_path, "r", encoding="utf-8") as f:
+                manifest = json.load(f)
+            if not isinstance(manifest, dict) or not isinstance(
+                manifest.get("segments"), list
+            ):
+                return None
+            return manifest
+        except Exception:  # noqa: BLE001 — torn manifest = no committed segments
+            return None
+
+    def save_incremental(self) -> None:
+        """Per-batch durability at O(batch) cost: flush only the rows added
+        since the last save as ``seg_NNNNN.npy`` + metadata JSONL, committed
+        by an atomic manifest replace (a segment absent from the manifest is
+        invisible to ``load()`` — crash-mid-flush discards the partial
+        files, never serves them).
+
+        Keeps the reference's save-after-every-batch durability contract
+        (reference core/indexer.py:942-956) while fixing the cost: the
+        full-rewrite shape is ~6 GB + multi-GB JSON per 8-photo batch at 1M
+        rows.  Falls back to a full ``save()`` whenever the on-disk state
+        does not exactly continue the in-memory one (first save, foreign
+        base, stale manifest)."""
+        if self._store is None:
+            raise ValueError("index not initialized")
+        count = self.get_total_items()
+        manifest = self._read_manifest()
+        on_disk = None
+        if os.path.exists(self.meta_path):
+            try:
+                with open(self.meta_path, "r", encoding="utf-8") as f:
+                    base_count = int(json.load(f).get("count", -1))
+                on_disk = base_count
+                if manifest is not None:
+                    if int(manifest.get("base_count", -1)) != base_count:
+                        on_disk = None  # stale segments over a rewritten base
+                    else:
+                        segs = manifest["segments"]
+                        on_disk = (
+                            int(segs[-1]["count_after"]) if segs else base_count
+                        )
+            except Exception:  # noqa: BLE001
+                on_disk = None
+        if on_disk is None or on_disk != self._durable_count or on_disk > count:
+            # disk does not continue our in-memory history — compact
+            self.save()
+            return
+        if count == self._durable_count:
+            return
+        os.makedirs(self.segments_dir, exist_ok=True)
+        if manifest is None:
+            manifest = {
+                "format_version": _FORMAT_VERSION,
+                "base_count": on_disk,
+                "segments": [],
+            }
+        seg_name = f"seg_{len(manifest['segments']):05d}"
+        rows = self._store.snapshot_range(self._durable_count, count)
+        metas = self.metadata[self._durable_count : count]
+        self._write_durable(
+            os.path.join(self.segments_dir, f"{seg_name}.npy"),
+            lambda f: np.save(f, rows),
+        )
+        self._write_durable(
+            os.path.join(self.segments_dir, f"{seg_name}.jsonl"),
+            lambda f: f.write(
+                "".join(
+                    json.dumps(m, ensure_ascii=False) + "\n" for m in metas
+                ).encode("utf-8")
+            ),
+        )
+        manifest["segments"].append(
+            {"name": seg_name, "rows": int(rows.shape[0]), "count_after": count}
+        )
+        # the commit record: only after this atomic replace do the segment
+        # files exist as far as load() is concerned
+        self._write_durable(
+            self._manifest_path,
+            lambda f: f.write(
+                json.dumps(manifest, ensure_ascii=False).encode("utf-8")
+            ),
+        )
+        self._durable_count = count
+
+    def _apply_segments(self, base_rows: int) -> None:
+        """Replay committed segments over the freshly loaded base."""
+        manifest = self._read_manifest()
+        if manifest is None:
+            return
+        if int(manifest.get("base_count", -1)) != base_rows:
+            print(
+                "[WARN] segment manifest does not match the base snapshot; "
+                "ignoring segments (base was rewritten)"
+            )
+            return
+        expected = base_rows
+        for seg in manifest["segments"]:
+            npy = os.path.join(self.segments_dir, f"{seg['name']}.npy")
+            jsonl = os.path.join(self.segments_dir, f"{seg['name']}.jsonl")
+            with open(npy, "rb") as f:
+                rows = np.load(f)
+            with open(jsonl, "r", encoding="utf-8") as f:
+                metas = [json.loads(line) for line in f if line.strip()]
+            if rows.shape[0] != int(seg["rows"]) or len(metas) != rows.shape[0]:
+                raise ValueError(
+                    f"segment {seg['name']} corrupt; rebuild the index"
+                )
+            if rows.size:
+                self._store.append(rows.astype(np.float32))
+            self.metadata.extend(metas)
+            expected += rows.shape[0]
+            if expected != int(seg["count_after"]):
+                raise ValueError(
+                    f"segment {seg['name']} count mismatch; rebuild the index"
+                )
 
     # -- IVF sidecar --------------------------------------------------------
     def _save_ivf_sidecar(self) -> None:
@@ -584,6 +748,8 @@ class VectorIndex:
             self._store.append(array.astype(np.float32))
         else:
             self._store = self._create_store(self.dimension)
+        self._apply_segments(array.shape[0])
+        self._durable_count = self.get_total_items()
         self._rebuild_path_index()
         self._load_ivf_sidecar()
         return True
@@ -595,3 +761,4 @@ class VectorIndex:
         self._ivf = None
         self._ivf_built_at = -1
         self._ivf_trained_at = -1
+        self._durable_count = 0  # memory no longer continues the disk state
