@@ -166,13 +166,28 @@ class MeshEmbeddingStore:
         if self.count == 0:
             q = np.atleast_2d(np.asarray(queries)).shape[0]
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
+        if self.metric == "l2":
+            # the grouped kernels score by inner product; l2 mesh stores
+            # fall back to per-query masked scans (the single-device
+            # EmbeddingStore.grouped_search l2 behavior) instead of
+            # silently returning ip-ranked results
+            queries = self._check(queries)
+            mask_ids = np.asarray(mask_ids)
+            outs = [
+                self.search(
+                    queries[i], k,
+                    mask=np.asarray(mask_table)[int(mask_ids[i])],
+                    impl=impl,
+                )
+                for i in range(queries.shape[0])
+            ]
+            return (
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+            )
         table = np.stack(
             [self._layout_mask(row) for row in np.atleast_2d(np.asarray(mask_table))]
         )
-        if impl == "int8":
-            # the sharded grouped kernel nominates on the f32/bf16 corpus;
-            # int8 grouped stays a single-device feature for now
-            impl = "auto"
         vals, stable = self._sharded.grouped_search(
             self._check(queries),
             min(k, self.count),

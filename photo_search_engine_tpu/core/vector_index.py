@@ -236,7 +236,7 @@ class VectorIndex:
                 return self._ivf
         nlist = max(1, min(self.ivf_nlist, count // 8 or 1))
         snapshot = self._store.snapshot()
-        if hasattr(self._store, "_sharded") and self.metric == "cosine":
+        if hasattr(self._store, "_sharded") and self.metric in ("cosine", "l2"):
             # mesh-backed store: build the IVF mesh-natively (per-shard
             # layouts + probe kernels + ICI merge) instead of pulling the
             # corpus onto one device (parallel/sharded_ivf.py)

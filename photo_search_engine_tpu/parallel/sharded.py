@@ -33,6 +33,13 @@ from photo_search_engine_tpu.ops import topk as topk_ops
 DATA_AXIS = "data"
 
 
+def _is_multi_controller(mesh: Mesh) -> bool:
+    """True when the mesh spans devices this process cannot address (a
+    ``jax.distributed`` multi-controller job — the DCN topology)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def _stage(mesh: Mesh, x, spec: P, dtype=None):
     """Place a host array directly onto the mesh with an explicit sharding.
 
@@ -41,11 +48,22 @@ def _stage(mesh: Mesh, x, spec: P, dtype=None):
     CPU-mesh path must not touch (and may be broken — e.g. a libtpu version
     mismatch).  jax.Array inputs are assumed already placed by the caller
     (pulling a sharded corpus back to host to re-place it would cost
-    minutes/GB on this relay)."""
+    minutes/GB on this relay).
+
+    Multi-controller meshes (multi-host/DCN): every controller passes the
+    same full host value (SPMD replicated logic), and each process uploads
+    ONLY the slice its own devices hold —
+    ``make_array_from_process_local_data`` slices the addressable portion,
+    so no controller ever touches a remote device (SURVEY.md §5)."""
     if isinstance(x, jax.Array):
         return x
     arr = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if _is_multi_controller(mesh):
+        return jax.make_array_from_process_local_data(
+            sharding, arr, global_shape=arr.shape
+        )
+    return jax.device_put(arr, sharding)
 
 
 @functools.lru_cache(maxsize=None)
@@ -343,6 +361,74 @@ def sharded_grouped_search(
     return jax.jit(run)(corpus, queries, table, ids, counts_arr)
 
 
+def sharded_grouped_int8_search(
+    corpus_i8: jnp.ndarray,   # [n_shards * shard_rows, D] int8 (row-sharded)
+    scales: jnp.ndarray,      # [n_shards * shard_rows] f32 per-row scales
+    corpus_ref: jnp.ndarray,  # [n_shards * shard_rows, D] full-precision rows
+    queries: jnp.ndarray,     # [Q, D] f32
+    mask_table: np.ndarray,   # [M, total_rows] corpus-layout predicates
+    mask_ids: np.ndarray,     # [Q] predicate row per query
+    k: int,
+    mesh: Mesh,
+    *,
+    counts: Optional[np.ndarray] = None,
+    axis: str = DATA_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query filtered int8-scan + exact-rescore over the sharded corpus:
+    the int8 sibling of ``sharded_grouped_search`` — each shard runs
+    ops/quantized.grouped_int8_search on its row slice (int8 nomination +
+    exact rescore from the full-precision shard), partials merge over ICI.
+    Inner-product metric (the quantized micro-batcher's filtered path)."""
+    n_shards = mesh.shape[axis]
+    total_rows, _ = corpus_i8.shape
+    if total_rows % n_shards:
+        raise ValueError(
+            f"corpus rows {total_rows} must divide evenly over {n_shards} shards"
+        )
+    shard_rows = total_rows // n_shards
+    if counts is None:
+        counts = np.full((n_shards,), shard_rows, np.int32)
+    counts_arr = _stage(mesh, counts, P(), np.int32)
+    corpus_i8 = _stage(mesh, corpus_i8, P(DATA_AXIS, None))
+    scales = _stage(mesh, scales, P(DATA_AXIS), np.float32)
+    corpus_ref = _stage(mesh, corpus_ref, P(DATA_AXIS, None))
+    if not isinstance(queries, jax.Array):
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+    queries = jnp.atleast_2d(_stage(mesh, queries, P())).astype(jnp.float32)
+    table = _stage(mesh, mask_table, P(None, axis), np.int8)
+    ids = _stage(mesh, mask_ids, P(), np.int32)
+    k = min(k, total_rows)
+    block_n = _shard_block_n(shard_rows)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(), P(None, axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(i8_shard, scales_shard, ref_shard, queries_rep, table_shard, ids_rep, counts_rep):
+        shard_id = jax.lax.axis_index(axis)
+        count = counts_rep[shard_id]
+        vals, idx = quant_ops.grouped_int8_search(
+            i8_shard,
+            scales_shard,
+            ref_shard,
+            queries_rep,
+            table_shard,
+            ids_rep,
+            min(k, shard_rows),
+            count=count,
+            block_n=block_n,
+        )
+        global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
+        return _merge_partials(vals, global_idx, k, axis)
+
+    return jax.jit(run)(
+        corpus_i8, scales, corpus_ref, queries, table, ids, counts_arr
+    )
+
+
 def sharded_kmeans_step(
     corpus: jnp.ndarray,     # [rows, D] row-sharded over mesh
     centroids: jnp.ndarray,  # [nlist, D] replicated
@@ -539,8 +625,6 @@ class ShardedEmbeddingStore:
         ):
             return self._device, capacity
         counts = self.counts.astype(np.int64)
-        row_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        flat_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         full = (
             self._device is None
             or self._device.shape[0] != capacity * self.n_shards
@@ -563,13 +647,13 @@ class ShardedEmbeddingStore:
             )
             for shard_id, shard in enumerate(self._host_shards):
                 stacked[shard_id * capacity : shard_id * capacity + shard.shape[0]] = shard
-            self._device = jax.device_put(
-                stacked.astype(self.store_dtype), row_sharding
+            self._device = _stage(
+                self.mesh, stacked.astype(self.store_dtype), P(DATA_AXIS, None)
             )
             if self.quantized:
                 q, scales = self._quantize_host(stacked)
-                self._device_i8 = jax.device_put(q, row_sharding)
-                self._scales = jax.device_put(scales, flat_sharding)
+                self._device_i8 = _stage(self.mesh, q, P(DATA_AXIS, None))
+                self._scales = _stage(self.mesh, scales, P(DATA_AXIS))
         else:
             chunk = np.zeros((self.n_shards * max_d, self.dimension), np.float32)
             for s in range(self.n_shards):
@@ -577,23 +661,22 @@ class ShardedEmbeddingStore:
                     chunk[s * max_d : s * max_d + deltas[s]] = self._host_shards[s][
                         self._synced_counts[s] : counts[s]
                     ]
-            starts = jax.device_put(
-                self._synced_counts.astype(np.int32),
-                NamedSharding(self.mesh, P()),
+            starts = _stage(
+                self.mesh, self._synced_counts.astype(np.int32), P()
             )
             upd2 = _row_updater(self.mesh, 2)
             self._device = upd2(
                 self._device,
-                jax.device_put(chunk.astype(self.store_dtype), row_sharding),
+                _stage(self.mesh, chunk.astype(self.store_dtype), P(DATA_AXIS, None)),
                 starts,
             )
             if self.quantized:
                 q, scales = self._quantize_host(chunk)
                 self._device_i8 = upd2(
-                    self._device_i8, jax.device_put(q, row_sharding), starts
+                    self._device_i8, _stage(self.mesh, q, P(DATA_AXIS, None)), starts
                 )
                 self._scales = _row_updater(self.mesh, 1)(
-                    self._scales, jax.device_put(scales, flat_sharding), starts
+                    self._scales, _stage(self.mesh, scales, P(DATA_AXIS)), starts
                 )
         self._synced_counts = counts.copy()
         self._dirty = False
@@ -674,7 +757,9 @@ class ShardedEmbeddingStore:
         impl: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched per-query filtered top-k over the mesh (distinct
-        predicate per query, one sharded scan).  Inner-product/cosine."""
+        predicate per query, one sharded scan).  Inner-product/cosine.
+        ``impl='int8'`` runs the int8 nomination + exact-rescore grouped
+        kernel per shard (requires ``quantized=True``)."""
         if self.count == 0:
             q = np.atleast_2d(queries).shape[0]
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64)
@@ -683,16 +768,33 @@ class ShardedEmbeddingStore:
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
-        vals, idx = sharded_grouped_search(
-            corpus,
-            queries,
-            np.asarray(mask_table, np.int8),
-            np.asarray(mask_ids, np.int32),
-            min(k, self.count),
-            self.mesh,
-            counts=self.counts,
-            impl=impl,
-        )
+        if impl == "int8":
+            if not self.quantized:
+                raise ValueError(
+                    "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
+                )
+            vals, idx = sharded_grouped_int8_search(
+                self._device_i8,
+                self._scales,
+                corpus,
+                queries,
+                np.asarray(mask_table, np.int8),
+                np.asarray(mask_ids, np.int32),
+                min(k, self.count),
+                self.mesh,
+                counts=self.counts,
+            )
+        else:
+            vals, idx = sharded_grouped_search(
+                corpus,
+                queries,
+                np.asarray(mask_table, np.int8),
+                np.asarray(mask_ids, np.int32),
+                min(k, self.count),
+                self.mesh,
+                counts=self.counts,
+                impl=impl,
+            )
         return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
 
     def global_id_to_shard_local(self, global_id: int) -> Tuple[int, int]:

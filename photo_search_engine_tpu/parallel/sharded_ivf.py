@@ -11,8 +11,10 @@ a few microseconds), so the only cross-chip traffic is the tiny [Q, k]
 partials.
 
 The reference has no counterpart (FAISS sharding is an app-level concern
-there; SURVEY.md §2 "Parallelism strategies": net-new design).  Scope:
-ip/cosine metric.  Masked (per-row filtered) probing IS supported: the
+there; SURVEY.md §2 "Parallelism strategies": net-new design).  Metrics:
+ip/cosine and l2 (scores merge across shards in the rank-consistent
+2<q,c> − |c|² space; |q|² is restored after the ICI merge).  Masked
+(per-row filtered) probing IS supported: the
 filter bits permute into each shard's slot layout, fold into the kernel's
 row-validity operand inside the shard_map, and the probe width inflates
 by ~1/selectivity — the same recipe as the single-device
@@ -125,6 +127,9 @@ class ShardedIVFIndex:
         self.perms = np.stack(perms) if isinstance(perms, list) else perms
         self.built_counts = np.asarray(built_counts, np.int64)
         self._search_cache = {}
+        # [n_shards * span] squared row norms of the layout, sharded — the
+        # l2 kernel operand (lazily computed; None for ip/cosine)
+        self._cnorms_dev = None
         # staged device slot masks, LRU by content digest (the mesh twin of
         # IVFIndex._slot_mask's cache — repeated filters skip the host→mesh
         # restage)
@@ -142,8 +147,8 @@ class ShardedIVFIndex:
         slack: float = 1.5,
         seed: int = 0,
     ) -> "ShardedIVFIndex":
-        if store.metric not in ("cosine", "ip"):
-            raise ValueError("sharded IVF supports ip/cosine only")
+        if store.metric not in ("cosine", "ip", "l2"):
+            raise ValueError("sharded IVF supports ip/cosine/l2")
         mesh = store.mesh
         n_shards = store.n_shards
         dim = store.dimension
@@ -337,9 +342,19 @@ class ShardedIVFIndex:
             minlength=self.n_shards,
         )
         self.built_counts = self.built_counts + per_shard
+        self._cnorms_dev = None  # l2 norm cache covers the old rows only
         return True
 
     # -- search -----------------------------------------------------------
+    def _cnorms(self) -> jnp.ndarray:
+        """[n_shards * span] squared layout-row norms, row-sharded (the l2
+        kernel operand) — computed on the mesh, invalidated by appends."""
+        if self._cnorms_dev is None:
+            self._cnorms_dev = jax.jit(
+                lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1)
+            )(self._layout)
+        return self._cnorms_dev
+
     def _program(
         self, k: int, bq: int, qp: int, q: int, nprobe: int, s_max: int,
         has_mask: bool = False,
@@ -350,6 +365,7 @@ class ShardedIVFIndex:
             return cached
         axis = self.axis
         mesh = self.mesh
+        is_l2 = self.metric == "l2"
         nlist, lrows, dp = self.nlist, self.lrows, self.dp
         # a shard can contribute at most its span of rows; n_shards*k_local
         # >= k is guaranteed (k is clamped to the live total), so the merge
@@ -371,16 +387,22 @@ class ShardedIVFIndex:
             shard_map,
             mesh=mesh,
             in_specs=(P(axis, None), P(axis), P(), P())
-            + ((P(axis),) if has_mask else ()),
+            + ((P(axis),) if has_mask else ())
+            + ((P(axis),) if is_l2 else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
         def run(layout_shard, valid_shard, cents, queries_rep, *rest):
-            if rest:
+            rest = list(rest)
+            if has_mask:
                 # per-shard slot-permuted filter bits × row validity: the
                 # mask rides INSIDE the probe kernel, so cluster pruning
                 # survives filtered queries (models/ivf.py:939-950 per shard)
-                valid_shard = valid_shard * rest[0]
+                valid_shard = valid_shard * rest.pop(0)
+            # l2 kernel operand: squared layout-row norms of this shard.
+            # Scores merge in 2<q,c> - |c|² space (the per-query |q|² is
+            # rank-invariant and subtracted after the cross-shard merge)
+            cn_shard = rest.pop(0)[None, :] if is_l2 else None
             # stage 1 (replicated math, identical on every shard): rank
             # clusters by nearest centroid — matches assignment geometry
             qf = queries_rep.astype(jnp.float32)
@@ -413,11 +435,14 @@ class ShardedIVFIndex:
                     layout_shard,
                     queries_rep.astype(layout_shard.dtype),
                     selected, sel_count, probe_matrix, valid_row,
-                    jnp.zeros((1, nlist * lrows), jnp.float32),
+                    cn_shard
+                    if is_l2
+                    else jnp.zeros((1, nlist * lrows), jnp.float32),
                     jnp.ones((qp, 1), jnp.float32),
                     jnp.ones((1, nlist * lrows), jnp.float32),
                     k_local, bq, lrows, s_max,
-                    interpret=False, metric="ip", int8=False,
+                    interpret=False, metric="l2" if is_l2 else "ip",
+                    int8=False,
                 )
                 vals = vals[:, :k_local]
                 slots = slots[:, :k_local]
@@ -430,6 +455,8 @@ class ShardedIVFIndex:
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if is_l2:
+                    full = 2.0 * full - cn_shard
                 cluster_of_slot = (
                     jax.lax.broadcasted_iota(jnp.int32, (nlist * lrows,), 0)
                     // lrows
@@ -474,7 +501,8 @@ class ShardedIVFIndex:
         slot_mask: Optional[np.ndarray] = None,  # [n_shards * span] slot bits
         mask_ratio: Optional[float] = None,      # live-slot selectivity
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Probed k-NN; returns (scores desc, stable ids) with -1 padding.
+        """Probed k-NN; returns (scores desc — ascending positive squared
+        distances for l2 — and stable ids) with -1 padding.
 
         ``slot_mask`` filters rows WITHOUT losing cluster pruning: bits are
         already permuted into the sharded slot layout (the caller maps
@@ -510,9 +538,16 @@ class ShardedIVFIndex:
         )
         if slot_mask is not None:
             args = args + (self._stage_mask(slot_mask),)
+        if self.metric == "l2":
+            args = args + (self._cnorms(),)
         vals, slots = run(*args)
         vals = np.asarray(vals)[:q]
         slots = np.asarray(slots)[:q]
+        if self.metric == "l2":
+            # kernels merged in 2<q,c> - |c|² space; restore ascending
+            # positive squared distances (the sharded exact convention)
+            qn = np.sum(np.square(queries), axis=1, keepdims=True)
+            vals = np.where(np.isneginf(vals), np.inf, qn - vals)
         # slot → (shard, local slot) → stable id via the shard's perm
         span = self.nlist * self.lrows
         ids = np.full(slots.shape, -1, np.int64)

@@ -236,6 +236,63 @@ def main() -> int:
     )
     check("sharded ivf masked kernel (shard_map)", ok)
 
+    # sharded IVF l2: merged in 2<q,c>-|c|² space, |q|² restored post-merge
+    l2_rows = np.array(corpus[:2048], np.float32) * rng.uniform(
+        0.5, 3.0, size=(2048, 1)
+    ).astype(np.float32)
+    l2_store = ShardedEmbeddingStore(l2_rows.shape[1], mesh, metric="l2")
+    l2_sids = l2_store.append(l2_rows)
+    l2_sivf = ShardedIVFIndex.build(l2_store, nlist=8, train_iters=3)
+    l2_q = np.array(corpus[:8], np.float32)
+    _, l2_got = l2_sivf.search(l2_q, 10, nprobe=8)
+    l2_scores = (
+        (l2_q**2).sum(1)[:, None]
+        + (l2_rows**2).sum(1)[None, :]
+        - 2.0 * (l2_q @ l2_rows.T)
+    )
+    l2_ref = np.argsort(l2_scores, axis=1)[:, :10]
+    ok = all(
+        set(l2_got[q].tolist()) == set(l2_sids[l2_ref[q]].tolist())
+        for q in range(8)
+    )
+    check("sharded ivf l2 kernel (shard_map)", ok)
+
+    # sharded grouped int8: per-query predicates, int8 nomination + exact
+    # rescore per shard (parallel/sharded.py sharded_grouped_int8_search)
+    from photo_search_engine_tpu.parallel.sharded import (
+        sharded_grouped_int8_search,
+        sharded_grouped_search,
+    )
+
+    gi_rows = np.array(corpus[:2048], np.float32)
+    gi_rows /= np.linalg.norm(gi_rows, axis=1, keepdims=True)
+    gq = np.array(queries[:8], np.float32)
+    gq /= np.linalg.norm(gq, axis=1, keepdims=True)
+    gtable = (rng.random((3, 2048)) < 0.5).astype(np.int8)
+    gids_q = (np.arange(8) % 3).astype(np.int32)
+    absmax = np.abs(gi_rows).max(axis=1, keepdims=True)
+    gscale = (absmax / 127.0).astype(np.float32)
+    gi8 = np.clip(
+        np.round(gi_rows / np.maximum(gscale, 1e-30)), -127, 127
+    ).astype(np.int8)
+    _, gi_idx = sharded_grouped_int8_search(
+        gi8, gscale[:, 0], gi_rows, gq, gtable, gids_q, 10, mesh
+    )
+    _, gref_idx = sharded_grouped_search(
+        gi_rows, gq, gtable, gids_q, 10, mesh
+    )
+    gi_idx, gref_idx = np.asarray(gi_idx), np.asarray(gref_idx)
+    agree = np.mean(
+        [
+            len(set(gi_idx[q].tolist()) & set(gref_idx[q].tolist())) / 10
+            for q in range(8)
+        ]
+    )
+    ok = agree >= 0.9 and all(
+        gtable[gids_q[q], hit] for q in range(8) for hit in gi_idx[q] if hit >= 0
+    )
+    check(f"sharded grouped int8 (agreement {agree:.2f})", ok)
+
     print("\nall kernels verified" if not failures else f"\nFAILURES: {failures}")
     return 1 if failures else 0
 

@@ -217,6 +217,76 @@ class ShardedIVFTest(unittest.TestCase):
         )
         self.assertTrue((got == -1).all())
 
+    def test_l2_full_probe_matches_sharded_exact(self):
+        # l2 on the mesh: scores merge in 2<q,c>-|c|² space across shards;
+        # full probe must agree with the sharded exact l2 oracle
+        store = ShardedEmbeddingStore(self.dim, self.mesh, metric="l2")
+        rows = _clustered(2048, self.dim, 8, self.rng) * self.rng.uniform(
+            0.5, 3.0, size=(2048, 1)
+        ).astype(np.float32)
+        ids = store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=16, seed=6)
+        self.assertEqual(index.metric, "l2")
+        queries = rows[self.rng.choice(2048, 12, replace=False)]
+        vals, got = index.search(queries, k=6, nprobe=16)
+        evals, eids = store.search(queries, 6)
+        for row in range(queries.shape[0]):
+            self.assertEqual(
+                set(got[row].tolist()), set(np.asarray(eids)[row].tolist())
+            )
+        # distances are ascending positive squared l2 (exact convention)
+        finite = vals[np.isfinite(vals)]
+        self.assertTrue((finite >= -1e-4).all())
+        np.testing.assert_allclose(
+            np.sort(vals, axis=1), vals, rtol=0, atol=1e-5
+        )
+        self.assertAlmostEqual(float(vals[0, 0]), 0.0, places=4)
+
+    def test_l2_masked_full_probe(self):
+        store = ShardedEmbeddingStore(self.dim, self.mesh, metric="l2")
+        rows = _clustered(2048, self.dim, 8, self.rng) * 2.0
+        ids = store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=16, seed=7)
+        keep = (self.rng.random(2048) < 0.4).astype(np.int32)
+        shard = (ids // (1 << 40)).astype(np.int64)
+        local = (ids % (1 << 40)).astype(np.int64)
+        slot_bits = np.zeros(index.perms.shape, np.int32)
+        for s in range(index.perms.shape[0]):
+            sel = shard == s
+            if not sel.any():
+                continue
+            local_bits = np.zeros(int(local[sel].max()) + 1, np.int32)
+            local_bits[local[sel]] = keep[sel]
+            live = index.perms[s] >= 0
+            src = index.perms[s][live]
+            inb = src < local_bits.shape[0]
+            bits_row = np.zeros(int(live.sum()), np.int32)
+            bits_row[inb] = local_bits[src[inb]]
+            slot_bits[s, live] = bits_row
+        queries = rows[self.rng.choice(2048, 8, replace=False)]
+        _, got = index.search(
+            queries, k=6, nprobe=16, slot_mask=slot_bits.reshape(-1),
+            mask_ratio=float(keep.mean()),
+        )
+        layout = store.layout_mask(ids, keep)
+        _, eids = store.search(queries, 6, mask=layout)
+        for row in range(queries.shape[0]):
+            self.assertEqual(
+                set(got[row].tolist()), set(np.asarray(eids)[row].tolist())
+            )
+
+    def test_l2_state_roundtrip(self):
+        store = ShardedEmbeddingStore(self.dim, self.mesh, metric="l2")
+        rows = _clustered(1024, self.dim, 8, self.rng) * 1.7
+        store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=8, seed=8)
+        restored = ShardedIVFIndex.from_state(store, index.state())
+        queries = rows[:5]
+        vals_a, ids_a = index.search(queries, 4, nprobe=8)
+        vals_b, ids_b = restored.search(queries, 4, nprobe=8)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_allclose(vals_a, vals_b, rtol=1e-5)
+
     def test_uneven_shards(self):
         # 4097 rows: one shard has one extra row; padding slots must never
         # surface as hits
