@@ -99,14 +99,114 @@ def worker_main(
     print(f"{_OK_MARKER} process={process_id} devices={n_devices}", flush=True)
 
 
+_SERVING_OK_MARKER = "MULTIHOST_SERVING_OK"
+
+
+def worker_serving_main(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    local_devices: int = 4,
+    rows: int = 1024,
+    dim: int = 32,
+    k: int = 10,
+) -> None:
+    """The serving slice over DCN: the ACTUAL ``VectorIndex.search_batch``
+    path (store → mesh kernels → metadata resolution) on a multi-controller
+    mesh, not just the bare kernel.
+
+    SPMD serving model: every controller runs the same VectorIndex logic
+    with the same metadata (replicated host state); device data is
+    process-local — ``parallel.sharded._stage`` uploads each controller's
+    addressable slice via ``make_array_from_process_local_data``, so no
+    process ever touches a remote device.  Incremental appends exercise the
+    donated per-shard tail-update path under the same rule."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import tempfile
+
+    import numpy as np
+
+    from photo_search_engine_tpu.core.vector_index import VectorIndex
+
+    n_devices = len(jax.devices())
+    assert n_devices == num_processes * local_devices
+    assert len(jax.local_devices()) == local_devices
+
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(rows, dim)).astype(np.float32)
+    queries = rng.normal(size=(8, dim)).astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix=f"mh_serving_{process_id}_")
+    vi = VectorIndex(
+        dimension=dim,
+        index_path=f"{tmp}/mh.index",
+        metadata_path=f"{tmp}/mh-meta.json",
+        metric="cosine",
+        mesh_devices=n_devices,
+    )
+    # two appends: the second exercises the incremental per-shard
+    # tail-update sync (not just the first full upload)
+    split = rows // 2
+    vi.add_batch(
+        corpus[:split], [{"photo_path": f"/p/{i}.jpg"} for i in range(split)]
+    )
+    vi.search(corpus[0].tolist(), 1)  # force the first sync
+    vi.add_batch(
+        corpus[split:],
+        [{"photo_path": f"/p/{i}.jpg"} for i in range(split, rows)],
+    )
+
+    # every device buffer this controller sees lives on its own devices
+    device_buf = vi._store._sharded._device
+    assert all(
+        s.device.process_index == jax.process_index()
+        for s in device_buf.addressable_shards
+    ), "store buffer has shards this process should not address"
+
+    unit = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qunit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    scores = qunit @ unit.T
+    oracle = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+
+    batches = vi.search_batch(queries, k)
+    for qi, hits in enumerate(batches):
+        got = [h["metadata"]["photo_path"] for h in hits]
+        want = [f"/p/{j}.jpg" for j in oracle[qi]]
+        assert got == want, f"query {qi}: {got} != {want}"
+
+    # masked search (the ES-filter analogue) over the same DCN mesh
+    mask = np.zeros(rows, bool)
+    mask[100:300] = True
+    masked = vi.search_masked(queries[0].tolist(), k, mask)
+    masked_scores = scores[0].copy()
+    masked_scores[~mask] = -np.inf
+    want = [f"/p/{j}.jpg" for j in np.argsort(-masked_scores, kind="stable")[:k]]
+    got = [h["metadata"]["photo_path"] for h in masked]
+    assert got == want, f"masked: {got} != {want}"
+
+    print(
+        f"{_SERVING_OK_MARKER} process={process_id} devices={n_devices}",
+        flush=True,
+    )
+
+
 def launch_dryrun(
     num_processes: int = 2,
     local_devices: int = 4,
     timeout: float = 300.0,
     port: Optional[int] = None,
+    serving: bool = False,
 ) -> bool:
     """Spawn ``num_processes`` worker processes on localhost and verify
-    every one of them reached the oracle check.  Returns True on success."""
+    every one of them reached the oracle check.  Returns True on success.
+    ``serving=True`` runs the VectorIndex serving slice
+    (``worker_serving_main``) instead of the bare-kernel worker."""
     import socket
 
     rows = 1024  # worker_main default; keep the guard in sync
@@ -134,6 +234,7 @@ def launch_dryrun(
         inherited + [f"--xla_force_host_platform_device_count={local_devices}"]
     )
     env.pop("JAX_PLATFORMS", None)  # the worker pins cpu via jax.config
+    marker = _SERVING_OK_MARKER if serving else _OK_MARKER
     procs: List[subprocess.Popen] = []
     for pid in range(num_processes):
         procs.append(
@@ -150,7 +251,8 @@ def launch_dryrun(
                     str(pid),
                     "--local-devices",
                     str(local_devices),
-                ],
+                ]
+                + (["--serving"] if serving else []),
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -165,7 +267,7 @@ def launch_dryrun(
             proc.kill()
             out, _ = proc.communicate()
             ok = False
-        if proc.returncode != 0 or _OK_MARKER not in (out or ""):
+        if proc.returncode != 0 or marker not in (out or ""):
             ok = False
             print(f"[multihost] worker {pid} failed (rc={proc.returncode}):")
             print(out or "<no output>")
@@ -178,16 +280,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--num-processes", type=int, default=2)
     parser.add_argument("--process-id", type=int)
     parser.add_argument("--local-devices", type=int, default=4)
+    parser.add_argument(
+        "--serving",
+        action="store_true",
+        help="run the VectorIndex serving slice instead of the bare kernel",
+    )
     args = parser.parse_args(argv)
     if args.coordinator is not None and args.process_id is not None:
-        worker_main(
+        worker = worker_serving_main if args.serving else worker_main
+        worker(
             args.coordinator,
             args.num_processes,
             args.process_id,
             args.local_devices,
         )
         return 0
-    ok = launch_dryrun(args.num_processes, args.local_devices)
+    ok = launch_dryrun(args.num_processes, args.local_devices, serving=args.serving)
     print(f"multihost dryrun: {'OK' if ok else 'FAILED'}")
     return 0 if ok else 1
 

@@ -1,0 +1,243 @@
+"""Route-level concurrent load test: N threads hammering POST
+/search_photos over real HTTP against a synthetic million-row corpus.
+
+This measures the number the README's kernel QPS does NOT: end-to-end
+route throughput with the micro-batcher aggregating concurrent requests
+(round-2 verdict item 7 — "publish a route-level concurrent-load number:
+QPS + p50/p99 next to the kernel QPS").
+
+The stack is the production one — ThreadingWSGIServer → api.routes →
+Searcher → micro-batcher → VectorIndex → device kernels — with the
+LLM-side services replaced by the deterministic local backends (query
+embedding via HashingEmbeddingService; no expansion/reflection so every
+request costs exactly one fused scan).  Query texts cycle through a pool
+of 512 distinct strings so the query cache cannot short-circuit the
+device work.
+
+Usage:
+  python scripts/load_test.py [--rows 1000000] [--dim 1536] [--threads 16]
+                              [--requests 2000] [--quantized] [--index-type ivf]
+
+Prints a human table + one machine-readable JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_stack(rows: int, dim: int, quantized: bool, index_type: str):
+    from photo_search_engine_tpu.api.app import create_app
+    from photo_search_engine_tpu.core.batcher import attach_microbatcher
+    from photo_search_engine_tpu.core.searcher import Searcher
+    from photo_search_engine_tpu.core.vector_index import VectorIndex
+    from photo_search_engine_tpu.models.hash_embedder import (
+        HashingEmbeddingService,
+    )
+    from photo_search_engine_tpu.services.time_parser import TimeParser
+
+    tmp = tempfile.mkdtemp(prefix="pse_load_")
+    vector_index = VectorIndex(
+        dimension=dim,
+        index_path=os.path.join(tmp, "load.index"),
+        metadata_path=os.path.join(tmp, "load-meta.json"),
+        metric="cosine",
+        store_dtype="auto",
+        quantized=quantized,
+        index_type=index_type,
+        ivf_nlist=4096,
+        ivf_nprobe=0,
+    )
+    rng = np.random.default_rng(0)
+    chunk = 100_000
+    t0 = time.perf_counter()
+    for start in range(0, rows, chunk):
+        n = min(chunk, rows - start)
+        block = rng.normal(size=(n, dim)).astype(np.float32)
+        block /= np.linalg.norm(block, axis=1, keepdims=True)
+        metas = [
+            {
+                "photo_path": f"/photos/{start + i}.jpg",
+                "file_name": f"IMG_{start + i:07d}.jpg",
+                "description": f"synthetic row {start + i}",
+            }
+            for i in range(n)
+        ]
+        vector_index.add_batch(block, metas)
+        print(f"  corpus {start + n}/{rows}", flush=True)
+    build_s = time.perf_counter() - t0
+
+    embedding = HashingEmbeddingService(dimension=dim)
+    searcher = Searcher(
+        embedding=embedding,
+        time_parser=TimeParser(backend="local"),
+        vector_index=vector_index,
+        keyword_index=None,
+        data_dir=tmp,
+        top_k=10,
+        query_expansion_enabled=False,
+        query_multi_round_enabled=False,
+        query_reflection_enabled=False,
+        query_cache_enabled=False,
+        embedding_cache_enabled=False,
+    )
+    attach_microbatcher(vector_index, max_batch=128, window_s=0.003)
+    app = create_app(
+        {
+            "config": {"TOP_K": 10, "DEFAULT_SEARCH_MODE": "balanced"},
+            "indexer": None,
+            "searcher": searcher,
+            "text_rerank_service": None,
+            "visual_rerank_service": None,
+        }
+    )
+    return app, vector_index, build_s
+
+
+def serve(app):
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+    class QuietHandler(WSGIRequestHandler):
+        def log_message(self, *args):  # per-request stderr lines skew timing
+            pass
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    server = make_server(
+        "127.0.0.1", port, app, server_class=ThreadingWSGIServer,
+        handler_class=QuietHandler,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, port
+
+
+SCENES = ["海边", "雪山", "城市", "公园", "森林", "沙滩", "湖泊", "街道"]
+SUBJECTS = ["日落", "人像", "合影", "夜景", "建筑", "美食", "花朵", "宠物"]
+
+
+def run_load(port: int, threads: int, total_requests: int):
+    queries = [
+        f"{SCENES[i % 8]} {SUBJECTS[(i // 8) % 8]} 变体{i}" for i in range(512)
+    ]
+    latencies: list = []
+    errors: list = []
+    lock = threading.Lock()
+    counter = {"next": 0}
+
+    def worker():
+        while True:
+            with lock:
+                i = counter["next"]
+                if i >= total_requests:
+                    return
+                counter["next"] = i + 1
+            body = json.dumps(
+                {"query": queries[i % len(queries)], "top_k": 10}
+            ).encode()
+            request = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search_photos",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(request, timeout=120) as resp:
+                    resp.read()
+                    code = resp.status
+            except Exception as exc:  # noqa: BLE001
+                with lock:
+                    errors.append(str(exc))
+                continue
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                if code != 200:
+                    errors.append(f"http {code}")
+
+    # warmup: compile the fused scan + fill the batcher pipeline
+    warm = min(64, total_requests)
+    pool = [threading.Thread(target=worker) for _ in range(threads)]
+    t_wall0 = time.perf_counter()
+    for t in pool:
+        t.start()
+    for t in pool:
+        t.join()
+    wall = time.perf_counter() - t_wall0
+    lat = np.sort(np.asarray(latencies[warm:], np.float64))
+    if not len(lat):
+        lat = np.sort(np.asarray(latencies, np.float64))
+    return {
+        "requests_ok": len(latencies),
+        "errors": len(errors),
+        "wall_s": round(wall, 2),
+        "qps": round(len(latencies) / wall, 1),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 1),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+    }, errors[:3]
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rows", type=int, default=1_000_000)
+    parser.add_argument("--dim", type=int, default=1536)
+    parser.add_argument("--threads", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=2000)
+    parser.add_argument("--quantized", action="store_true")
+    parser.add_argument("--index-type", default="flat", choices=["flat", "ivf"])
+    args = parser.parse_args()
+
+    app, vector_index, build_s = build_stack(
+        args.rows, args.dim, args.quantized, args.index_type
+    )
+    print(f"corpus built: {args.rows}×{args.dim} in {build_s:.1f}s")
+    server, port = serve(app)
+    # one blocking request compiles the scan before the clock starts
+    t0 = time.perf_counter()
+    body = json.dumps({"query": "预热 编译", "top_k": 10}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/search_photos", data=body,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        resp.read()
+    print(f"first request (compile): {time.perf_counter() - t0:.1f}s")
+
+    stats, err_sample = run_load(port, args.threads, args.requests)
+    server.shutdown()
+    stats.update(
+        rows=args.rows,
+        dim=args.dim,
+        threads=args.threads,
+        quantized=bool(args.quantized),
+        index_type=args.index_type,
+        route=vector_index.last_route,
+    )
+    for key in ("qps", "p50_ms", "p90_ms", "p99_ms", "requests_ok", "errors"):
+        print(f"{key:14s} {stats[key]}")
+    if err_sample:
+        print("sample errors:", err_sample)
+    print(json.dumps(stats))
+    return 0 if not stats["errors"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
