@@ -50,7 +50,6 @@ preserved when this component is disabled.
 from __future__ import annotations
 
 import hashlib
-import heapq
 import json
 import math
 import os
@@ -90,14 +89,10 @@ _ASCII_WORD = re.compile(r"[a-z0-9_]+")
 
 _EPOCH = datetime(1970, 1, 1)
 _NO_DT = -(2**62)  # sentinel for missing/unparseable datetimes
-_SIDECAR_VERSION = 3
-
-
-def _documents_digest(docs) -> str:
-    """Order-independent content hash of the documents payload (sidecar
-    freshness check — matching ids alone cannot detect edited content)."""
-    payload = json.dumps(docs, ensure_ascii=False, sort_keys=True)
-    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+# v4: doc_digest hashes the documents FILE BYTES (one pass over what is
+# written/read) instead of a second sort_keys json.dumps of the payload —
+# the double serialization was ~40% of save AND load time at 1M docs
+_SIDECAR_VERSION = 4
 
 
 _SIDECAR_SUFFIX = ".postings.npz"
@@ -220,9 +215,17 @@ class _NativeBM25:
     def remove_doc(self, row: int) -> None:
         self._lib.pse_bm25_remove_doc(self._handle, row)
 
-    def score_field(self, field_index: int, tids: Iterable[int], min_required: int):
+    def score_field(
+        self,
+        field_index: int,
+        tids: Iterable[int],
+        min_required: int,
+        allowed: Optional[np.ndarray] = None,  # uint8 per-row filter mask
+    ):
         """(rows, scores, matched) arrays for docs matching >= min_required
-        distinct terms."""
+        distinct terms; ``allowed`` pushes a row filter INTO the postings
+        walk (selective EXIF filters cut the scoring work by their
+        selectivity)."""
         import ctypes
 
         term_arr = np.asarray(list(tids), np.int64)
@@ -235,12 +238,18 @@ class _NativeBM25:
         out_docs = np.empty(capacity, np.int64)
         out_scores = np.empty(capacity, np.float64)
         out_matched = np.empty(capacity, np.int64)
-        written = self._lib.pse_bm25_score_field(
+        allowed_ptr = None
+        allowed_arr = None  # keep the buffer alive across the C call
+        if allowed is not None:
+            allowed_arr = np.ascontiguousarray(allowed, np.uint8)
+            allowed_ptr = self._ptr(allowed_arr, ctypes.c_uint8)
+        written = self._lib.pse_bm25_score_field_masked(
             self._handle,
             field_index,
             self._ptr(term_arr, ctypes.c_int64),
             len(term_arr),
             min_required,
+            allowed_ptr,
             self._ptr(out_docs, ctypes.c_int64),
             self._ptr(out_scores, ctypes.c_double),
             self._ptr(out_matched, ctypes.c_int64),
@@ -342,6 +351,9 @@ class KeywordIndex:
         self._cols_np: Optional[Dict[str, np.ndarray]] = None
         # retrieval_text id streams (phrase matching), row-indexed
         self._streams: List[Optional[np.ndarray]] = []
+        # packed stream cache for the vectorized phrase pass:
+        # (flat int32 buffer with a -1 after every stream, starts, lens)
+        self._stream_pack: Optional[tuple] = None
         # pure-Python postings fallback: field -> tid -> {row: tf}
         self._postings: Dict[str, Dict[int, Dict[int, int]]] = {
             field: {} for field in TEXT_FIELD_BOOSTS
@@ -429,6 +441,7 @@ class KeywordIndex:
                 self._doc_len[field][row] = len(tokens)
                 self._total_len[field] += len(tokens)
         self._streams.append(stream)
+        self._stream_pack = None
 
     def _remove(self, doc_id: str) -> None:
         row = self._doc_row.pop(doc_id, None)
@@ -437,6 +450,7 @@ class KeywordIndex:
             return
         self._alive[row] = False
         self._streams[row] = None
+        self._stream_pack = None
         self._cols_np = None
         if self._native is not None:
             self._native.remove_doc(row)
@@ -463,12 +477,19 @@ class KeywordIndex:
         self._reset_state()
 
     # ------------------------------------------------------------------
-    def _field_scores(self, field: str, tids: List[int], required: int):
+    def _field_scores(
+        self,
+        field: str,
+        tids: List[int],
+        required: int,
+        allowed: Optional[np.ndarray] = None,
+    ):
         """Per-row BM25 for one field as (rows, scores, matched) arrays,
-        honoring minimum_should_match."""
+        honoring minimum_should_match.  ``allowed`` (uint8 per-row mask)
+        pushes the EXIF-filter candidate set INTO the postings walk."""
         if self._native is not None:
             field_index = list(TEXT_FIELD_BOOSTS).index(field)
-            return self._native.score_field(field_index, tids, required)
+            return self._native.score_field(field_index, tids, required, allowed)
         n_docs = max(1, len(self._docs))
         lengths = self._doc_len[field]
         avg_len = (self._total_len[field] / len(lengths)) if lengths else 0.0
@@ -482,6 +503,8 @@ class KeywordIndex:
             df = len(postings)
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             for row, tf in postings.items():
+                if allowed is not None and not allowed[row]:
+                    continue
                 dl = lengths.get(row, 0)
                 denom = tf + _K1 * (1.0 - _B + (_B * dl / avg_len if avg_len else 0.0))
                 scores[row] = scores.get(row, 0.0) + idf * (tf * (_K1 + 1.0) / denom)
@@ -492,43 +515,71 @@ class KeywordIndex:
         mvals = np.asarray([matched[row] for row in keep], np.int64)
         return rows, svals, mvals
 
+    def _packed_streams(self):
+        """All retrieval_text streams packed into ONE -1-separated int32
+        buffer + per-row (start, len incl. separator) arrays, cached and
+        invalidated on any mutation.  The phrase pass gathers candidate
+        slices from this buffer fully vectorized — the per-candidate Python
+        append loop was the phrase bottleneck at 1M docs."""
+        if self._stream_pack is not None:
+            return self._stream_pack
+        n = len(self._streams)
+        lens = np.zeros(n, np.int64)
+        starts = np.full(n, -1, np.int64)
+        parts: List[np.ndarray] = []
+        sep = np.full(1, -1, np.int32)
+        pos = 0
+        for row, stream in enumerate(self._streams):
+            if stream is None:
+                continue
+            starts[row] = pos
+            lens[row] = len(stream) + 1
+            parts.append(np.asarray(stream, np.int32))
+            parts.append(sep)
+            pos += len(stream) + 1
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        self._stream_pack = (flat, starts, lens)
+        return self._stream_pack
+
     def _phrase_rows(
         self, pattern: np.ndarray, candidates: Iterable[int]
     ) -> Set[int]:
         """Rows whose retrieval_text stream contains ``pattern`` as a
         contiguous subsequence (the match_phrase clause,
-        keyword_store.py:128-135).  All candidate streams are packed into
-        one -1-separated buffer so the pattern match is a single vectorized
-        pass (the -1 separators can never equal a vocab id, so matches
-        cannot span documents)."""
+        keyword_store.py:128-135).  Candidate streams are gathered from the
+        packed buffer (``_packed_streams``) and the pattern match is a
+        single vectorized pass; the -1 separators can never equal a vocab
+        id, so matches cannot span documents."""
         plen = len(pattern)
-        sep = np.full(1, -1, np.int32)
-        parts: List[np.ndarray] = []
-        keep_rows: List[int] = []
-        starts: List[int] = []
-        pos = 0
-        for row in candidates:
-            stream = self._streams[row]
-            if stream is None or len(stream) < plen:
-                continue
-            starts.append(pos)
-            keep_rows.append(row)
-            parts.append(stream)
-            parts.append(sep)
-            pos += len(stream) + 1
-        if not parts:
+        flat, starts, lens = self._packed_streams()
+        if isinstance(candidates, np.ndarray):
+            cand = candidates.astype(np.int64, copy=False)
+        else:
+            cand = np.asarray(list(candidates), np.int64)
+        if cand.size == 0:
             return set()
-        buf = np.concatenate(parts)
+        ok = (starts[cand] >= 0) & (lens[cand] > plen)  # len incl. separator
+        cand = cand[ok]
+        if cand.size == 0:
+            return set()
+        lens_c = lens[cand]
+        prefix = np.concatenate(([0], np.cumsum(lens_c)[:-1]))
+        total = int(lens_c.sum())
+        idx = np.repeat(starts[cand] - prefix, lens_c) + np.arange(
+            total, dtype=np.int64
+        )
+        buf = flat[idx]
         n = len(buf) - plen + 1
+        if n <= 0:
+            return set()
         match = buf[:n] == pattern[0]
         for j in range(1, plen):
             match &= buf[j : j + n] == pattern[j]
         hit_pos = np.nonzero(match)[0]
         if not len(hit_pos):
             return set()
-        offsets = np.asarray(starts, np.int64)
-        idx = np.searchsorted(offsets, hit_pos, side="right") - 1
-        return {keep_rows[i] for i in set(idx.tolist())}
+        i = np.searchsorted(prefix, hit_pos, side="right") - 1
+        return set(cand[np.unique(i)].tolist())
 
     def _text_scores(self, query: Optional[str], cand_rows: Optional[np.ndarray]):
         """best_fields multi_match + phrase bonus as a dense score vector;
@@ -552,23 +603,29 @@ class KeywordIndex:
             if tid is not None
         ]
         n_rows = len(self._row_doc)
+        # candidate pushdown: the EXIF-filter row set rides INTO the
+        # postings walk as a byte mask (native + python paths), so a
+        # selective filter cuts BM25 work by its selectivity instead of
+        # intersecting after scoring everything
+        allowed = None
+        if cand_rows is not None:
+            allowed = np.zeros(n_rows, np.uint8)
+            allowed[cand_rows] = 1
         best = np.zeros(n_rows, np.float64)
         rt_rows = rt_scores = rt_matched = None
         for field, boost in TEXT_FIELD_BOOSTS.items():
-            rows, scores, matched = self._field_scores(field, known_tids, required)
+            rows, scores, matched = self._field_scores(
+                field, known_tids, required, allowed
+            )
             if field == "retrieval_text":
                 rt_rows, rt_scores, rt_matched = rows, scores, matched
             if len(rows):
                 # rows are unique within a field, so fancy-index max is safe
                 best[rows] = np.maximum(best[rows], scores * boost)
-        if cand_rows is not None:
-            cand_mask = np.zeros(n_rows, bool)
-            cand_mask[cand_rows] = True
-        else:
-            cand_mask = None
         # A full contiguous match needs every pattern term in retrieval_text,
         # so phrase candidates are the matched == all-terms rows of the
         # retrieval_text pass — the sliding-window check runs on those only.
+        # (rt_rows is already candidate-filtered by the pushdown.)
         pattern_tids = [self._vocab.get(t) for t in terms]
         if (
             len(terms) >= 2
@@ -577,20 +634,15 @@ class KeywordIndex:
             and len(rt_rows)
         ):
             full = rt_matched >= len(known_tids)
-            if cand_mask is not None:
-                full &= cand_mask[rt_rows]
             check_rows = rt_rows[full]
             check_scores = rt_scores[full]
             pattern = np.asarray(pattern_tids, np.int32)
-            hits = self._phrase_rows(pattern, check_rows.tolist())
+            hits = self._phrase_rows(pattern, check_rows)
             if hits:
                 for row, base in zip(check_rows.tolist(), check_scores.tolist()):
                     if row in hits:
                         best[row] += _PHRASE_BOOST * base
-        if cand_mask is not None:
-            scored = np.nonzero((best > 0.0) & cand_mask)[0]
-        else:
-            scored = np.nonzero(best > 0.0)[0]
+        scored = np.nonzero(best > 0.0)[0]
         return scored, best[scored]
 
     # ------------------------------------------------------------------
@@ -639,11 +691,22 @@ class KeywordIndex:
         return np.nonzero(mask)[0]
 
     # ------------------------------------------------------------------
+    def _row_doc_np(self) -> np.ndarray:
+        """Row → doc-id as a numpy unicode array (cached): the top-k
+        tie-break sorts on it vectorized (numpy <U compare == Python str
+        compare, so the (-score, doc_id) order is unchanged)."""
+        cached = getattr(self, "_row_doc_arr", None)
+        if cached is None or cached.shape[0] != len(self._row_doc):
+            cached = self._row_doc_arr = np.asarray(self._row_doc)
+        return cached
+
     def _hits_from_arrays(
         self, rows: np.ndarray, scores: np.ndarray, top_k: int
     ) -> List[Dict[str, Any]]:
         """Top-k hits ordered by (-score, doc_id): a numeric partition cuts
-        the bulk, then a bounded heap resolves the exact tie-break order."""
+        the bulk, then a vectorized lexsort resolves the exact tie-break
+        order (the per-row Python tuple heap was ~10 ms/query at 1M docs
+        with heavy score ties)."""
         if top_k <= 0 or not len(rows):
             return []
         if len(rows) > 4 * top_k:
@@ -651,20 +714,17 @@ class KeywordIndex:
             kth = np.partition(scores, cut)[cut]
             sel = scores >= kth  # keeps boundary ties for exact ordering
             rows, scores = rows[sel], scores[sel]
-        ordered = heapq.nsmallest(
-            top_k,
-            (
-                (-float(score), self._row_doc[int(row)], int(row))
-                for row, score in zip(rows, scores)
-            ),
-        )
-        max_score = -ordered[0][0] or 1.0
+        doc_ids = self._row_doc_np()[rows]
+        order = np.lexsort((doc_ids, -scores))[:top_k]
+        top_docs = doc_ids[order].tolist()
+        top_scores = scores[order].tolist()
+        max_score = top_scores[0] or 1.0
         return [
             {
                 "photo_path": self._docs[doc_id]["photo_path"],
-                "score": (-neg_score / max_score) if neg_score else 0.5,
+                "score": (score / max_score) if score else 0.5,
             }
-            for neg_score, doc_id, _row in ordered
+            for doc_id, score in zip(top_docs, top_scores)
         ]
 
     def search(self, query: str, top_k: int = 50) -> List[Dict[str, Any]]:
@@ -750,8 +810,12 @@ class KeywordIndex:
         directory = os.path.dirname(target)
         if directory:
             os.makedirs(directory, exist_ok=True)
-        with open(target, "w", encoding="utf-8") as f:
-            json.dump({"documents": self._docs}, f, ensure_ascii=False)
+        payload = json.dumps(
+            {"documents": self._docs}, ensure_ascii=False
+        ).encode("utf-8")
+        with open(target, "wb") as f:
+            f.write(payload)
+        doc_digest = hashlib.sha256(payload).hexdigest()
         rows = len(self._row_doc)
         if not final and (
             rows - self._sidecar_rows_written < max(1024, rows // 10)
@@ -765,7 +829,7 @@ class KeywordIndex:
                 pass
             return
         try:
-            self._save_sidecar(target)
+            self._save_sidecar(target, doc_digest)
             self._sidecar_rows_written = rows
         except Exception as exc:  # sidecar is an optimization, never fatal
             print(f"[WARN] keyword sidecar write failed ({exc}); "
@@ -775,16 +839,17 @@ class KeywordIndex:
             except OSError:
                 pass
 
-    def _save_sidecar(self, target: str) -> None:
+    def _save_sidecar(self, target: str, doc_digest: str) -> None:
         n_rows = len(self._row_doc)
         meta = {
             "version": _SIDECAR_VERSION,
             "n_rows": n_rows,
             "doc_count": len(self._docs),
-            # content digest of the documents payload: a sidecar whose ids
-            # match but whose document CONTENT is stale (crash between the
-            # documents write and the sidecar replace) must not be restored
-            "doc_digest": _documents_digest(self._docs),
+            # content digest of the documents FILE BYTES: a sidecar whose
+            # ids match but whose document CONTENT is stale (crash between
+            # the documents write and the sidecar replace) must not be
+            # restored
+            "doc_digest": doc_digest,
             "vocab": self._vocab_list,
             "row_doc": self._row_doc,
             "cats": self._cat_values,
@@ -833,15 +898,20 @@ class KeywordIndex:
         target = path or self.index_path
         if not target or not os.path.exists(target):
             return False
-        with open(target, "r", encoding="utf-8") as f:
-            payload = json.load(f)
+        with open(target, "rb") as f:
+            raw = f.read()
+        payload = json.loads(raw)
+        file_digest = hashlib.sha256(raw).hexdigest()
+        del raw
         documents = payload.get("documents") or {}
         self.clear()
         sidecar_path = target + _SIDECAR_SUFFIX
         if os.path.exists(sidecar_path):
             try:
                 with np.load(sidecar_path) as sidecar:
-                    if self._restore_from_sidecar(sidecar, documents):
+                    if self._restore_from_sidecar(
+                        sidecar, documents, file_digest
+                    ):
                         return True
             except Exception as exc:
                 print(f"[WARN] keyword sidecar load failed ({exc}); re-tokenizing")
@@ -851,7 +921,10 @@ class KeywordIndex:
         return True
 
     def _restore_from_sidecar(
-        self, sidecar, documents: Dict[str, Dict[str, Any]]
+        self,
+        sidecar,
+        documents: Dict[str, Dict[str, Any]],
+        file_digest: str,
     ) -> bool:
         meta = json.loads(bytes(sidecar["meta"].tobytes()).decode("utf-8"))
         if meta.get("version") != _SIDECAR_VERSION:
@@ -864,7 +937,7 @@ class KeywordIndex:
         live_ids = {row_doc[row] for row in live_rows.tolist()}
         if live_ids != set(documents):
             return False  # stale sidecar — documents JSON wins
-        if meta.get("doc_digest") != _documents_digest(documents):
+        if meta.get("doc_digest") != file_digest:
             return False  # same ids, stale content — documents JSON wins
 
         self._docs = {doc_id: dict(doc) for doc_id, doc in documents.items()}
@@ -889,6 +962,7 @@ class KeywordIndex:
                 self._streams.append(None)
             else:
                 self._streams.append(data[lo:hi])
+        self._stream_pack = None
 
         for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
             tids = sidecar[f"post_{field_index}_tid"].astype(np.int64)

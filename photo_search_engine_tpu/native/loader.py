@@ -118,6 +118,19 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,    # buffer capacity
     ]
     lib.pse_bm25_score_field.restype = ctypes.c_int64
+    lib.pse_bm25_score_field_masked.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,    # field
+        i64p,              # query token ids (unique)
+        ctypes.c_int64,    # n query tokens
+        ctypes.c_int64,    # min matched terms required
+        ctypes.POINTER(ctypes.c_uint8),  # allowed-row mask (nullable)
+        i64p,              # out doc ids buffer
+        f64p,              # out scores buffer
+        i64p,              # out matched-term counts buffer
+        ctypes.c_int64,    # buffer capacity
+    ]
+    lib.pse_bm25_score_field_masked.restype = ctypes.c_int64
 
 
 def native_available() -> bool:

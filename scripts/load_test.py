@@ -93,11 +93,28 @@ def build_stack(rows: int, dim: int, quantized: bool, index_type: str):
         query_cache_enabled=False,
         embedding_cache_enabled=False,
     )
+    # the corpus was built in memory (never save()d), so mark it served
+    searcher.index_loaded = True
     attach_microbatcher(vector_index, max_batch=128, window_s=0.003)
+
+    class _ReadyIndexer:
+        """Route contract stub: the corpus is pre-built in-process, so the
+        indexer is permanently 'ready' (routes gate every search on
+        indexer.get_status())."""
+
+        def get_status(self):
+            return {
+                "status": "ready",
+                "message": "synthetic corpus",
+                "total_count": rows,
+                "indexed_count": rows,
+                "failed_count": 0,
+            }
+
     app = create_app(
         {
             "config": {"TOP_K": 10, "DEFAULT_SEARCH_MODE": "balanced"},
-            "indexer": None,
+            "indexer": _ReadyIndexer(),
             "searcher": searcher,
             "text_rerank_service": None,
             "visual_rerank_service": None,

@@ -363,6 +363,28 @@ class ScaleTest(unittest.TestCase):
             row = int(hit["photo_path"].rsplit("/", 1)[1].split(".")[0])
             self.assertEqual(2015 + row % 10, 2018)
 
+    def test_filter_pushdown_matches_post_intersection(self):
+        # the round-3 optimization pushes the EXIF-filter candidate set
+        # INTO the postings walk (allowed mask); results must be identical
+        # to scoring everything and intersecting afterwards
+        import numpy as np
+
+        filters = {"season": "夏天", "year": 2019}
+        cand = self.ki._filter_rows(filters)
+        rows_pd, scores_pd = self.ki._text_scores("tok7 scene", cand)
+        rows_all, scores_all = self.ki._text_scores("tok7 scene", None)
+        keep = np.isin(rows_all, cand)
+        want = dict(zip(rows_all[keep].tolist(), scores_all[keep].tolist()))
+        got = dict(zip(rows_pd.tolist(), scores_pd.tolist()))
+        self.assertEqual(set(got), set(want))
+        for row, score in got.items():
+            self.assertAlmostEqual(score, want[row], places=9)
+
+    def test_phrase_pass_is_fast(self):
+        # multi-term CJK text search includes the packed-buffer phrase pass
+        ms = self._best_ms(lambda: self.ki.search("tok7 scene", top_k=50))
+        self.assertLess(ms, 80.0, f"phrase-bearing text search: {ms:.1f}ms")
+
 
 if __name__ == "__main__":
     unittest.main()
