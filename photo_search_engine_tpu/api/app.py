@@ -110,6 +110,36 @@ def _resolve_mesh_devices(requested: int) -> int:
     return requested
 
 
+def _vector_index_class_and_knobs(config: Dict[str, Any]):
+    """Single-host → ``VectorIndex``.  On a multi-controller runtime
+    (``jax.distributed`` initialized, process_count > 1) →
+    ``SPMDVectorIndex`` (rank-0 broadcast fan-in, parallel/spmd_serving.py)
+    with the knob adjustments SPMD lockstep requires, each warned:
+    the mesh must span the global devices, and the lazy IVF build is not
+    yet rank-reproducible so the index degrades to flat."""
+    import jax
+
+    mesh_devices = _resolve_mesh_devices(config.get("MESH_DEVICES", 0))
+    index_type = config["VECTOR_INDEX_TYPE"]
+    if jax.process_count() <= 1:
+        return VectorIndex, mesh_devices, index_type
+    from photo_search_engine_tpu.parallel.spmd_serving import SPMDVectorIndex
+
+    if mesh_devices == 0:
+        mesh_devices = len(jax.devices())
+        print(
+            f"[WARN] multi-host run with MESH_DEVICES=0; using the global "
+            f"mesh ({mesh_devices} devices)"
+        )
+    if str(index_type).lower() == "ivf":
+        print(
+            "[WARN] index_type=ivf is not supported on a multi-controller "
+            "mesh (lazy build is not rank-reproducible); using flat"
+        )
+        index_type = "flat"
+    return SPMDVectorIndex, mesh_devices, index_type
+
+
 def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Construct + wire everything; optional pieces degrade to None or a
     local backend with a warning."""
@@ -118,19 +148,20 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
     embedding_service = _build_embedding_service(config)
     vision_service = _build_vision_service(config)
 
-    vector_index = VectorIndex(
+    index_cls, mesh_devices, index_type = _vector_index_class_and_knobs(config)
+    vector_index = index_cls(
         dimension=config.get("EMBEDDING_DIMENSION"),
         index_path=config["INDEX_PATH"],
         metadata_path=config["METADATA_PATH"],
         metric=config["VECTOR_METRIC"],
-        index_type=config["VECTOR_INDEX_TYPE"],
+        index_type=index_type,
         store_dtype=config.get("STORE_DTYPE", "float32"),
         ivf_nlist=config.get("IVF_NLIST", 1024),
         ivf_nprobe=config.get("IVF_NPROBE", 64),
         ivf_target_recall=config.get("IVF_TARGET_RECALL", 0.98),
         store_block_rows=config.get("TOPK_BLOCK_N") or None,
         quantized=bool(config.get("STORE_QUANTIZED", False)),
-        mesh_devices=_resolve_mesh_devices(config.get("MESH_DEVICES", 0)),
+        mesh_devices=mesh_devices,
     )
 
     keyword_index = None
@@ -231,6 +262,12 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
             print(f"[WARN] visual rerank disabled: {exc}")
             visual_rerank_service = None
 
+    background_mode = config["INDEX_BACKGROUND_MODE"]
+    if index_cls is not VectorIndex and background_mode == "process":
+        # a spawned worker process would sit outside the jax.distributed
+        # job, so its device ops could not be broadcast to the followers
+        print("[WARN] multi-host run: INDEX_BACKGROUND_MODE=process → thread")
+        background_mode = "thread"
     indexer = Indexer(
         photo_dir=config.get("PHOTO_DIR") or "",
         vector_index=vector_index,
@@ -241,7 +278,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         max_retries=config["MAX_RETRIES"],
         timeout=config["TIMEOUT"],
         data_dir=config["RUNTIME_DATA_DIR"],
-        background_mode=config["INDEX_BACKGROUND_MODE"],
+        background_mode=background_mode,
         worker_python_executable=sys.executable,
         worker_entrypoint=["-m", "photo_search_engine_tpu.api.app"],
     )
@@ -405,8 +442,43 @@ def _apply_compile_cache(config) -> None:
         print(f"[WARN] COMPILE_CACHE_DIR not applied: {exc}")
 
 
+def _apply_distributed(config: Dict[str, Any]) -> int:
+    """Join a ``jax.distributed`` job when the DIST_* triplet is set;
+    returns this process's rank (0 when single-host).  Must run before
+    any device use.  Multi-host serving model: rank 0 owns the HTTP
+    listener over an ``SPMDVectorIndex``; other ranks replay its device
+    ops in lockstep (parallel/spmd_serving.py, DESIGN.md §3)."""
+    coordinator = config.get("DIST_COORDINATOR") or ""
+    if not coordinator:
+        return 0
+    num_processes = int(config.get("DIST_NUM_PROCESSES") or 0)
+    process_id = int(config.get("DIST_PROCESS_ID", -1))
+    if num_processes < 2 or process_id < 0:
+        raise ValueError(
+            "DIST_COORDINATOR is set but DIST_NUM_PROCESSES/DIST_PROCESS_ID "
+            "are not a valid pair"
+        )
+    import jax
+
+    # initialize() must precede ANY backend init, so a concrete
+    # PSE_PLATFORM pin goes in config-only here; the probing override
+    # (_apply_platform_override) runs after and is then a no-op probe
+    wanted = (os.environ.get("PSE_PLATFORM") or "").strip().lower()
+    if wanted and wanted != "tpu":
+        jax.config.update("jax_platforms", wanted)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    print(
+        f"[INFO] jax.distributed: rank {process_id}/{num_processes} via "
+        f"{coordinator} ({len(jax.devices())} global devices)"
+    )
+    return process_id
+
+
 def main(argv: Optional[list] = None) -> int:
-    _apply_platform_override()
     parser = argparse.ArgumentParser(description="photo_search_engine_tpu server")
     parser.add_argument("--index-worker", action="store_true")
     parser.add_argument("--force-rebuild", action="store_true")
@@ -416,12 +488,22 @@ def main(argv: Optional[list] = None) -> int:
 
     config = get_config()
     _validate_required_config(config)
+    rank = _apply_distributed(config)  # before ANY backend init
+    _apply_platform_override()
     _apply_compile_cache(config)
 
     if args.index_worker:
         return run_index_worker(force_rebuild=args.force_rebuild)
 
     services = initialize_services(config)
+
+    if rank != 0:
+        # follower: replay rank 0's device ops until it broadcasts shutdown
+        print(f"[INFO] dist follower {rank} entering replay loop")
+        replayed = services["vector_index"].follow()
+        print(f"[INFO] dist follower {rank} replayed {replayed} ops")
+        return 0
+
     app = create_app(services)
     host = args.host or config["SERVER_HOST"]
     port, fell_back = pick_port(host, args.port or config["SERVER_PORT"])
@@ -435,11 +517,15 @@ def main(argv: Optional[list] = None) -> int:
         daemon_threads = True
 
     server = make_server(host, port, app, server_class=ThreadingWSGIServer)
-    print(f"[INFO] serving on http://{host}:{port}")
+    print(f"[INFO] serving on http://{host}:{port}", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        index = services["vector_index"]
+        if hasattr(index, "shutdown_followers"):
+            index.shutdown_followers()
     return 0
 
 

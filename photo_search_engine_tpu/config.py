@@ -212,6 +212,13 @@ def load_config() -> Dict[str, Any]:
         # partial top-k + all_gather merge over ICI; parallel/sharded.py);
         # -1 = all visible devices
         "MESH_DEVICES": _get_int("MESH_DEVICES", 0),
+        # multi-host (DCN) serving: set all three on every process to run
+        # one jax.distributed job — rank 0 serves HTTP, other ranks replay
+        # device ops in SPMD lockstep (parallel/spmd_serving.py).  DATA_DIR
+        # must be a shared filesystem.  Empty coordinator = single-host.
+        "DIST_COORDINATOR": os.getenv("DIST_COORDINATOR", "").strip(),
+        "DIST_NUM_PROCESSES": _get_int("DIST_NUM_PROCESSES", 0),
+        "DIST_PROCESS_ID": _get_int("DIST_PROCESS_ID", -1),
         # persistent XLA compilation cache: pins kernel schedules across
         # processes (the int8 kernel's 47-68k QPS compile-session variance
         # freezes to ±0.2% — docs/ABLATION_INT8.md) and removes restart

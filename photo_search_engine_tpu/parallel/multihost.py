@@ -478,6 +478,174 @@ def launch_dryrun(
     return ok
 
 
+def launch_app_dryrun(
+    num_processes: int = 2,
+    local_devices: int = 4,
+    timeout: float = 420.0,
+    n_photos: int = 4,
+) -> bool:
+    """End-to-end multi-host DEPLOYMENT dry-run: spawn ``num_processes``
+    instances of the real server entrypoint (``python -m
+    photo_search_engine_tpu.api.app``) joined into one ``jax.distributed``
+    job via the DIST_* config triplet, then drive rank 0 over real HTTP —
+    /init_index on a PIL-generated photo dir, /index_status polling,
+    /search_photos — and shut down with SIGINT so the follower's replay
+    count is printed.  This is the production multi-host story, not a
+    test harness: no app code is special-cased for the dry-run."""
+    import json
+    import shutil
+    import signal
+    import socket
+    import tempfile
+    import time
+    import urllib.request
+
+    from PIL import Image
+
+    root = tempfile.mkdtemp(prefix="mh_app_")
+    photo_dir = os.path.join(root, "photos")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(photo_dir)
+    os.makedirs(data_dir)
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200), (220, 220, 40)]
+    for i in range(n_photos):
+        img = Image.new("RGB", (48, 36), colors[i % len(colors)])
+        exif = Image.Exif()
+        exif[306] = f"2024:0{1 + i % 8}:15 12:00:00"
+        img.save(os.path.join(photo_dir, f"photo_{i}.jpg"), exif=exif)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord_port = s.getsockname()[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        http_port = s.getsockname()[1]
+
+    base_env = dict(os.environ)
+    inherited = [
+        flag
+        for flag in base_env.get("XLA_FLAGS", "").split()
+        if not flag.startswith("--xla_force_host_platform_device_count")
+    ]
+    base_env["XLA_FLAGS"] = " ".join(
+        inherited + [f"--xla_force_host_platform_device_count={local_devices}"]
+    )
+    base_env.pop("JAX_PLATFORMS", None)
+    base_env.update(
+        PSE_PLATFORM="cpu",  # jax.config-level pin (env alone is ignored here)
+        DIST_COORDINATOR=f"127.0.0.1:{coord_port}",
+        DIST_NUM_PROCESSES=str(num_processes),
+        PHOTO_DIR=photo_dir,
+        DATA_DIR=data_dir,
+        SERVER_HOST="127.0.0.1",
+        SERVER_PORT=str(http_port),
+        EMBEDDING_DIMENSION="64",
+        MESH_DEVICES="-1",
+        INDEX_BACKGROUND_MODE="thread",
+    )
+
+    procs: List[subprocess.Popen] = []
+    logs: List[str] = []
+    for pid in range(num_processes):
+        env = dict(base_env, DIST_PROCESS_ID=str(pid))
+        log_path = os.path.join(root, f"rank{pid}.log")
+        logs.append(log_path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "photo_search_engine_tpu.api.app"],
+                env=env,
+                stdout=open(log_path, "w"),
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+
+    def _read(pid: int) -> str:
+        try:
+            with open(logs[pid]) as f:
+                return f.read()
+        except OSError:
+            return ""
+
+    def _fail(why: str) -> bool:
+        print(f"[multihost-app] FAIL: {why}")
+        for pid in range(num_processes):
+            print(f"--- rank {pid} log ---")
+            print(_read(pid) or "<empty>")
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+        return False
+
+    deadline = time.time() + timeout
+    try:
+        # 1. wait for rank 0's listener
+        while "serving on http://" not in _read(0):
+            if time.time() > deadline or procs[0].poll() is not None:
+                return _fail("rank 0 never started serving")
+            time.sleep(0.5)
+        base = f"http://127.0.0.1:{http_port}"
+
+        def _post(path: str, payload: dict) -> dict:
+            req = urllib.request.Request(
+                f"{base}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return json.loads(resp.read())
+
+        # 2. build the index (thread mode; add_batch broadcasts to ranks)
+        _post("/init_index", {"mode": "full"})
+        while True:
+            with urllib.request.urlopen(f"{base}/index_status", timeout=30) as r:
+                status = json.loads(r.read())
+            state = str(status.get("status") or "")
+            if state in {"ready", "success", "completed"}:
+                break
+            if state in {"failed", "error"}:
+                return _fail(f"indexing failed: {status}")
+            if time.time() > deadline:
+                return _fail(f"indexing timed out in state {state!r}: {status}")
+            time.sleep(1.0)
+
+        # 3. search over HTTP (triggers load() broadcast + batched scan)
+        payload = _post("/search_photos", {"query": "红色 照片", "top_k": 3})
+        results = payload.get("results") or []
+        if not results:
+            return _fail(f"empty search results: {payload}")
+        # a time-filtered query exercises the masked path end to end
+        _post("/search_photos", {"query": "一月 的 照片", "top_k": 3})
+    except Exception as exc:  # noqa: BLE001
+        return _fail(f"driver exception: {exc!r}")
+    finally:
+        if procs[0].poll() is None:
+            procs[0].send_signal(signal.SIGINT)
+
+    ok = True
+    for pid, proc in enumerate(procs):
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            ok = False
+    for pid in range(1, num_processes):
+        out = _read(pid)
+        if "replayed" not in out or procs[pid].returncode != 0:
+            print(f"[multihost-app] follower {pid} bad exit "
+                  f"(rc={procs[pid].returncode}):")
+            print(out or "<empty>")
+            ok = False
+    if ok and procs[0].returncode != 0:
+        print(f"[multihost-app] rank 0 rc={procs[0].returncode}")
+        print(_read(0))
+        ok = False
+    if ok:
+        shutil.rmtree(root, ignore_errors=True)
+    return ok
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--coordinator")

@@ -33,7 +33,16 @@ header so followers never need out-of-band metadata):
 
 Ops: 0 shutdown · 1 search(queries[Q,D], k, mask?[N]) ·
 2 grouped(queries[Q,D], k, table[M,N], ids[Q]) ·
-3 add_batch(embeddings[B,D], metadata-JSON bytes)
+3 add_batch(embeddings[B,D], metadata-JSON bytes) ·
+4 reload (replay ``load()`` from the shared index files) ·
+5 clear
+
+Ops 4/5 are host-state ops, broadcast so replicas never diverge: every
+rank re-reads the SAME index files (multi-host deployments put DATA_DIR
+on a shared filesystem — the same assumption the reference makes for its
+FAISS index directory, reference utils/vector_store.py:239-249), so a
+rank-0 ``load()``/``clear()`` (e.g. the /init_index force-rebuild path)
+leaves all ranks with identical host mirrors before the next device op.
 """
 
 from __future__ import annotations
@@ -50,6 +59,8 @@ _OP_SHUTDOWN = 0
 _OP_SEARCH = 1
 _OP_GROUPED = 2
 _OP_ADD = 3
+_OP_RELOAD = 4
+_OP_CLEAR = 5
 
 
 def _broadcast(value: np.ndarray) -> np.ndarray:
@@ -157,6 +168,25 @@ class SPMDVectorIndex(VectorIndex):
                 self._send(np.frombuffer(blob, np.uint8))
             super().add_batch(embeddings, metadatas)
 
+    def add_item(self, embedding: Any, metadata: Dict[str, Any]) -> None:
+        # the base class appends straight to the store, bypassing
+        # add_batch — route through add_batch so the append is broadcast
+        self.add_batch(
+            np.asarray(embedding, np.float32)[None, :], [metadata]
+        )
+
+    def load(self) -> bool:
+        with self._spmd_lock:
+            if self._spmd_rank == 0 and self._spmd_world > 1:
+                self._announce([_OP_RELOAD])
+            return super().load()
+
+    def clear(self) -> None:
+        with self._spmd_lock:
+            if self._spmd_rank == 0 and self._spmd_world > 1:
+                self._announce([_OP_CLEAR])
+            super().clear()
+
     def shutdown_followers(self) -> None:
         """Release every follower from :meth:`follow` (rank 0 only)."""
         with self._spmd_lock:
@@ -197,6 +227,10 @@ class SPMDVectorIndex(VectorIndex):
                 blob = _broadcast(np.zeros(blob_len, np.uint8))
                 metadatas = json.loads(bytes(bytearray(blob.tolist())))
                 super().add_batch(np.asarray(emb), metadatas)
+            elif op == _OP_RELOAD:
+                super().load()
+            elif op == _OP_CLEAR:
+                super().clear()
             else:  # pragma: no cover - protocol violation
                 raise RuntimeError(f"unknown SPMD op {op}")
             self.spmd_ops_replayed += 1

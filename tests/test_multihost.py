@@ -10,7 +10,10 @@ full-corpus NumPy oracle."""
 
 import unittest
 
-from photo_search_engine_tpu.parallel.multihost import launch_dryrun
+from photo_search_engine_tpu.parallel.multihost import (
+    launch_app_dryrun,
+    launch_dryrun,
+)
 
 
 class MultiHostDryrunTest(unittest.TestCase):
@@ -41,6 +44,17 @@ class MultiHostDryrunTest(unittest.TestCase):
             launch_dryrun(
                 num_processes=2, local_devices=4, timeout=480.0, http=True
             )
+        )
+
+    def test_two_process_app_deployment(self):
+        # the PRODUCTION multi-host story with no test harness in the
+        # loop: two instances of `python -m photo_search_engine_tpu.api.app`
+        # joined via the DIST_* config triplet; rank 0 serves /init_index
+        # + /search_photos over real HTTP, rank 1 replays device ops
+        # (incl. the clear/reload host-state broadcasts); SIGINT shutdown
+        # releases the follower, whose replay count is asserted
+        self.assertTrue(
+            launch_app_dryrun(num_processes=2, local_devices=4, timeout=420.0)
         )
 
 
