@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <unordered_map>
 #include <vector>
 #include <cmath>
@@ -54,6 +55,11 @@ struct Index {
   std::vector<double> scratch_scores;
   std::vector<int32_t> scratch_matched;
   std::vector<int64_t> touched;
+  // ctypes releases the GIL for every call, and the threaded WSGI server
+  // scores concurrently — the shared scratch (and postings mutation vs
+  // scoring) must serialize.  Scoring is ~ms even at 1M docs, so one
+  // mutex per index is cheap relative to losing scratch persistence.
+  std::mutex mu;
   explicit Index(int32_t n_fields) : fields(n_fields) {}
 };
 
@@ -69,13 +75,16 @@ void* pse_bm25_new(int32_t n_fields) {
 void pse_bm25_free(void* handle) { delete static_cast<Index*>(handle); }
 
 int64_t pse_bm25_doc_count(void* handle) {
-  return static_cast<int64_t>(static_cast<Index*>(handle)->docs.size());
+  Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
+  return static_cast<int64_t>(index->docs.size());
 }
 
 // Tokens may repeat; term frequencies are accumulated here.
 void pse_bm25_add_doc(void* handle, int64_t doc, int32_t field_id,
                       const int64_t* tokens, int64_t n_tokens) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return;
   Field& field = index->fields[field_id];
@@ -107,6 +116,7 @@ void pse_bm25_add_doc(void* handle, int64_t doc, int32_t field_id,
 // touched (doc_terms back-pointers), not the whole vocabulary.
 void pse_bm25_remove_doc(void* handle, int64_t doc) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   index->docs.erase(doc);
   for (Field& field : index->fields) {
     auto len_it = field.doc_len.find(doc);
@@ -139,6 +149,7 @@ void pse_bm25_remove_doc(void* handle, int64_t doc) {
 
 int64_t pse_bm25_field_nnz(void* handle, int32_t field_id) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return 0;
   int64_t nnz = 0;
@@ -149,6 +160,7 @@ int64_t pse_bm25_field_nnz(void* handle, int32_t field_id) {
 
 int64_t pse_bm25_field_doc_count(void* handle, int32_t field_id) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return 0;
   return static_cast<int64_t>(index->fields[field_id].doc_len.size());
@@ -161,10 +173,13 @@ int64_t pse_bm25_export_field(void* handle, int32_t field_id,
                               int64_t* out_tokens, int64_t* out_docs,
                               int32_t* out_tfs, int64_t capacity) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return 0;
   const Field& field = index->fields[field_id];
-  int64_t nnz = pse_bm25_field_nnz(handle, field_id);
+  int64_t nnz = 0;  // inline (field_nnz would re-lock the non-recursive mu)
+  for (const auto& [token, postings] : field.postings)
+    nnz += static_cast<int64_t>(postings.size());
   if (nnz > capacity) return nnz;
   int64_t written = 0;
   for (const auto& [token, postings] : field.postings) {
@@ -183,6 +198,7 @@ int64_t pse_bm25_export_doc_lens(void* handle, int32_t field_id,
                                  int64_t* out_docs, int64_t* out_lens,
                                  int64_t capacity) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return 0;
   const Field& field = index->fields[field_id];
@@ -206,6 +222,7 @@ void pse_bm25_load_field(void* handle, int32_t field_id,
                          const int64_t* len_docs, const int64_t* lens,
                          int64_t n_docs) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return;
   Field& field = index->fields[field_id];
@@ -243,6 +260,7 @@ int64_t pse_bm25_score_field_masked(void* handle, int32_t field_id,
                                     int64_t* out_matched,
                                     int64_t buffer_capacity) {
   Index* index = static_cast<Index*>(handle);
+  std::lock_guard<std::mutex> lock(index->mu);
   if (field_id < 0 || field_id >= static_cast<int32_t>(index->fields.size()))
     return 0;
   const Field& field = index->fields[field_id];

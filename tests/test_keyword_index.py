@@ -386,5 +386,72 @@ class ScaleTest(unittest.TestCase):
         self.assertLess(ms, 80.0, f"phrase-bearing text search: {ms:.1f}ms")
 
 
+class ConcurrencyTest(unittest.TestCase):
+    """The C++ core keeps per-index scoring scratch, and ctypes releases
+    the GIL for every call — the threaded WSGI server (api/wsgi.py) scores
+    concurrently, so unsynchronized calls corrupt the shared scratch.
+    bm25.cc serializes on a per-index mutex; concurrent searches must be
+    bit-identical to serial ones."""
+
+    QUERIES = [
+        f"{scene} {subject}"
+        for scene in ("海边 沙滩", "城市 夜景", "森林 徒步", "tok3 scene")
+        for subject in ("日落 photo", "大楼", "宠物 狗", "tok9")
+    ]
+
+    @classmethod
+    def setUpClass(cls):
+        cls.ki = KeywordIndex()
+        if cls.ki._native is None:
+            raise unittest.SkipTest("native BM25 core unavailable")
+        seasons = ["春天", "夏天", "秋天", "冬天"]
+        words = ["海边", "沙滩", "日落", "城市", "夜景", "大楼", "森林",
+                 "徒步", "宠物", "狗", "photo", "scene"]
+        for i in range(2000):
+            text = " ".join(
+                [words[(i * 7 + j) % len(words)] for j in range(4)]
+                + [f"tok{i % 40}"]
+            )
+            cls.ki.add_document(
+                str(i), _doc(f"/p/{i}.jpg", text, season=seasons[i % 4])
+            )
+
+    def test_concurrent_search_matches_serial(self):
+        import threading
+
+        expected = {q: self.ki.search(q, top_k=20) for q in self.QUERIES}
+        expected_f = {
+            q: self.ki.search_with_filters(q, {"season": "夏天"}, top_k=20)
+            for q in self.QUERIES
+        }
+        mismatches: list = []
+        errors: list = []
+
+        def worker(seed: int):
+            try:
+                for step in range(30):
+                    q = self.QUERIES[(seed + step) % len(self.QUERIES)]
+                    if (seed + step) % 2:
+                        got, want = self.ki.search(q, top_k=20), expected[q]
+                    else:
+                        got = self.ki.search_with_filters(
+                            q, {"season": "夏天"}, top_k=20
+                        )
+                        want = expected_f[q]
+                    if got != want:
+                        mismatches.append(q)
+                        return
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+        threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        self.assertEqual(errors, [])
+        self.assertEqual(mismatches, [])
+
+
 if __name__ == "__main__":
     unittest.main()
