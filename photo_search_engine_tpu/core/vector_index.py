@@ -251,6 +251,11 @@ class VectorIndex:
                 nlist=nlist,
                 metric="ip" if self.metric == "cosine" else self.metric,
                 store_dtype=self.store_dtype,
+                # keep probing dtype consistent across restarts: the sidecar
+                # restore (from_state below) honors the quantized flag, so a
+                # fresh lazy build must too — otherwise an int8 deployment
+                # serves f32 list scans until its first restart
+                quantized=self.quantized,
             )
         self._ivf_built_at = count
         self._ivf_trained_at = count

@@ -147,6 +147,27 @@ class SidecarPersistenceTest(unittest.TestCase):
         hits = vi2.search(self.vecs[11].tolist(), 1)
         self.assertEqual(hits[0]["metadata"]["photo_path"], "/p/11.jpg")
 
+    def test_quantized_flag_consistent_across_restart(self):
+        # regression: the lazy build ignored ``quantized`` while the sidecar
+        # restore honored it, so an int8+ivf deployment served f32 list
+        # scans until its first restart — probing dtype must not depend on
+        # process history
+        vi = _mk(self.tmp.name, ivf_nlist=8, quantized=True)
+        self._fill(vi)
+        vi.save()
+        expected = vi.search(self.vecs[11].tolist(), 5)
+        self.assertTrue(vi._ivf.quantized)
+
+        vi2 = _mk(self.tmp.name, ivf_nlist=8, quantized=True)
+        self.assertTrue(vi2.load())
+        self.assertIsNotNone(vi2._ivf)
+        self.assertTrue(vi2._ivf.quantized)
+        got = vi2.search(self.vecs[11].tolist(), 5)
+        self.assertEqual(
+            [h["metadata"]["photo_path"] for h in got],
+            [h["metadata"]["photo_path"] for h in expected],
+        )
+
     def test_incremental_append_refreshes_sidecar(self):
         vi = _mk(self.tmp.name, ivf_nlist=8)
         self._fill(vi, 280)
