@@ -104,6 +104,22 @@ class EmbeddingStore:
 
     # ------------------------------------------------------------------
     @property
+    def _host(self) -> np.ndarray:
+        """Float32 host mirror. Normally written eagerly by ``append`` (so
+        checkpoints keep full float32 precision); after
+        ``load_device_rows`` it materializes lazily by downloading the
+        device store (store-dtype precision) on first use."""
+        if self._host_cache is None:
+            self._host_cache = np.asarray(
+                self._device[: self._count].astype(jnp.float32)
+            )
+        return self._host_cache
+
+    @_host.setter
+    def _host(self, value: np.ndarray) -> None:
+        self._host_cache = value
+
+    @property
     def count(self) -> int:
         return self._count
 
@@ -139,6 +155,48 @@ class EmbeddingStore:
                 fresh_sc = _update_slice_jit(fresh_sc, self._scales, 0)
             self._device_i8 = fresh_i8
             self._scales = fresh_sc
+
+    def load_device_rows(self, rows_dev: jnp.ndarray) -> None:
+        """Install an already-on-device corpus directly into an empty store.
+
+        Ingest bypass for benches/load tests whose corpora are synthesized
+        on device: appending a host-built 1M×1536 corpus costs a multi-GB
+        host→device upload — tens of minutes on remote-attached runtimes
+        (the reason bench.py and tools/recall_eval.py generate on device).
+        Rows must already be L2-normalized when ``metric == "cosine"``.
+        The float32 host mirror materializes lazily by downloading the
+        device store, so it carries store-dtype (possibly bfloat16)
+        precision — do not treat such a store as an exact checkpoint
+        source the way ``append``-built stores are.
+        """
+        if self._count:
+            raise RuntimeError("load_device_rows requires an empty store")
+        rows_dev = jnp.asarray(rows_dev)
+        if rows_dev.ndim != 2 or rows_dev.shape[1] != self.dimension:
+            raise ValueError(
+                f"expected [N, {self.dimension}] rows, got {rows_dev.shape}"
+            )
+        n = int(rows_dev.shape[0])
+        if n == 0:
+            return
+        capacity = _round_up(n, self._capacity_align)
+        padded = jnp.zeros((capacity, self.dimension), self.store_dtype)
+        padded = _update_slice_jit(padded, rows_dev.astype(self.store_dtype), 0)
+        self._device = padded
+        if self.quantized:
+            # chunked like IVFIndex._ensure_quantized: a whole-capacity
+            # quantize materializes an f32 temp the size of the corpus
+            i8 = jnp.zeros((capacity, self.dimension), jnp.int8)
+            sc = jnp.zeros((capacity, 1), jnp.float32)
+            chunk = 131072
+            for start in range(0, capacity, chunk):
+                qc, s = quant_ops.quantize_rows(self._device[start : start + chunk])
+                i8 = _update_slice_jit(i8, qc, start)
+                sc = _update_slice_jit(sc, s[:, None], start)
+            self._device_i8 = i8
+            self._scales = sc
+        self._count = n
+        self._host_cache = None  # lazy download on first snapshot/reconstruct
 
     def append(self, vectors: np.ndarray) -> None:
         """Append rows (normalizing for cosine) to host mirror + device."""

@@ -38,7 +38,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_stack(rows: int, dim: int, quantized: bool, index_type: str):
+def build_stack(
+    rows: int, dim: int, quantized: bool, index_type: str,
+    host_corpus: bool = False,
+):
     from photo_search_engine_tpu.api.app import create_app
     from photo_search_engine_tpu.core.batcher import attach_microbatcher
     from photo_search_engine_tpu.core.searcher import Searcher
@@ -60,14 +63,8 @@ def build_stack(rows: int, dim: int, quantized: bool, index_type: str):
         ivf_nlist=4096,
         ivf_nprobe=0,
     )
-    rng = np.random.default_rng(0)
-    chunk = 100_000
-    t0 = time.perf_counter()
-    for start in range(0, rows, chunk):
-        n = min(chunk, rows - start)
-        block = rng.normal(size=(n, dim)).astype(np.float32)
-        block /= np.linalg.norm(block, axis=1, keepdims=True)
-        metas = [
+    def _metas(start: int, n: int):
+        return [
             {
                 "photo_path": f"/photos/{start + i}.jpg",
                 "file_name": f"IMG_{start + i:07d}.jpg",
@@ -75,8 +72,48 @@ def build_stack(rows: int, dim: int, quantized: bool, index_type: str):
             }
             for i in range(n)
         ]
-        vector_index.add_batch(block, metas)
-        print(f"  corpus {start + n}/{rows}", flush=True)
+
+    t0 = time.perf_counter()
+    if host_corpus:
+        # the production ingest path (host rows → add_batch); at 1M×1536
+        # this uploads ~6 GB through the device link — tens of minutes on
+        # remote-attached runtimes, so it is opt-in for parity checks only
+        rng = np.random.default_rng(0)
+        chunk = 100_000
+        for start in range(0, rows, chunk):
+            n = min(chunk, rows - start)
+            block = rng.normal(size=(n, dim)).astype(np.float32)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            vector_index.add_batch(block, _metas(start, n))
+            print(f"  corpus {start + n}/{rows}", flush=True)
+    else:
+        # synthesize the corpus ON DEVICE (bench.py / recall_eval
+        # methodology) and install it via the store's ingest bypass —
+        # the HTTP serving path under test is identical either way
+        import jax
+        import jax.numpy as jnp
+
+        from photo_search_engine_tpu.ops.topk import l2_normalize
+
+        store = vector_index._store
+        n_chunks = 8
+        per = -(-rows // n_chunks)
+        parts = [
+            l2_normalize(
+                jax.random.normal(
+                    jax.random.PRNGKey(i), (per, dim), store.store_dtype
+                )
+            )
+            for i in range(n_chunks)
+        ]
+        rows_dev = jnp.concatenate(parts)[:rows]
+        del parts
+        store.load_device_rows(rows_dev)
+        metas = _metas(0, rows)
+        vector_index.metadata.extend(metas)
+        for i, meta in enumerate(metas):
+            vector_index._path_to_index[meta["photo_path"]] = i
+        print(f"  corpus {rows}/{rows} (device-generated)", flush=True)
     build_s = time.perf_counter() - t0
 
     embedding = HashingEmbeddingService(dimension=dim)
@@ -220,10 +257,16 @@ def main() -> int:
     parser.add_argument("--requests", type=int, default=2000)
     parser.add_argument("--quantized", action="store_true")
     parser.add_argument("--index-type", default="flat", choices=["flat", "ivf"])
+    parser.add_argument(
+        "--host-corpus", action="store_true",
+        help="build via the production add_batch upload path (slow on "
+        "remote-attached devices) instead of on-device generation",
+    )
     args = parser.parse_args()
 
     app, vector_index, build_s = build_stack(
-        args.rows, args.dim, args.quantized, args.index_type
+        args.rows, args.dim, args.quantized, args.index_type,
+        host_corpus=args.host_corpus,
     )
     print(f"corpus built: {args.rows}×{args.dim} in {build_s:.1f}s")
     server, port = serve(app)

@@ -91,6 +91,51 @@ class EmbeddingStoreTest(unittest.TestCase):
         store.clear()
         self.assertEqual(len(store._mask_lru), 0)
 
+    def test_load_device_rows_matches_append(self):
+        # the ingest bypass (device-synthesized corpora: bench/load-test
+        # path) must serve identical searches to an append-built store
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        corpus = rng.normal(size=(70, 16)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        ref = EmbeddingStore(16, metric="cosine")
+        ref.append(corpus)
+        store = EmbeddingStore(16, metric="cosine")
+        store.load_device_rows(jnp.asarray(corpus))
+        self.assertEqual(store.count, 70)
+        self.assertEqual(store.capacity % store.block_rows, 0)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        d_ref, i_ref = ref.search(q, 5)
+        d_new, i_new = store.search(q, 5)
+        np.testing.assert_array_equal(i_new, i_ref)
+        np.testing.assert_allclose(d_new, d_ref, rtol=1e-6)
+        # lazy host mirror: snapshot/reconstruct download from device
+        np.testing.assert_allclose(store.snapshot(), corpus, rtol=1e-6)
+        np.testing.assert_allclose(store.reconstruct(7), corpus[7], rtol=1e-6)
+        # appends keep working after the bypass
+        extra = rng.normal(size=(5, 16)).astype(np.float32)
+        store.append(extra)
+        self.assertEqual(store.count, 75)
+        self.assertEqual(store.snapshot().shape, (75, 16))
+        with self.assertRaises(RuntimeError):
+            store.load_device_rows(jnp.asarray(corpus))  # non-empty store
+
+    def test_load_device_rows_quantized(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        corpus = rng.normal(size=(64, 16)).astype(np.float32)
+        ref = EmbeddingStore(16, metric="ip", quantized=True)
+        ref.append(corpus)
+        store = EmbeddingStore(16, metric="ip", quantized=True)
+        store.load_device_rows(jnp.asarray(corpus))
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        d_ref, i_ref = ref.search(q, 5, impl="int8")
+        d_new, i_new = store.search(q, 5, impl="int8")
+        np.testing.assert_array_equal(i_new, i_ref)
+        np.testing.assert_allclose(d_new, d_ref, rtol=1e-6)
+
 
 class VectorIndexTest(unittest.TestCase):
     def setUp(self):
