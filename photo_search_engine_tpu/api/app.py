@@ -282,8 +282,24 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         worker_python_executable=sys.executable,
         worker_entrypoint=["-m", "photo_search_engine_tpu.api.app"],
     )
+    search_embedding = embedding_service
+    if (
+        config.get("SEARCH_MICROBATCH_ENABLED")
+        and embedding_service is not None
+        and hasattr(embedding_service, "generate_embedding_batch")
+    ):
+        # coalesce concurrent per-request query embeds into one device /
+        # embedding-API call — the scan is micro-batched below, and under
+        # load the per-request embed dispatch is the other round trip
+        from photo_search_engine_tpu.core.batcher import BatchedEmbeddingService
+
+        search_embedding = BatchedEmbeddingService(
+            embedding_service,
+            max_batch=config.get("SEARCH_MICROBATCH_MAX_BATCH", 128),
+            window_s=config.get("SEARCH_MICROBATCH_WINDOW_MS", 3.0) / 1000.0,
+        )
     searcher = Searcher(
-        embedding=embedding_service,
+        embedding=search_embedding,
         time_parser=time_parser,
         vector_index=vector_index,
         keyword_index=keyword_index,

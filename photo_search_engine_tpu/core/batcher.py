@@ -203,6 +203,145 @@ class MicroBatcher:
         return pending.result
 
 
+class CallBatcher:
+    """Payload-agnostic sibling of :class:`MicroBatcher`: coalesces
+    concurrent one-item calls into one ``run_batch(items) -> results``
+    call (same linger-window/revivable-worker discipline).  Used to batch
+    per-request query embeddings — each ``/search_photos`` request costs
+    one device (or embedding-API HTTP) round trip for its embed; under
+    concurrency those dispatches dominate per-request latency on
+    remote-attached runtimes and are pure overhead on local chips."""
+
+    def __init__(
+        self,
+        run_batch: Callable[[List[Any]], List[Any]],
+        *,
+        max_batch: int = 128,
+        window_s: float = 0.003,
+    ) -> None:
+        self._run_batch = run_batch
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_s)
+        self._lock = threading.Condition()
+        self._queue: List[Any] = []  # _PendingCall
+        self._worker: Optional[threading.Thread] = None
+        self._stopped = False
+        self.batches_run = 0
+        self.requests_served = 0
+
+    class _PendingCall:
+        __slots__ = ("item", "event", "result", "error")
+
+        def __init__(self, item: Any) -> None:
+            self.item = item
+            self.event = threading.Event()
+            self.result: Any = None
+            self.error: Optional[BaseException] = None
+
+    def _ensure_worker(self) -> None:
+        # see MicroBatcher._ensure_worker for the worker-liveness contract
+        self._stopped = False
+        if self._worker is None:
+            self._worker = threading.Thread(
+                target=self._loop, name="call-batcher", daemon=True
+            )
+            self._worker.start()
+
+    def close(self) -> None:
+        with self._lock:
+            self._stopped = True
+            self._lock.notify_all()
+
+    def _loop(self) -> None:
+        while True:
+            with self._lock:
+                while not self._queue and not self._stopped:
+                    self._lock.wait()
+                if self._stopped and not self._queue:
+                    self._worker = None
+                    return
+                deadline = time.monotonic() + self.window_s
+                while (
+                    len(self._queue) < self.max_batch
+                    and time.monotonic() < deadline
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining > 0:
+                        self._lock.wait(timeout=remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: len(batch)]
+            self._execute(batch)
+
+    def _execute(self, batch: List["CallBatcher._PendingCall"]) -> None:
+        try:
+            # dedupe identical items (repeated query texts under load):
+            # the batch call runs on unique items only
+            unique: List[Any] = []
+            slot: dict = {}
+            for pending in batch:
+                key = pending.item
+                if key not in slot:
+                    slot[key] = len(unique)
+                    unique.append(key)
+            results = self._run_batch(unique)
+            if len(results) != len(unique):
+                raise RuntimeError(
+                    f"batch returned {len(results)} results for "
+                    f"{len(unique)} items"
+                )
+            for pending in batch:
+                pending.result = results[slot[pending.item]]
+        except BaseException as exc:  # propagate to every waiter
+            for pending in batch:
+                pending.error = exc
+        finally:
+            self.batches_run += 1
+            self.requests_served += len(batch)
+            for pending in batch:
+                pending.event.set()
+
+    def submit(self, item: Any) -> Any:
+        pending = self._PendingCall(item)
+        with self._lock:
+            self._ensure_worker()
+            self._queue.append(pending)
+            self._lock.notify_all()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+
+class BatchedEmbeddingService:
+    """Embedding-service wrapper whose single-text ``generate_embedding``
+    coalesces concurrent callers into ONE ``generate_embedding_batch``
+    call.  Batch and attribute access pass through, so it drops in
+    anywhere the wrapped service does (searcher, indexer, rerank)."""
+
+    def __init__(
+        self, service: Any, *, max_batch: int = 128, window_s: float = 0.003
+    ) -> None:
+        self._service = service
+        self._batcher = CallBatcher(
+            service.generate_embedding_batch,
+            max_batch=max_batch,
+            window_s=window_s,
+        )
+
+    def generate_embedding(self, text: str) -> List[float]:
+        if not text or not str(text).strip():
+            # preserve the wrapped service's empty-input contract without
+            # poisoning a coalesced batch
+            return self._service.generate_embedding(text)
+        return self._batcher.submit(str(text))
+
+    def generate_embedding_batch(self, texts: List[str]) -> List[List[float]]:
+        return self._service.generate_embedding_batch(texts)
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self._service, name)
+
+
 def attach_microbatcher(
     vector_index: Any, *, max_batch: int = 128, window_s: float = 0.003
 ) -> MicroBatcher:

@@ -116,7 +116,9 @@ def build_stack(
         print(f"  corpus {rows}/{rows} (device-generated)", flush=True)
     build_s = time.perf_counter() - t0
 
-    embedding = HashingEmbeddingService(dimension=dim)
+    from photo_search_engine_tpu.core.batcher import BatchedEmbeddingService
+
+    embedding = BatchedEmbeddingService(HashingEmbeddingService(dimension=dim))
     searcher = Searcher(
         embedding=embedding,
         time_parser=TimeParser(backend="local"),

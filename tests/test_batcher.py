@@ -180,5 +180,100 @@ class MicroBatcherTest(unittest.TestCase):
             self.assertEqual(ids[0], 0)
 
 
+class CallBatcherTest(unittest.TestCase):
+    def test_concurrent_calls_coalesce_and_dedupe(self):
+        from photo_search_engine_tpu.core.batcher import CallBatcher
+
+        calls = []
+
+        def run_batch(items):
+            calls.append(list(items))
+            return [item.upper() for item in items]
+
+        batcher = CallBatcher(run_batch, window_s=0.05)
+        results = {}
+
+        def worker(text):
+            results[text] = batcher.submit(text)
+
+        import threading
+
+        texts = ["a", "b", "a", "c", "b", "a"]
+        threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        batcher.close()
+        self.assertEqual(results, {"a": "A", "b": "B", "c": "C"})
+        # 6 submissions coalesced into fewer batch calls, each deduplicated
+        self.assertLess(len(calls), 6)
+        for batch in calls:
+            self.assertEqual(len(batch), len(set(batch)))
+
+    def test_errors_propagate_to_all_waiters(self):
+        from photo_search_engine_tpu.core.batcher import CallBatcher
+
+        batcher = CallBatcher(
+            lambda items: (_ for _ in ()).throw(RuntimeError("boom")),
+            window_s=0.02,
+        )
+        with self.assertRaises(RuntimeError):
+            batcher.submit("x")
+        batcher.close()
+
+    def test_result_count_mismatch_fails_loudly(self):
+        from photo_search_engine_tpu.core.batcher import CallBatcher
+
+        batcher = CallBatcher(lambda items: [], window_s=0.01)
+        with self.assertRaises(RuntimeError):
+            batcher.submit("x")
+        batcher.close()
+
+
+class BatchedEmbeddingServiceTest(unittest.TestCase):
+    def test_matches_wrapped_service_under_concurrency(self):
+        import threading
+
+        from photo_search_engine_tpu.core.batcher import BatchedEmbeddingService
+        from photo_search_engine_tpu.models.hash_embedder import (
+            HashingEmbeddingService,
+        )
+
+        inner = HashingEmbeddingService(dimension=32)
+        batch_calls = {"n": 0}
+        real_batch = inner.generate_embedding_batch
+
+        def counting_batch(texts):
+            batch_calls["n"] += 1
+            return real_batch(texts)
+
+        inner.generate_embedding_batch = counting_batch
+        wrapped = BatchedEmbeddingService(inner, window_s=0.05)
+        texts = [f"海边 日落 {i % 4}" for i in range(16)]
+        expected = {t: inner.generate_embedding(t) for t in set(texts)}
+        got = {}
+        lock = threading.Lock()
+
+        def worker(text):
+            vec = wrapped.generate_embedding(text)
+            with lock:
+                got[text] = vec
+
+        before = batch_calls["n"]
+        threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        self.assertEqual(got, expected)
+        self.assertLess(batch_calls["n"] - before, 16)  # coalesced
+        # contract passthrough: empty input raises like the wrapped service
+        with self.assertRaises(ValueError):
+            wrapped.generate_embedding("   ")
+        # attribute passthrough
+        self.assertEqual(wrapped.dimension, 32)
+
+
 if __name__ == "__main__":
     unittest.main()
