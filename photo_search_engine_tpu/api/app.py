@@ -531,6 +531,10 @@ def main(argv: Optional[list] = None) -> int:
 
     class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        # socketserver's default listen backlog (5) resets connections
+        # under concurrent load; searches queue in the micro-batcher, so
+        # accept bursts instead of refusing them
+        request_queue_size = 128
 
     server = make_server(host, port, app, server_class=ThreadingWSGIServer)
     print(f"[INFO] serving on http://{host}:{port}", flush=True)

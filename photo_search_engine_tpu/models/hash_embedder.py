@@ -30,6 +30,15 @@ from photo_search_engine_tpu.core.keyword_index import tokenize
 _SUBLINEAR = True
 
 
+def _round_up_pow2(value: int, *, base: int) -> int:
+    """Next power of two ≥ max(base, value) — shape bucketing for the
+    jitted scatter-add (see embed_batch)."""
+    bucket = base
+    while bucket < value:
+        bucket *= 2
+    return bucket
+
+
 def _stable_hash(token: str, seed: int) -> int:
     digest = hashlib.blake2b(
         token.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little")
@@ -81,16 +90,21 @@ class HashEmbedder:
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         feats = [self._features(t) for t in texts]
         max_len = max((len(i) for i, _ in feats), default=0)
-        max_len = max(max_len, 1)
+        # bucket both dims so the jitted scatter-add compiles a bounded
+        # shape set (organic serving traffic otherwise produces a fresh
+        # [B, T] executable per batch-size × longest-text combination);
+        # padded slots are index -1 / weight 0, padded rows slice off
+        max_len = _round_up_pow2(max(max_len, 1), base=16)
         batch = len(feats)
-        indices = np.full((batch, max_len), -1, np.int32)
-        weights = np.zeros((batch, max_len), np.float32)
+        batch_p = _round_up_pow2(max(batch, 1), base=8)
+        indices = np.full((batch_p, max_len), -1, np.int32)
+        weights = np.zeros((batch_p, max_len), np.float32)
         for row, (idx, wgt) in enumerate(feats):
             indices[row, : len(idx)] = idx
             weights[row, : len(wgt)] = wgt
-        zeros = jnp.zeros((batch, self.dimension), jnp.float32)
+        zeros = jnp.zeros((batch_p, self.dimension), jnp.float32)
         out = _accumulate_and_normalize(jnp.asarray(indices), jnp.asarray(weights), zeros)
-        return np.asarray(out)
+        return np.asarray(out)[:batch]
 
     def embed(self, text: str) -> np.ndarray:
         return self.embed_batch([text])[0]

@@ -34,7 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from photo_search_engine_tpu.ops.topk import _extract_block_topk
+from photo_search_engine_tpu.ops.topk import (
+    _extract_block_topk,
+    bucket_queries,
+)
 
 _LANE = 128
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -1032,7 +1035,7 @@ class IVFIndex:
             scores = jnp.where(keep, scores, -jnp.inf)
             vals, idx = jax.lax.top_k(scores, k)
         else:
-            bq = min(128, _round_up(q, 8))
+            bq = min(128, bucket_queries(q))
             qp = _round_up(q, bq)
             queries_p = jnp.pad(queries, ((0, qp - q), (0, 0)))
             probe_p = jnp.pad(probe_matrix, ((0, qp - q), (0, 0)))

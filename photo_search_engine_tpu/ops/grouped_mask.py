@@ -35,6 +35,7 @@ from photo_search_engine_tpu.ops.topk import (
     _extract_block_topk_fast,
     _on_tpu,
     _round_up,
+    bucket_queries,
     default_block_n,
 )
 
@@ -222,7 +223,7 @@ def grouped_mask_search(
 
     interpret = not _on_tpu()
     bn = block_n or default_block_n(corpus.dtype, d)
-    bq = min(block_q or 128, _round_up(queries.shape[0], 8))
+    bq = min(block_q or 128, bucket_queries(queries.shape[0]))
     dp = _round_up(d, _LANE)
     np_ = _round_up(n, bn)
     qp = _round_up(queries.shape[0], bq)

@@ -49,6 +49,7 @@ from photo_search_engine_tpu.ops.topk import (
     _extract_block_topk_fast,
     _on_tpu,
     _round_up,
+    bucket_queries,
     exact_search,
 )
 
@@ -394,7 +395,7 @@ def grouped_int8_search(
 
     interpret = not _on_tpu()
     bn = block_n or default_block_n_int8(d)
-    bq = min(block_q or 256, _round_up(queries.shape[0], 8))
+    bq = min(block_q or 256, bucket_queries(queries.shape[0]))
     if (_round_up(n, bn) // bn) * kloc < k:
         # nomination pool cannot cover k — take the exact grouped path
         return grouped_mask_oracle(
@@ -475,7 +476,7 @@ def int8_search(
 
     interpret = not _on_tpu()
     bn = block_n or default_block_n_int8(d)
-    bq = min(block_q or 256, _round_up(queries.shape[0], 8))
+    bq = min(block_q or 256, bucket_queries(queries.shape[0]))
     if (_round_up(n, bn) // bn) * kloc < k:
         # the per-block nomination pool cannot cover k (few blocks, k >
         # kloc unroll bound) — the exact path is cheap at this scale

@@ -77,6 +77,21 @@ def default_block_n(dtype, dim: int = 1536) -> int:
     return rows
 
 
+def bucket_queries(qn: int) -> int:
+    """Next power of two ≥ max(8, qn) — the padded query count for a
+    kernel call.  Rounding to the nearest 8 gave every distinct batch
+    size its own compiled executable (16 shapes under a max_batch=128
+    micro-batcher); at 1M rows each one is a multi-minute XLA/Mosaic
+    compile on remote-attached runtimes, and a serving path that sees
+    organic batch sizes stalls behind them.  Powers of two bound the
+    shape set to {8, 16, 32, 64, 128, ...} at ≤2× padded query work —
+    nearly free, since the corpus read dominates these scans."""
+    bucket = 8
+    while bucket < qn:
+        bucket *= 2
+    return bucket
+
+
 # ---------------------------------------------------------------------------
 # Oracle (jnp + lax.top_k)
 # ---------------------------------------------------------------------------
@@ -565,7 +580,7 @@ def exact_search(
     bn = block_n or default_block_n(corpus.dtype, d)
     bq = block_q or 128
     qn = queries.shape[0]
-    bq = min(bq, _round_up(qn, 8))
+    bq = min(bq, bucket_queries(qn))
 
     dp = _round_up(d, _LANE)
     np_ = _round_up(n, bn)

@@ -325,6 +325,7 @@ def worker_http_main(
 
     class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        request_queue_size = 128  # default backlog of 5 resets under load
 
     with socket.socket() as probe:
         probe.bind(("127.0.0.1", 0))

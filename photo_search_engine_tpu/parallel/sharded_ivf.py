@@ -41,6 +41,7 @@ from photo_search_engine_tpu.models.ivf import (
     _ivf_pallas,
     _round_up,
     balanced_layout,
+    bucket_queries,
 )
 from photo_search_engine_tpu.parallel.sharded import (
     DATA_AXIS,
@@ -524,7 +525,7 @@ class ShardedIVFIndex:
                     int(self.built_counts.sum()), 1
                 )
             nprobe = IVFIndex._inflate_nprobe(nprobe, mask_ratio, self.nlist)
-        bq = min(128, _round_up(q, 8))
+        bq = min(128, bucket_queries(q))
         qp = _round_up(q, bq)
         s_max = min(self.nlist, q * nprobe)
         q_pad = np.zeros((qp, self.dp), np.float32)
