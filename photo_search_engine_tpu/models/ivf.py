@@ -1013,7 +1013,14 @@ class IVFIndex:
             if block_bytes + probe_bytes > 12 * 1024 * 1024:
                 impl = "lax"
 
-        probe_matrix, selected, sel_count, s_max = self._probe(queries, nprobe)
+        # bucket the probed row count so the centroid probe and the kernel
+        # compile a bounded shape set under organic serving batch sizes
+        # (ops/topk.bucket_queries rationale); padded zero queries probe
+        # arbitrary clusters and their rows slice off below
+        bq = min(128, bucket_queries(q))
+        qp = _round_up(q, bq)
+        queries_pad = jnp.pad(queries, ((0, qp - q), (0, 0)))
+        probe_matrix, selected, sel_count, s_max = self._probe(queries_pad, nprobe)
 
         if impl == "lax":
             scores = jax.lax.dot_general(
@@ -1030,15 +1037,13 @@ class IVFIndex:
             cluster_of_slot = (
                 jnp.arange(self.nlist * self.capacity, dtype=jnp.int32) // self.capacity
             )
-            probed = jnp.take(probe_matrix, cluster_of_slot, axis=1) > 0
+            probed = jnp.take(probe_matrix[:q], cluster_of_slot, axis=1) > 0
             keep = jnp.logical_and(probed, row_valid > 0)
             scores = jnp.where(keep, scores, -jnp.inf)
             vals, idx = jax.lax.top_k(scores, k)
         else:
-            bq = min(128, bucket_queries(q))
-            qp = _round_up(q, bq)
-            queries_p = jnp.pad(queries, ((0, qp - q), (0, 0)))
-            probe_p = jnp.pad(probe_matrix, ((0, qp - q), (0, 0)))
+            queries_p = queries_pad
+            probe_p = probe_matrix
             cnorms = (
                 self._corpus_norms()
                 if self.metric == "l2"

@@ -357,10 +357,14 @@ class ShardedIVFIndex:
         return self._cnorms_dev
 
     def _program(
-        self, k: int, bq: int, qp: int, q: int, nprobe: int, s_max: int,
+        self, k: int, bq: int, qp: int, nprobe: int, s_max: int,
         has_mask: bool = False,
     ):
-        key = (k, bq, qp, q, nprobe, s_max, has_mask)
+        # the live query count rides as a dynamic scalar operand, so the
+        # compiled-program key depends only on BUCKETED shapes (a static q
+        # re-specialized the program per organic batch size — one
+        # multi-second compile per size under serving traffic)
+        key = (k, bq, qp, nprobe, s_max, has_mask)
         cached = self._search_cache.get(key)
         if cached is not None:
             return cached
@@ -387,13 +391,13 @@ class ShardedIVFIndex:
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(), P())
+            in_specs=(P(axis, None), P(axis), P(), P(), P())
             + ((P(axis),) if has_mask else ())
             + ((P(axis),) if is_l2 else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(layout_shard, valid_shard, cents, queries_rep, *rest):
+        def run(layout_shard, valid_shard, cents, queries_rep, q_live, *rest):
             rest = list(rest)
             if has_mask:
                 # per-shard slot-permuted filter bits × row validity: the
@@ -421,7 +425,7 @@ class ShardedIVFIndex:
             # smallest-norm centroids and inflate the stage-2 union by up
             # to qp/q on the single-query serving path
             row_live = (
-                jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0) < q
+                jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0) < q_live[0, 0]
             ).astype(jnp.int32)
             probe_matrix = probe_matrix * row_live
             any_probe = jnp.sum(probe_matrix, axis=0)
@@ -527,15 +531,17 @@ class ShardedIVFIndex:
             nprobe = IVFIndex._inflate_nprobe(nprobe, mask_ratio, self.nlist)
         bq = min(128, bucket_queries(q))
         qp = _round_up(q, bq)
-        s_max = min(self.nlist, q * nprobe)
+        # s_max from the BUCKETED count keeps the program key shape-stable
+        s_max = min(self.nlist, qp * nprobe)
         q_pad = np.zeros((qp, self.dp), np.float32)
         q_pad[:q, : self.dim] = queries
         run = self._program(
-            k, bq, qp, q, nprobe, s_max, has_mask=slot_mask is not None
+            k, bq, qp, nprobe, s_max, has_mask=slot_mask is not None
         )
         args = (
             self._layout, self._row_valid, self._cents_dev,
             _stage(self.mesh, q_pad, P(), np.float32),
+            _stage(self.mesh, np.full((1, 1), q, np.int32), P(), np.int32),
         )
         if slot_mask is not None:
             args = args + (self._stage_mask(slot_mask),)
