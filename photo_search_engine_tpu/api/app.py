@@ -297,6 +297,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
             embedding_service,
             max_batch=config.get("SEARCH_MICROBATCH_MAX_BATCH", 128),
             window_s=config.get("SEARCH_MICROBATCH_WINDOW_MS", 3.0) / 1000.0,
+            pipeline=config.get("SEARCH_MICROBATCH_PIPELINE", 2),
         )
     searcher = Searcher(
         embedding=search_embedding,
@@ -331,6 +332,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
             vector_index,
             max_batch=config.get("SEARCH_MICROBATCH_MAX_BATCH", 128),
             window_s=config.get("SEARCH_MICROBATCH_WINDOW_MS", 3.0) / 1000.0,
+            pipeline=config.get("SEARCH_MICROBATCH_PIPELINE", 2),
         )
 
     return {

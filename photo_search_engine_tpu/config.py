@@ -193,6 +193,9 @@ def load_config() -> Dict[str, Any]:
         "SEARCH_MICROBATCH_ENABLED": _get_bool("SEARCH_MICROBATCH_ENABLED", True),
         "SEARCH_MICROBATCH_WINDOW_MS": _get_float("SEARCH_MICROBATCH_WINDOW_MS", 3.0),
         "SEARCH_MICROBATCH_MAX_BATCH": _get_int("SEARCH_MICROBATCH_MAX_BATCH", 128),
+        # in-flight batch depth: overlaps batch N+1's dispatch with batch
+        # N's result fetch (core/batcher.py); 1 = strict serial
+        "SEARCH_MICROBATCH_PIPELINE": _get_int("SEARCH_MICROBATCH_PIPELINE", 2),
         "DEFAULT_SEARCH_MODE": os.getenv("DEFAULT_SEARCH_MODE", "balanced").strip().lower(),
         # --- TPU retrieval-core knobs (no reference equivalent) ---
         # auto = bfloat16 on TPU (the benchmarked serving config; persistence

@@ -180,6 +180,56 @@ class MicroBatcherTest(unittest.TestCase):
             self.assertEqual(ids[0], 0)
 
 
+class PipelineTest(unittest.TestCase):
+    def _run(self, pipeline):
+        import threading
+        import time as _time
+
+        from photo_search_engine_tpu.core.batcher import MicroBatcher
+
+        state = {"inflight": 0, "peak": 0}
+        gate = threading.Lock()
+
+        def run_batch(queries, k):
+            with gate:
+                state["inflight"] += 1
+                state["peak"] = max(state["peak"], state["inflight"])
+            _time.sleep(0.05)  # a slow dispatch/fetch round trip
+            with gate:
+                state["inflight"] -= 1
+            return (
+                np.tile(queries[:, :1], (1, k)),
+                np.tile(np.arange(k, dtype=np.int64)[None, :], (queries.shape[0], 1)),
+            )
+
+        batcher = MicroBatcher(run_batch, window_s=0.0, pipeline=pipeline)
+        results = []
+        lock = threading.Lock()
+
+        def worker(i):
+            vals, idx = batcher.search(np.full(4, float(i), np.float32), 3)
+            with lock:
+                results.append((i, float(vals[0])))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        batcher.close()
+        self.assertEqual(len(results), 12)
+        for i, val in results:
+            self.assertEqual(val, float(i))  # every caller got ITS slice
+        return state["peak"]
+
+    def test_pipeline_overlaps_batches(self):
+        # zero linger window → many small batches; depth 2 must overlap
+        self.assertGreaterEqual(self._run(pipeline=2), 2)
+
+    def test_pipeline_one_is_strictly_serial(self):
+        self.assertEqual(self._run(pipeline=1), 1)
+
+
 class CallBatcherTest(unittest.TestCase):
     def test_concurrent_calls_coalesce_and_dedupe(self):
         from photo_search_engine_tpu.core.batcher import CallBatcher
