@@ -153,7 +153,17 @@ def apply_rerank_pipeline(
     return reranked, state
 
 
-def _error_payload(message: str, started: float) -> Dict[str, Any]:
+def _error_payload(
+    message: str, started: float, *, log_traceback: bool = False
+) -> Dict[str, Any]:
+    # unexpected 500s print their stack server-side (the reference tags
+    # failures with [ERROR] prints throughout) — a bare exception string
+    # like "list index out of range" is undebuggable from the client
+    if log_traceback:
+        import traceback
+
+        print(f"[ERROR] {message}")
+        traceback.print_exc()
     return {
         "status": "error",
         "message": message,
@@ -281,7 +291,7 @@ def register_routes(
         except ValueError as exc:
             return _error_payload(str(exc), started), 400
         except Exception as exc:
-            return _error_payload(f"搜索异常: {exc}", started), 500
+            return _error_payload(f"搜索异常: {exc}", started, log_traceback=True), 500
 
     @app.route("/search_by_image", methods=["POST"])
     @_timed("search_by_image")
@@ -324,7 +334,7 @@ def register_routes(
         except ValueError as exc:
             return _error_payload(str(exc), started), 400
         except Exception as exc:
-            return _error_payload(f"以图搜图异常: {exc}", started), 500
+            return _error_payload(f"以图搜图异常: {exc}", started, log_traceback=True), 500
 
     @app.route("/search_by_uploaded_image", methods=["POST"])
     @_timed("search_by_uploaded_image")

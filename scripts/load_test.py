@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_stack(
     rows: int, dim: int, quantized: bool, index_type: str,
-    host_corpus: bool = False,
+    host_corpus: bool = False, window_ms: float = 3.0, pipeline: int = 2,
 ):
     from photo_search_engine_tpu.api.app import create_app
     from photo_search_engine_tpu.core.batcher import attach_microbatcher
@@ -119,7 +119,11 @@ def build_stack(
 
     from photo_search_engine_tpu.core.batcher import BatchedEmbeddingService
 
-    embedding = BatchedEmbeddingService(HashingEmbeddingService(dimension=dim))
+    embedding = BatchedEmbeddingService(
+        HashingEmbeddingService(dimension=dim),
+        window_s=window_ms / 1000.0,
+        pipeline=pipeline,
+    )
     searcher = Searcher(
         embedding=embedding,
         time_parser=TimeParser(backend="local"),
@@ -135,7 +139,10 @@ def build_stack(
     )
     # the corpus was built in memory (never save()d), so mark it served
     searcher.index_loaded = True
-    attach_microbatcher(vector_index, max_batch=128, window_s=0.003)
+    attach_microbatcher(
+        vector_index, max_batch=128, window_s=window_ms / 1000.0,
+        pipeline=pipeline,
+    )
 
     class _ReadyIndexer:
         """Route contract stub: the corpus is pre-built in-process, so the
@@ -284,6 +291,15 @@ def main() -> int:
     parser.add_argument("--quantized", action="store_true")
     parser.add_argument("--index-type", default="flat", choices=["flat", "ivf"])
     parser.add_argument(
+        "--window-ms", type=float, default=3.0,
+        help="micro-batch linger window; raise on high-RTT links so "
+        "batches grow (QPS ~ batch_size / (RTT + window))",
+    )
+    parser.add_argument(
+        "--pipeline", type=int, default=2,
+        help="in-flight batch depth (SEARCH_MICROBATCH_PIPELINE)",
+    )
+    parser.add_argument(
         "--host-corpus", action="store_true",
         help="build via the production add_batch upload path (slow on "
         "remote-attached devices) instead of on-device generation",
@@ -303,7 +319,8 @@ def main() -> int:
 
     app, vector_index, build_s = build_stack(
         args.rows, args.dim, args.quantized, args.index_type,
-        host_corpus=args.host_corpus,
+        host_corpus=args.host_corpus, window_ms=args.window_ms,
+        pipeline=args.pipeline,
     )
     print(f"corpus built: {args.rows}×{args.dim} in {build_s:.1f}s")
     server, port = serve(app)
@@ -327,6 +344,8 @@ def main() -> int:
         threads=args.threads,
         quantized=bool(args.quantized),
         index_type=args.index_type,
+        window_ms=args.window_ms,
+        pipeline=args.pipeline,
         route=vector_index.last_route,
     )
     if batcher is not None and batcher.batches_run:
