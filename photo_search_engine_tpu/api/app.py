@@ -131,12 +131,14 @@ def _vector_index_class_and_knobs(config: Dict[str, Any]):
             f"[WARN] multi-host run with MESH_DEVICES=0; using the global "
             f"mesh ({mesh_devices} devices)"
         )
-    if str(index_type).lower() == "ivf":
-        print(
-            "[WARN] index_type=ivf is not supported on a multi-controller "
-            "mesh (lazy build is not rank-reproducible); using flat"
-        )
-        index_type = "flat"
+    # index_type=ivf IS supported multi-controller: the lazy _ensure_ivf
+    # build is rank-reproducible (host mirrors are replicated, all host
+    # randomness is seeded, and every device step — data-parallel k-means,
+    # probe kernels, autotune searches — is the same SPMD computation
+    # entered in the same order on every rank; proven end-to-end in
+    # test_multihost.py's serving slice).  Sidecar persistence is rank-0
+    # only (vector_index._save_ivf_sidecar) so a shared DATA_DIR sees one
+    # writer.
     return SPMDVectorIndex, mesh_devices, index_type
 
 

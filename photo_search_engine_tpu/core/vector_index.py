@@ -694,6 +694,14 @@ class VectorIndex:
         nprobe — ~37 MB at 1M rows vs the 15–27 s k-means it replaces).
         Written atomically; removed when there is no current trained index
         (a stale sidecar must never outlive the rows it indexed)."""
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-controller: every rank trains the identical index
+            # (replicated host state), but a shared DATA_DIR must see ONE
+            # writer — the fixed .tmp name would tear under concurrent
+            # rank writes
+            return
         current = (
             self.index_type == "ivf"
             and self._ivf is not None

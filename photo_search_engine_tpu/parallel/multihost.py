@@ -186,9 +186,46 @@ def worker_serving_main(
     masked = vi.search_masked(queries[0].tolist(), k, mask)
     masked_scores = scores[0].copy()
     masked_scores[~mask] = -np.inf
-    want = [f"/p/{j}.jpg" for j in np.argsort(-masked_scores, kind="stable")[:k]]
+    want_masked = [
+        f"/p/{j}.jpg" for j in np.argsort(-masked_scores, kind="stable")[:k]
+    ]
     got = [h["metadata"]["photo_path"] for h in masked]
-    assert got == want, f"masked: {got} != {want}"
+    assert got == want_masked, f"masked: {got} != {want_masked}"
+
+    # ---- IVF on the multi-controller mesh -----------------------------
+    # The lazy _ensure_ivf build IS rank-reproducible: host mirrors are
+    # replicated (every controller appends the same rows; _stage slices
+    # the addressable part only at device upload), all host randomness is
+    # seeded, and every device step (data-parallel k-means, probe kernel,
+    # autotune searches) is the same SPMD computation entered in the same
+    # order on every rank.  Autotune on iid noise escalates to full probe
+    # (recall target unreachable by pruning), so results must match the
+    # exact oracle bit-for-bit.
+    vi_ivf = VectorIndex(
+        dimension=dim,
+        index_path=f"{tmp}/mh_ivf.index",
+        metadata_path=f"{tmp}/mh_ivf-meta.json",
+        metric="cosine",
+        mesh_devices=n_devices,
+        index_type="ivf",
+        ivf_nlist=16,
+        ivf_nprobe=0,  # autotune: exercises the doubling loop on-mesh
+    )
+    vi_ivf.add_batch(
+        corpus, [{"photo_path": f"/p/{i}.jpg"} for i in range(rows)]
+    )
+    batches = vi_ivf.search_batch(queries, k)
+    assert vi_ivf.last_route["impl"] == "ivf", vi_ivf.last_route
+    for qi, hits in enumerate(batches):
+        got = [h["metadata"]["photo_path"] for h in hits]
+        want = [f"/p/{j}.jpg" for j in oracle[qi]]
+        assert got == want, f"ivf query {qi}: {got} != {want}"
+
+    # masked IVF keeps cluster pruning on the multi-controller mesh
+    masked = vi_ivf.search_masked(queries[0].tolist(), k, mask)
+    assert vi_ivf.last_route["impl"] == "ivf_masked", vi_ivf.last_route
+    got = [h["metadata"]["photo_path"] for h in masked]
+    assert got == want_masked, f"ivf masked: {got} != {want_masked}"
 
     print(
         f"{_SERVING_OK_MARKER} process={process_id} devices={n_devices}",
@@ -543,6 +580,13 @@ def launch_app_dryrun(
         EMBEDDING_DIMENSION="64",
         MESH_DEVICES="-1",
         INDEX_BACKGROUND_MODE="thread",
+        # the production multi-controller config runs IVF: the lazy build
+        # must be rank-reproducible through the SPMD fan-in (rank 0
+        # triggers it inside a broadcast _route_search; followers build
+        # identically during replay)
+        VECTOR_INDEX_TYPE="ivf",
+        IVF_NLIST="8",
+        IVF_NPROBE="0",
     )
 
     procs: List[subprocess.Popen] = []
@@ -616,6 +660,9 @@ def launch_app_dryrun(
         results = payload.get("results") or []
         if not results:
             return _fail(f"empty search results: {payload}")
+        route = (payload.get("search_debug") or {}).get("index_route") or {}
+        if route.get("impl") != "ivf":
+            return _fail(f"expected the ivf route, served {route}")
         # a time-filtered query exercises the masked path end to end
         _post("/search_photos", {"query": "一月 的 照片", "top_k": 3})
     except Exception as exc:  # noqa: BLE001
