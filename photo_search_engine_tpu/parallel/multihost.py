@@ -227,6 +227,28 @@ def worker_serving_main(
     got = [h["metadata"]["photo_path"] for h in masked]
     assert got == want_masked, f"ivf masked: {got} != {want_masked}"
 
+    # ---- int8 (quantized) store on the multi-controller mesh ----------
+    vi_i8 = VectorIndex(
+        dimension=dim,
+        index_path=f"{tmp}/mh_i8.index",
+        metadata_path=f"{tmp}/mh_i8-meta.json",
+        metric="cosine",
+        mesh_devices=n_devices,
+        quantized=True,
+    )
+    vi_i8.add_batch(
+        corpus, [{"photo_path": f"/p/{i}.jpg"} for i in range(rows)]
+    )
+    batches = vi_i8.search_batch(queries, k)
+    assert vi_i8.last_route["impl"] == "int8", vi_i8.last_route
+    overlap = 0.0
+    for qi, hits in enumerate(batches):
+        got = {h["metadata"]["photo_path"] for h in hits}
+        want = {f"/p/{j}.jpg" for j in oracle[qi]}
+        overlap += len(got & want) / k
+    overlap /= len(batches)
+    assert overlap >= 0.9, f"int8 multi-controller recall {overlap}"
+
     print(
         f"{_SERVING_OK_MARKER} process={process_id} devices={n_devices}",
         flush=True,
