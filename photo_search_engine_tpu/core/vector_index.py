@@ -366,13 +366,67 @@ class VectorIndex:
             return self.ivf_nprobe
         return self._ivf_nprobe_auto or 64
 
+    def _validated_fetch(self, run, what: str):
+        """Run a device search and validate the fetched row indices
+        against the live count, re-fetching once on violation.
+
+        On some remote-attached runtimes a result fetch can land BEFORE
+        the computation finishes (the documented early-``block_until_
+        ready`` relay bug, docs/DESIGN.md §5) and read garbage — observed
+        in production load tests as top-k indices beyond the corpus
+        (~0.2% of scans at 1M under heavy concurrency; the same kernels
+        pass exhaustive parity and compiled-mode smoke).  By the time the
+        re-fetch runs the computation has landed, so one retry clears it;
+        a second violation is a real kernel bug and raises.
+
+        Multi-controller runtimes skip the check: a lone rank re-entering
+        the (collective) computation would desync SPMD replay, and the
+        early-fetch bug is a remote-relay artifact that multi-controller
+        deployments don't have."""
+        import jax
+
+        if jax.process_count() > 1:
+            return run()
+        dists, idx = run()
+        upper = self._store.count
+        idx_arr = np.asarray(idx)
+        if idx_arr.size and (
+            int(idx_arr.max(initial=-1)) >= upper
+            or int(idx_arr.min(initial=0)) < -1
+        ):
+            print(
+                f"[WARN] {what} returned out-of-range row indices "
+                f"(max {int(idx_arr.max(initial=-1))} vs count {upper}); "
+                "re-fetching once (remote-runtime early-fetch guard)"
+            )
+            dists, idx = run()
+            idx_arr = np.asarray(idx)
+            if idx_arr.size and (
+                int(idx_arr.max(initial=-1)) >= upper
+                or int(idx_arr.min(initial=0)) < -1
+            ):
+                raise RuntimeError(
+                    f"{what} returned out-of-range indices twice "
+                    f"(max {int(idx_arr.max(initial=-1))}, count {upper})"
+                )
+        return dists, idx
+
     def _route_search(
         self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
     ):
         """One routing point for every batched search entry: IVF when
         configured (including the micro-batcher's zero-copy path —
         previously it silently bypassed IVF, scanning the flat store),
-        masked/exact otherwise."""
+        masked/exact otherwise.  Results pass the early-fetch validation
+        (:meth:`_validated_fetch`)."""
+        return self._validated_fetch(
+            lambda: self._route_search_once(queries, k, mask),
+            "batched search",
+        )
+
+    def _route_search_once(
+        self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
+    ):
         if self.index_type == "ivf" and mask is None:
             if self.metric == "cosine":
                 norms = np.linalg.norm(queries, axis=1, keepdims=True)
@@ -468,8 +522,11 @@ class VectorIndex:
             return np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int32)
         queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
         k = min(int(top_k), self._store.count)
-        return self._store.grouped_search(
-            queries, k, mask_table, mask_ids, impl=self._search_impl
+        return self._validated_fetch(
+            lambda: self._store.grouped_search(
+                queries, k, mask_table, mask_ids, impl=self._search_impl
+            ),
+            "grouped search",
         )
 
     def search_masked(

@@ -103,8 +103,29 @@ class HashEmbedder:
             indices[row, : len(idx)] = idx
             weights[row, : len(wgt)] = wgt
         zeros = jnp.zeros((batch_p, self.dimension), jnp.float32)
-        out = _accumulate_and_normalize(jnp.asarray(indices), jnp.asarray(weights), zeros)
-        return np.asarray(out)[:batch]
+        idx_dev, wgt_dev = jnp.asarray(indices), jnp.asarray(weights)
+        out = np.asarray(_accumulate_and_normalize(idx_dev, wgt_dev, zeros))
+        # early-fetch guard (see VectorIndex._validated_fetch): rows are
+        # unit-norm (or exactly zero for empty texts) by construction, so
+        # a garbage fetch from a remote-attached runtime is detectable —
+        # recompute once rather than silently serving a corrupt query
+        # vector
+        norms = np.linalg.norm(out[:batch], axis=1)
+        valid = np.isfinite(norms) & ((np.abs(norms - 1.0) < 1e-3) | (norms == 0.0))
+        if not valid.all():
+            print(
+                "[WARN] embed fetch failed the unit-norm invariant; "
+                "recomputing once (remote-runtime early-fetch guard)"
+            )
+            zeros = jnp.zeros((batch_p, self.dimension), jnp.float32)
+            out = np.asarray(_accumulate_and_normalize(idx_dev, wgt_dev, zeros))
+            norms = np.linalg.norm(out[:batch], axis=1)
+            valid = np.isfinite(norms) & (
+                (np.abs(norms - 1.0) < 1e-3) | (norms == 0.0)
+            )
+            if not valid.all():
+                raise RuntimeError("embedding fetch invalid twice")
+        return out[:batch]
 
     def embed(self, text: str) -> np.ndarray:
         return self.embed_batch([text])[0]

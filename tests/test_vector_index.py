@@ -154,6 +154,38 @@ class VectorIndexTest(unittest.TestCase):
         self.assertIn("metadata", results[0])
         self.assertIn("distance", results[0])
 
+    def test_early_fetch_guard_retries_out_of_range_indices(self):
+        # remote-attached runtimes can fetch a result buffer before the
+        # computation lands (garbage indices — observed ~0.2% of 1M scans
+        # under load); _validated_fetch must re-run once and succeed, and
+        # raise if the second fetch is ALSO garbage
+        vi = _mk(self.tmp.name, metric="cosine", dimension=8)
+        rng = np.random.default_rng(7)
+        vi.add_batch(
+            rng.normal(size=(20, 8)).astype(np.float32),
+            [{"photo_path": f"/p/{i}.jpg"} for i in range(20)],
+        )
+        real = vi._store.search
+        calls = {"n": 0, "bad": 1}
+
+        def flaky(queries, k, mask=None, impl="auto"):
+            calls["n"] += 1
+            dists, idx = real(queries, k, mask=mask, impl=impl)
+            if calls["n"] <= calls["bad"]:
+                idx = np.asarray(idx) + 1_000_000  # garbage fetch
+            return dists, idx
+
+        vi._store.search = flaky
+        hits = vi.search(rng.normal(size=8).tolist(), 3)
+        self.assertEqual(len(hits), 3)
+        self.assertEqual(calls["n"], 2)  # exactly one retry
+        for hit in hits:
+            self.assertIn("metadata", hit)
+
+        calls["n"], calls["bad"] = 0, 2  # garbage twice → loud failure
+        with self.assertRaises(RuntimeError):
+            vi.search(rng.normal(size=8).tolist(), 3)
+
     def test_dimension_mismatch_raises(self):
         vi = _mk(self.tmp.name, dimension=8)
         with self.assertRaises(ValueError):
