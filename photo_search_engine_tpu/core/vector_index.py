@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -366,50 +367,57 @@ class VectorIndex:
             return self.ivf_nprobe
         return self._ivf_nprobe_auto or 64
 
+    _FETCH_ATTEMPTS = 4
+    _FETCH_BACKOFF_S = (0.0, 0.5, 2.0)  # sleep before retry 2, 3, 4
+
     def _validated_fetch(self, run, what: str):
         """Run a device search and validate the fetched row indices
-        against the live count, re-fetching once on violation.
+        against the live count, retrying with backoff on violation.
 
-        On some remote-attached runtimes a result fetch can land BEFORE
-        the computation finishes (the documented early-``block_until_
-        ready`` relay bug, docs/DESIGN.md §5) and read garbage — observed
-        in production load tests as top-k indices beyond the corpus
-        (~0.2% of scans at 1M under heavy concurrency; the same kernels
-        pass exhaustive parity and compiled-mode smoke).  By the time the
-        re-fetch runs the computation has landed, so one retry clears it;
-        a second violation is a real kernel bug and raises.
+        On some remote-attached runtimes the device link has transient
+        fault windows (the same transport whose early-``block_until_
+        ready`` bug breaks naive timing, docs/DESIGN.md §5): a staged
+        operand or fetched result buffer reads corrupt, and the scan
+        returns top-k indices beyond the corpus.  Measured during 1M
+        load soaks: a handful of multi-second windows per 4000 requests,
+        DETERMINISTIC within the window (an immediate retry fails the
+        same way — the compiled kernel itself provably cannot emit those
+        indices with intact operands; zero-query tie tests pass compiled
+        on-chip).  Backoff outlasts the window; exhausting retries
+        raises rather than serving rows that don't exist.
 
         Multi-controller runtimes skip the check: a lone rank re-entering
         the (collective) computation would desync SPMD replay, and the
-        early-fetch bug is a remote-relay artifact that multi-controller
+        fault windows are a remote-relay artifact that multi-controller
         deployments don't have."""
         import jax
 
         if jax.process_count() > 1:
             return run()
-        dists, idx = run()
         upper = self._store.count
-        idx_arr = np.asarray(idx)
-        if idx_arr.size and (
-            int(idx_arr.max(initial=-1)) >= upper
-            or int(idx_arr.min(initial=0)) < -1
-        ):
-            print(
-                f"[WARN] {what} returned out-of-range row indices "
-                f"(max {int(idx_arr.max(initial=-1))} vs count {upper}); "
-                "re-fetching once (remote-runtime early-fetch guard)"
-            )
+        last_max = None
+        for attempt in range(self._FETCH_ATTEMPTS):
+            if attempt:
+                time.sleep(self._FETCH_BACKOFF_S[attempt - 1])
             dists, idx = run()
             idx_arr = np.asarray(idx)
-            if idx_arr.size and (
-                int(idx_arr.max(initial=-1)) >= upper
-                or int(idx_arr.min(initial=0)) < -1
+            if not idx_arr.size or (
+                int(idx_arr.max(initial=-1)) < upper
+                and int(idx_arr.min(initial=0)) >= -1
             ):
-                raise RuntimeError(
-                    f"{what} returned out-of-range indices twice "
-                    f"(max {int(idx_arr.max(initial=-1))}, count {upper})"
-                )
-        return dists, idx
+                return dists, idx
+            last_max = int(idx_arr.max(initial=-1))
+            print(
+                f"[WARN] {what} returned out-of-range row indices "
+                f"(max {last_max} vs count {upper}, attempt "
+                f"{attempt + 1}/{self._FETCH_ATTEMPTS}) — device-link "
+                "fault window; backing off and retrying"
+            )
+        raise RuntimeError(
+            f"{what} returned out-of-range indices after "
+            f"{self._FETCH_ATTEMPTS} attempts (max {last_max}, "
+            f"count {upper})"
+        )
 
     def _route_search(
         self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]

@@ -176,15 +176,18 @@ class VectorIndexTest(unittest.TestCase):
             return dists, idx
 
         vi._store.search = flaky
+        vi._FETCH_BACKOFF_S = (0.0, 0.0, 0.0)  # keep the test fast
         hits = vi.search(rng.normal(size=8).tolist(), 3)
         self.assertEqual(len(hits), 3)
-        self.assertEqual(calls["n"], 2)  # exactly one retry
+        self.assertEqual(calls["n"], 2)  # cleared on the first retry
         for hit in hits:
             self.assertIn("metadata", hit)
 
-        calls["n"], calls["bad"] = 0, 2  # garbage twice → loud failure
+        # garbage on EVERY attempt → loud failure, never out-of-range rows
+        calls["n"], calls["bad"] = 0, vi._FETCH_ATTEMPTS
         with self.assertRaises(RuntimeError):
             vi.search(rng.normal(size=8).tolist(), 3)
+        self.assertEqual(calls["n"], vi._FETCH_ATTEMPTS)
 
     def test_dimension_mismatch_raises(self):
         vi = _mk(self.tmp.name, dimension=8)
