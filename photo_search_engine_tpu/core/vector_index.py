@@ -370,7 +370,7 @@ class VectorIndex:
     _FETCH_ATTEMPTS = 4
     _FETCH_BACKOFF_S = (0.0, 0.5, 2.0)  # sleep before retry 2, 3, 4
 
-    def _validated_fetch(self, run, what: str):
+    def _validated_fetch(self, run, what: str, debug_inputs=None):
         """Run a device search and validate the fetched row indices
         against the live count, retrying with backoff on violation.
 
@@ -396,6 +396,7 @@ class VectorIndex:
             return run()
         upper = self._store.count
         last_max = None
+        last = None
         for attempt in range(self._FETCH_ATTEMPTS):
             if attempt:
                 time.sleep(self._FETCH_BACKOFF_S[attempt - 1])
@@ -407,17 +408,50 @@ class VectorIndex:
             ):
                 return dists, idx
             last_max = int(idx_arr.max(initial=-1))
+            last = (np.asarray(dists), idx_arr)
             print(
                 f"[WARN] {what} returned out-of-range row indices "
                 f"(max {last_max} vs count {upper}, attempt "
                 f"{attempt + 1}/{self._FETCH_ATTEMPTS}) — device-link "
                 "fault window; backing off and retrying"
             )
+        self._dump_fetch_forensics(what, last, debug_inputs)
         raise RuntimeError(
             f"{what} returned out-of-range indices after "
             f"{self._FETCH_ATTEMPTS} attempts (max {last_max}, "
             f"count {upper})"
         )
+
+    _forensic_dumps = 0
+
+    def _dump_fetch_forensics(self, what, last, debug_inputs) -> None:
+        """Persist the exact inputs + fetched outputs of an exhausted
+        validation failure (max 3 per process) so the batch can be
+        replayed offline against the same store."""
+        try:
+            if VectorIndex._forensic_dumps >= 3 or not debug_inputs:
+                return
+            VectorIndex._forensic_dumps += 1
+            import tempfile
+
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"pse_fetch_forensics_{os.getpid()}_"
+                f"{VectorIndex._forensic_dumps}.npz",
+            )
+            payload = {
+                k: np.asarray(v)
+                for k, v in debug_inputs.items()
+                if v is not None
+            }
+            if last is not None:
+                payload["bad_dists"], payload["bad_idx"] = last
+            payload["count"] = np.int64(self._store.count)
+            payload["what"] = np.bytes_(what.encode())
+            np.savez(path, **payload)
+            print(f"[WARN] fetch forensics written to {path}")
+        except Exception as exc:  # noqa: BLE001 — diagnostics only
+            print(f"[WARN] fetch forensics dump failed ({exc})")
 
     def _route_search(
         self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
@@ -430,6 +464,7 @@ class VectorIndex:
         return self._validated_fetch(
             lambda: self._route_search_once(queries, k, mask),
             "batched search",
+            debug_inputs={"queries": queries, "k": k, "mask": mask},
         )
 
     def _route_search_once(
@@ -535,6 +570,10 @@ class VectorIndex:
                 queries, k, mask_table, mask_ids, impl=self._search_impl
             ),
             "grouped search",
+            debug_inputs={
+                "queries": queries, "k": k,
+                "mask_table": mask_table, "mask_ids": mask_ids,
+            },
         )
 
     def search_masked(
