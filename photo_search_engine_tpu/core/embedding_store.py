@@ -281,6 +281,27 @@ class EmbeddingStore:
                 cand=self.int8_cand,
                 block_n=self._i8_block,
             )
+        elif (
+            impl == "auto"
+            and min(k, self._count) > topk_ops._PALLAS_MAX_K
+            and topk_ops._use_approx_large_k(self._count)
+        ):
+            # serving over-fetch (candidate_k up to 500, reference
+            # searcher.py:771-820) exceeds the fused kernel's k<=64
+            # extraction; at million scale ApproxTopK beats the full sort
+            # the lax fallback would pay (tail recall 0.99 — the tail only
+            # feeds fusion/threshold statistics).  exact_search itself
+            # stays bit-exact vs the oracle (CLAUDE.md contract); this is
+            # a store-level routing decision, overridable with
+            # TOPK_EXACT_LARGE_K=1 or an explicit impl=.
+            dists, idx = topk_ops.approx_search_large_k(
+                self._device,
+                jnp.asarray(queries, self.store_dtype),
+                min(k, self._count),
+                count=self._count,
+                mask=mask_dev,
+                metric=metric,
+            )
         else:
             dists, idx = topk_ops.exact_search(
                 self._device,

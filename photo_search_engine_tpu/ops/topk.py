@@ -149,6 +149,85 @@ def exact_search_oracle(
     return vals, idx
 
 
+# Large-candidate path: the searcher over-fetches candidate_k up to 500
+# (reference searcher.py:771-820), beyond the fused kernel's unrolled
+# k<=64 extraction.  On TPU, XLA's ApproxTopK (jax.lax.approx_max_k) at
+# recall_target 0.99 beats a full sort at 1M rows; the head of the
+# candidate list is effectively exact and the tail (which only feeds
+# fusion/threshold statistics) tolerates 1% misses.  Gated to large
+# corpora so behavioral tests on album-scale data stay bit-exact, and
+# overridable via TOPK_EXACT_LARGE_K=1.
+_APPROX_MIN_ROWS = 262_144
+_APPROX_RECALL_TARGET = 0.99
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _approx_large_k_impl(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    count: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    k: int,
+    metric: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = corpus.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(corpus.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        qn = jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=1, keepdims=True)
+        cn = jnp.sum(jnp.square(corpus.astype(jnp.float32)), axis=1)[None, :]
+        scores = -(qn + cn - 2.0 * scores)
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[None, :] > 0)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    vals, idx = jax.lax.approx_max_k(
+        scores, k, recall_target=_APPROX_RECALL_TARGET
+    )
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx
+
+
+def _use_approx_large_k(n: int) -> bool:
+    import os
+
+    return (
+        _on_tpu()
+        and n >= _APPROX_MIN_ROWS
+        and os.environ.get("TOPK_EXACT_LARGE_K", "") not in {"1", "true"}
+    )
+
+
+def approx_search_large_k(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    *,
+    count: Optional[int] = None,
+    mask: Optional[jnp.ndarray] = None,
+    metric: str = "cosine",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ApproxTopK large-k scan — same contract as ``exact_search_oracle``
+    (on CPU, ``approx_max_k`` computes exactly, so results match the
+    oracle bit-for-bit off-TPU)."""
+    queries = jnp.atleast_2d(queries)
+    n = corpus.shape[0]
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    count_arr = jnp.asarray(n if count is None else count, jnp.int32)
+    vals, idx = _approx_large_k_impl(corpus, queries, count_arr, mask, k, metric)
+    if metric == "l2":
+        vals = jnp.where(jnp.isneginf(vals), jnp.inf, -vals)
+    return vals, idx
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 #
@@ -569,7 +648,9 @@ def exact_search(
         # the in-kernel extraction loop is unrolled k times; large candidate
         # sets (searcher candidate_k up to ~1000) would explode compile time
         # and VPU work, so they take the XLA path (scores materialize, which
-        # is fine at large k / small Q)
+        # is fine at large k / small Q).  exact_search stays bit-exact vs
+        # the oracle by contract; the serving store routes large-k scans to
+        # ApproxTopK separately (approx_search_large_k, EmbeddingStore).
         impl = "lax"
     if impl == "lax":
         return exact_search_oracle(

@@ -58,6 +58,29 @@ def main() -> int:
     vo, io = exact_search_oracle(corpus, queries, 10, mask=mask, count=2500)
     vp, ip_ = exact_search(corpus, queries, 10, mask=mask, count=2500, impl="pallas")
     check("pallas/masked+count", bool((np.asarray(ip_) == np.asarray(io)).all()))
+
+    # large-k (candidate_k-style) ApproxTopK path: the serving scan when
+    # k > 64 on a big corpus.  Compiled-mode requirements: every index in
+    # range (count-masked padding can NEVER surface), tail recall >= 0.98
+    # vs the exact oracle at k=500.
+    from photo_search_engine_tpu.ops.topk import approx_search_large_k
+
+    big = jnp.asarray(rng.normal(size=(300_000, 256)).astype(np.float32))
+    bq = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    vo, io = exact_search_oracle(big, bq, 500, count=299_000)
+    va, ia = approx_search_large_k(big, bq, 500, count=299_000)
+    ia_np = np.asarray(ia)
+    in_range = bool((ia_np < 299_000).all() and (ia_np >= 0).all())
+    rec = float(
+        np.mean(
+            [
+                len(set(np.asarray(io)[i].tolist()) & set(ia_np[i].tolist())) / 500
+                for i in range(8)
+            ]
+        )
+    )
+    check(f"approx large-k (in-range {in_range}, recall {rec:.3f})",
+          in_range and rec >= 0.98)
     print(f"  ({time.time()-started:.0f}s)")
 
     # ---- int8 scan + exact rescore ----

@@ -132,6 +132,50 @@ class TopkParityTest(unittest.TestCase):
         )
         self.assertLessEqual(float(np.max(np.asarray(vals))), 1.0 + 1e-4)
 
+    def test_approx_large_k_matches_oracle_on_cpu(self):
+        # the serving path's candidate_k>64 scans use ApproxTopK on large
+        # TPU corpora; off-TPU approx_max_k computes exactly, so the
+        # wrapper must match the oracle bit-for-bit here — incl. count
+        # clamping, masks, and the l2 sign convention
+        from photo_search_engine_tpu.ops.topk import approx_search_large_k
+
+        rng = np.random.default_rng(11)
+        corpus = rng.normal(size=(400, 32)).astype(np.float32)
+        queries = rng.normal(size=(3, 32)).astype(np.float32)
+        mask = (np.arange(400) % 3 == 0).astype(np.int32)
+        for metric in ("ip", "l2"):
+            for m in (None, jnp.asarray(mask)):
+                v_ref, i_ref = exact_search(
+                    jnp.asarray(corpus), jnp.asarray(queries), 100,
+                    count=380, mask=m, metric=metric, impl="lax",
+                )
+                v_apx, i_apx = approx_search_large_k(
+                    jnp.asarray(corpus), jnp.asarray(queries), 100,
+                    count=380, mask=m, metric=metric,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(i_ref), np.asarray(i_apx)
+                )
+                np.testing.assert_allclose(
+                    np.asarray(v_ref), np.asarray(v_apx), rtol=1e-6
+                )
+
+    def test_approx_large_k_gate(self):
+        # the store's auto-route sends k>64 scans to ApproxTopK only on
+        # TPU at large counts; off-TPU (this suite) the gate must be
+        # closed so every CPU test keeps exercising the exact oracle
+        import os
+
+        from photo_search_engine_tpu.ops.topk import _use_approx_large_k
+
+        self.assertFalse(_use_approx_large_k(1_000_000))  # CPU backend
+        # the env override documents the operator escape hatch
+        os.environ["TOPK_EXACT_LARGE_K"] = "1"
+        try:
+            self.assertFalse(_use_approx_large_k(1_000_000))
+        finally:
+            os.environ.pop("TOPK_EXACT_LARGE_K")
+
     def test_oracle_matches_numpy_bf16_ranks(self):
         corpus = jnp.asarray(self.corpus, jnp.bfloat16)
         queries = jnp.asarray(self.queries, jnp.bfloat16)
