@@ -229,6 +229,41 @@ class PipelineTest(unittest.TestCase):
     def test_pipeline_one_is_strictly_serial(self):
         self.assertEqual(self._run(pipeline=1), 1)
 
+    def test_close_drains_queued_requests(self):
+        import threading
+        import time as _time
+
+        from photo_search_engine_tpu.core.batcher import MicroBatcher
+
+        def run_batch(queries, k):
+            _time.sleep(0.03)
+            return (
+                np.tile(queries[:, :1], (1, k)),
+                np.zeros((queries.shape[0], k), np.int64),
+            )
+
+        batcher = MicroBatcher(run_batch, window_s=0.05, pipeline=2)
+        results = []
+        lock = threading.Lock()
+
+        def worker(i):
+            vals, _ = batcher.search(np.full(4, float(i), np.float32), 2)
+            with lock:
+                results.append(float(vals[0]))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        _time.sleep(0.01)
+        batcher.close()  # must serve everything already enqueued
+        for t in threads:
+            t.join(timeout=10)
+        self.assertEqual(sorted(results), [float(i) for i in range(6)])
+        # a post-close request revives the worker (the revivable contract)
+        vals, _ = batcher.search(np.full(4, 9.0, np.float32), 2)
+        self.assertEqual(float(vals[0]), 9.0)
+        batcher.close()
+
 
 class CallBatcherTest(unittest.TestCase):
     def test_concurrent_calls_coalesce_and_dedupe(self):
