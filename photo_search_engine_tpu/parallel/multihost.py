@@ -227,6 +227,14 @@ def worker_serving_main(
     got = [h["metadata"]["photo_path"] for h in masked]
     assert got == want_masked, f"ivf masked: {got} != {want_masked}"
 
+    # incremental append AFTER the IVF build: rows scatter into existing
+    # per-shard cluster slots without retraining (rank-identical on every
+    # controller), and a perfect-match query finds the new row
+    probe = rng.normal(size=(1, dim)).astype(np.float32)
+    vi_ivf.add_batch(probe, [{"photo_path": "/p/new.jpg"}])
+    hits = vi_ivf.search(probe[0].tolist(), 1)
+    assert hits and hits[0]["metadata"]["photo_path"] == "/p/new.jpg", hits
+
     # ---- int8 (quantized) store on the multi-controller mesh ----------
     vi_i8 = VectorIndex(
         dimension=dim,
