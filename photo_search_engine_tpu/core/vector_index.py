@@ -117,6 +117,10 @@ class VectorIndex:
         self.segments_dir = f"{self.index_path}.segments"
         self._manifest_path = os.path.join(self.segments_dir, "manifest.json")
         self._durable_count = 0  # rows persisted on disk (base + segments)
+        # device-link health counters (see _validated_fetch), surfaced in
+        # /metrics so operators can tell link fault windows from kernels
+        self.fetch_retries = 0
+        self.fetch_failures = 0
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -357,6 +361,10 @@ class VectorIndex:
             # corpora the two diverge, and the operator configured a recall
             # target — show what was actually achieved (verdict weak #5)
             "ivf_autotune": self._ivf_autotune_report,
+            # non-zero = the device link hit fault windows (out-of-range
+            # fetches); failures = windows that outlasted every retry
+            "fetch_retries": self.fetch_retries,
+            "fetch_failures": self.fetch_failures,
         }
 
     @property
@@ -409,12 +417,14 @@ class VectorIndex:
                 return dists, idx
             last_max = int(idx_arr.max(initial=-1))
             last = (np.asarray(dists), idx_arr)
+            self.fetch_retries += 1
             print(
                 f"[WARN] {what} returned out-of-range row indices "
                 f"(max {last_max} vs count {upper}, attempt "
                 f"{attempt + 1}/{self._FETCH_ATTEMPTS}) — device-link "
                 "fault window; backing off and retrying"
             )
+        self.fetch_failures += 1
         self._dump_fetch_forensics(what, last, debug_inputs)
         raise RuntimeError(
             f"{what} returned out-of-range indices after "
