@@ -173,3 +173,36 @@ class MigrateRoundtripTest(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class ReplayForensicsTest(unittest.TestCase):
+    def test_transport_fault_verdict(self):
+        # a dump whose bad indices exceed the corpus must replay IN RANGE
+        # against a healthy backend (exit 0 = transport-fault verdict)
+        import subprocess
+        import sys
+        import tempfile
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        with tempfile.TemporaryDirectory() as tmp:
+            dump = f"{tmp}/dump.npz"
+            np.savez(
+                dump,
+                queries=rng.normal(size=(2, 16)).astype(np.float32),
+                k=np.int64(4),
+                count=np.int64(300),
+                what=np.bytes_(b"batched search"),
+                bad_idx=np.full((2, 4), 999, np.int64),
+            )
+            result = subprocess.run(
+                [
+                    sys.executable, "-m",
+                    "photo_search_engine_tpu.tools.replay_forensics",
+                    dump, "--rows", "300", "--dim", "16", "--platform", "cpu",
+                ],
+                capture_output=True, text=True, timeout=300,
+            )
+        self.assertEqual(result.returncode, 0, result.stdout + result.stderr)
+        self.assertIn("transport fault confirmed", result.stdout)
