@@ -285,6 +285,7 @@ class EmbeddingStore:
             impl == "auto"
             and min(k, self._count) > topk_ops._PALLAS_MAX_K
             and topk_ops._use_approx_large_k(self._count)
+            and not getattr(self, "_approx_large_k_broken", False)
         ):
             # serving over-fetch (candidate_k up to 500, reference
             # searcher.py:771-820) exceeds the fused kernel's k<=64
@@ -294,14 +295,32 @@ class EmbeddingStore:
             # stays bit-exact vs the oracle (CLAUDE.md contract); this is
             # a store-level routing decision, overridable with
             # TOPK_EXACT_LARGE_K=1 or an explicit impl=.
-            dists, idx = topk_ops.approx_search_large_k(
-                self._device,
-                jnp.asarray(queries, self.store_dtype),
-                min(k, self._count),
-                count=self._count,
-                mask=mask_dev,
-                metric=metric,
-            )
+            try:
+                dists, idx = topk_ops.approx_search_large_k(
+                    self._device,
+                    jnp.asarray(queries, self.store_dtype),
+                    min(k, self._count),
+                    count=self._count,
+                    mask=mask_dev,
+                    metric=metric,
+                )
+            except Exception as exc:  # noqa: BLE001 — fail-soft to exact
+                # ApproxTopK availability varies by backend/stack; a
+                # compile or lowering failure must degrade to the exact
+                # sort, not 500 the serving path (graceful-degradation
+                # design rule)
+                print(f"[WARN] ApproxTopK unavailable ({exc}); exact sort")
+                self._approx_large_k_broken = True
+                dists, idx = topk_ops.exact_search(
+                    self._device,
+                    jnp.asarray(queries, self.store_dtype),
+                    min(k, self._count),
+                    count=self._count,
+                    mask=mask_dev,
+                    metric=metric,
+                    impl=impl,
+                    block_n=self.block_rows,
+                )
         else:
             dists, idx = topk_ops.exact_search(
                 self._device,
