@@ -113,10 +113,10 @@ def _resolve_mesh_devices(requested: int) -> int:
 def _vector_index_class_and_knobs(config: Dict[str, Any]):
     """Single-host → ``VectorIndex``.  On a multi-controller runtime
     (``jax.distributed`` initialized, process_count > 1) →
-    ``SPMDVectorIndex`` (rank-0 broadcast fan-in, parallel/spmd_serving.py)
-    with the knob adjustments SPMD lockstep requires, each warned:
-    the mesh must span the global devices, and the lazy IVF build is not
-    yet rank-reproducible so the index degrades to flat."""
+    ``SPMDVectorIndex`` (rank-0 broadcast fan-in, parallel/spmd_serving.py).
+    The one knob SPMD lockstep adjusts (warned): the mesh must span the
+    global devices.  ``index_type`` passes through unchanged — IVF is
+    supported multi-controller (see comment below)."""
     import jax
 
     mesh_devices = _resolve_mesh_devices(config.get("MESH_DEVICES", 0))

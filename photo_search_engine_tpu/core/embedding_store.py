@@ -17,6 +17,7 @@ Design (SURVEY.md §7.1, §7 hard part 3):
 from __future__ import annotations
 
 import hashlib
+import threading
 from collections import OrderedDict
 from typing import Optional, Tuple
 
@@ -101,6 +102,10 @@ class EmbeddingStore:
         # filtered searches (season buckets etc.) skip the [capacity]-int8
         # host→device upload (1 MB/call at 1M rows)
         self._mask_lru: "OrderedDict[Tuple[bytes, int], jnp.ndarray]" = OrderedDict()
+        # pipelined micro-batches (core/batcher.py pipeline>1) hit this LRU
+        # from concurrent threads; get/move_to_end racing popitem is a
+        # sporadic KeyError without the lock
+        self._mask_lru_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @property
@@ -233,14 +238,16 @@ class EmbeddingStore:
         mask_arr[: self._count] = np.asarray(mask[: self._count], bool)
         digest = hashlib.blake2b(mask_arr.tobytes(), digest_size=16).digest()
         key = (digest, self.capacity)
-        cached = self._mask_lru.get(key)
-        if cached is not None:
-            self._mask_lru.move_to_end(key)
-            return cached
+        with self._mask_lru_lock:
+            cached = self._mask_lru.get(key)
+            if cached is not None:
+                self._mask_lru.move_to_end(key)
+                return cached
         mask_dev = jnp.asarray(mask_arr)
-        self._mask_lru[key] = mask_dev
-        while len(self._mask_lru) > self._MASK_LRU_SIZE:
-            self._mask_lru.popitem(last=False)
+        with self._mask_lru_lock:
+            self._mask_lru[key] = mask_dev
+            while len(self._mask_lru) > self._MASK_LRU_SIZE:
+                self._mask_lru.popitem(last=False)
         return mask_dev
 
     # ------------------------------------------------------------------

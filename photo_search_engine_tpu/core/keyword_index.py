@@ -342,6 +342,10 @@ class KeywordIndex:
         self._vocab_list: List[str] = []
         self._doc_row: Dict[str, int] = {}
         self._row_doc: List[str] = []
+        # the cached numpy view of _row_doc is keyed only on length —
+        # drop it explicitly so a reload of a same-sized corpus cannot
+        # serve stale doc ids (round-3 advisor)
+        self._row_doc_arr: Optional[np.ndarray] = None
         self._alive: List[bool] = []
         # columnar filter state
         self._col_codes: Dict[str, List[int]] = {f: [] for f in FILTER_EXACT_FIELDS}
@@ -944,6 +948,7 @@ class KeywordIndex:
         self._vocab_list = list(meta["vocab"])
         self._vocab = {token: tid for tid, token in enumerate(self._vocab_list)}
         self._row_doc = list(row_doc)
+        self._row_doc_arr = None
         self._alive = alive.tolist()
         self._doc_row = {row_doc[row]: int(row) for row in live_rows.tolist()}
         for field in FILTER_EXACT_FIELDS:

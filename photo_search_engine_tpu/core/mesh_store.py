@@ -20,6 +20,7 @@ The reference has no counterpart (it is strictly single-process — SURVEY.md
 from __future__ import annotations
 
 import hashlib
+import threading
 from collections import OrderedDict
 from typing import Optional, Tuple
 
@@ -64,6 +65,8 @@ class MeshEmbeddingStore:
         self._sorted_ids: Optional[np.ndarray] = None
         self._sorted_pos: Optional[np.ndarray] = None
         self._mask_lru: OrderedDict = OrderedDict()
+        # pipelined micro-batches hit this LRU from concurrent threads
+        self._mask_lru_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @property
@@ -126,14 +129,16 @@ class MeshEmbeddingStore:
             self.count,
             capacity,
         )
-        cached = self._mask_lru.get(key)
-        if cached is not None:
-            self._mask_lru.move_to_end(key)
-            return cached
+        with self._mask_lru_lock:
+            cached = self._mask_lru.get(key)
+            if cached is not None:
+                self._mask_lru.move_to_end(key)
+                return cached
         out = self._sharded.layout_mask(self._ids, bits)
-        self._mask_lru[key] = out
-        while len(self._mask_lru) > self._MASK_LRU_SIZE:
-            self._mask_lru.popitem(last=False)
+        with self._mask_lru_lock:
+            self._mask_lru[key] = out
+            while len(self._mask_lru) > self._MASK_LRU_SIZE:
+                self._mask_lru.popitem(last=False)
         return out
 
     # ------------------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any, Dict, List, Optional
 
@@ -121,6 +122,10 @@ class VectorIndex:
         # /metrics so operators can tell link fault windows from kernels
         self.fetch_retries = 0
         self.fetch_failures = 0
+        # pipelined micro-batches (core/batcher.py pipeline>1) can route
+        # two searches concurrently; without this lock both would run the
+        # lazy k-means build
+        self._ivf_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -224,7 +229,14 @@ class VectorIndex:
         (count went backwards), the layout ran out of slack capacity, or
         the corpus has more than doubled since training (stale centroids
         degrade recall — FAISS leaves this to the user; we automate it).
+
+        Serialized: concurrent pipelined searches must not race two
+        k-means builds (the fast path re-checks under the lock).
         """
+        with self._ivf_lock:
+            return self._ensure_ivf_locked()
+
+    def _ensure_ivf_locked(self):
         from photo_search_engine_tpu.models.ivf import IVFIndex
 
         count = self._store.count
@@ -402,13 +414,18 @@ class VectorIndex:
 
         if jax.process_count() > 1:
             return run()
-        upper = self._store.count
         last_max = None
         last = None
+        upper = self._store.count
         for attempt in range(self._FETCH_ATTEMPTS):
             if attempt:
                 time.sleep(self._FETCH_BACKOFF_S[attempt - 1])
             dists, idx = run()
+            # Re-read the live count AFTER the dispatch: a background
+            # indexer appending while serving can legitimately surface a
+            # freshly appended row index >= the pre-dispatch count — that
+            # is a correct result, not a link fault (round-3 advisor).
+            upper = max(upper, self._store.count)
             idx_arr = np.asarray(idx)
             if not idx_arr.size or (
                 int(idx_arr.max(initial=-1)) < upper

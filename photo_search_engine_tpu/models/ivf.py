@@ -791,6 +791,7 @@ class IVFIndex:
         (LRU-cached by content), plus the live-row selectivity ratio."""
         from collections import OrderedDict
         import hashlib
+        import threading
 
         bits = np.asarray(mask).astype(np.int32, copy=False)
         live = self.perm >= 0
@@ -799,19 +800,24 @@ class IVFIndex:
         slot_bits[live] = bits[src]
         n_live = int(live.sum())
         ratio = float(slot_bits.sum()) / max(n_live, 1)
-        lru = getattr(self, "_mask_lru", None)
-        if lru is None:
-            lru = self._mask_lru = OrderedDict()
+        # pipelined micro-batches hit this LRU from concurrent threads;
+        # dict.setdefault is atomic under the GIL so the lazily created
+        # lock is unique even when two threads race the first call
+        lock = self.__dict__.setdefault("_mask_lru_lock", threading.Lock())
+        with lock:
+            lru = self.__dict__.setdefault("_mask_lru", OrderedDict())
         digest = hashlib.blake2b(slot_bits.tobytes(), digest_size=16).digest()
         key = (digest, slot_bits.shape[0])
-        cached = lru.get(key)
-        if cached is not None:
-            lru.move_to_end(key)
-            return cached, ratio
+        with lock:
+            cached = lru.get(key)
+            if cached is not None:
+                lru.move_to_end(key)
+                return cached, ratio
         dev = jnp.asarray(slot_bits)[None, :]
-        lru[key] = dev
-        while len(lru) > self._MASK_LRU_SIZE:
-            lru.popitem(last=False)
+        with lock:
+            lru[key] = dev
+            while len(lru) > self._MASK_LRU_SIZE:
+                lru.popitem(last=False)
         return dev, ratio
 
     @staticmethod

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import threading
 from collections import OrderedDict
 from typing import List, Optional, Tuple
 
@@ -136,6 +137,8 @@ class ShardedIVFIndex:
         # restage)
         self._mask_lru: "OrderedDict" = OrderedDict()
         self._MASK_LRU_SIZE = 16
+        # pipelined micro-batches hit this LRU from concurrent threads
+        self._mask_lru_lock = threading.Lock()
 
     # -- build ------------------------------------------------------------
     @classmethod
@@ -487,14 +490,16 @@ class ShardedIVFIndex:
             hashlib.blake2b(bits.tobytes(), digest_size=16).digest(),
             bits.shape[0],
         )
-        cached = self._mask_lru.get(key)
-        if cached is not None:
-            self._mask_lru.move_to_end(key)
-            return cached
+        with self._mask_lru_lock:
+            cached = self._mask_lru.get(key)
+            if cached is not None:
+                self._mask_lru.move_to_end(key)
+                return cached
         dev = _stage(self.mesh, bits, P(DATA_AXIS), np.int32)
-        self._mask_lru[key] = dev
-        while len(self._mask_lru) > self._MASK_LRU_SIZE:
-            self._mask_lru.popitem(last=False)
+        with self._mask_lru_lock:
+            self._mask_lru[key] = dev
+            while len(self._mask_lru) > self._MASK_LRU_SIZE:
+                self._mask_lru.popitem(last=False)
         return dev
 
     def search(

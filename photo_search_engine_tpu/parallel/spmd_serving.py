@@ -79,9 +79,12 @@ class SPMDVectorIndex(VectorIndex):
     single-process runtime every broadcast is the identity, so this class
     degrades to a plain ``VectorIndex`` — the same code path at 1 host.
 
-    Scope: flat exact / int8 / masked / grouped routes.  IVF on a
-    multi-controller mesh additionally requires the lazy ``_ensure_ivf``
-    build to be bit-reproducible across ranks; not exercised here.
+    Scope: flat exact / int8 / masked / grouped / IVF routes.  The lazy
+    ``_ensure_ivf`` build is deterministic from the replicated host
+    mirror (fixed k-means seed), so every rank trains the identical
+    index — ``parallel/multihost.py`` ``launch_app_dryrun`` deploys an
+    ``index_type=ivf`` store multi-controller and verifies it (rank 0
+    alone writes the sidecar, see ``_save_ivf_sidecar``).
     """
 
     def __init__(self, *args: Any, **kwargs: Any) -> None:
@@ -94,11 +97,16 @@ class SPMDVectorIndex(VectorIndex):
         # micro-batcher); SPMD needs broadcast order == device-entry
         # order, so each op holds this lock across broadcast + execution
         self._spmd_lock = threading.RLock()
+        # once shutdown has been broadcast the followers have left
+        # follow() — a late op (e.g. a micro-batcher thread draining its
+        # queue during app teardown) must NOT fan out, or rank 0 blocks
+        # forever in a collective nobody else enters; it executes locally
+        self._spmd_shutdown = False
         self.spmd_ops_replayed = 0
 
     # -- primary-side fan-out ------------------------------------------
     def _announce(self, header: List[int]) -> None:
-        if self._spmd_world == 1 or self._spmd_rank != 0:
+        if self._spmd_world == 1 or self._spmd_rank != 0 or self._spmd_shutdown:
             return
         import os, sys
         if os.environ.get("SPMD_DEBUG"):
@@ -107,7 +115,7 @@ class SPMDVectorIndex(VectorIndex):
         _broadcast(np.asarray(padded, np.int64))
 
     def _send(self, arr: np.ndarray) -> None:
-        if self._spmd_world == 1 or self._spmd_rank != 0:
+        if self._spmd_world == 1 or self._spmd_rank != 0 or self._spmd_shutdown:
             return
         _broadcast(np.ascontiguousarray(arr))
 
@@ -188,9 +196,15 @@ class SPMDVectorIndex(VectorIndex):
             super().clear()
 
     def shutdown_followers(self) -> None:
-        """Release every follower from :meth:`follow` (rank 0 only)."""
+        """Release every follower from :meth:`follow` (rank 0 only).
+        Idempotent; afterwards device ops execute locally instead of
+        fanning out (the followers are gone — a post-shutdown broadcast
+        would block rank 0 in a collective forever)."""
         with self._spmd_lock:
+            if self._spmd_shutdown:
+                return
             self._announce([_OP_SHUTDOWN])
+            self._spmd_shutdown = True
 
     # -- follower side --------------------------------------------------
     def follow(self) -> int:
