@@ -22,6 +22,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -38,6 +40,28 @@ from photo_search_engine_tpu.ops.topk import (
     bucket_queries,
     default_block_n,
 )
+
+
+_MASK_BUCKET_MIN = 2
+
+
+def bucket_mask_table(mask_table):
+    """Pad the predicate table's row count up to the next power of two
+    (≥ 2) with all-zero rows that no ``mask_ids`` entry references.
+
+    ``n_masks`` is a static kernel parameter, so every distinct predicate
+    count otherwise compiles a fresh kernel — the same compile-stall
+    class ``bucket_queries`` fixes for the query axis (ops/topk.py).
+    Bucketing bounds the shape set to log2 variants.  Accepts numpy or
+    jax tables; preserves the input kind."""
+    m = int(mask_table.shape[0])
+    target = max(_MASK_BUCKET_MIN, 1 << max(m - 1, 0).bit_length())
+    if target == m:
+        return mask_table
+    if isinstance(mask_table, np.ndarray):
+        pad = np.zeros((target - m,) + mask_table.shape[1:], mask_table.dtype)
+        return np.concatenate([mask_table, pad])
+    return jnp.pad(mask_table, ((0, target - m), (0, 0)))
 
 
 def grouped_mask_oracle(
@@ -212,6 +236,7 @@ def grouped_mask_search(
     if n == 0 or k == 0:
         q = queries.shape[0]
         return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    mask_table = bucket_mask_table(mask_table)
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "lax"
     if impl != "lax" and k > _PALLAS_MAX_K:

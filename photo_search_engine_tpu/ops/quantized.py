@@ -377,7 +377,10 @@ def grouped_int8_search(
     """Per-query filtered int8-scan + exact-rescore (inner-product metric;
     the int8 sibling of ops/grouped_mask.py — see that module for the
     factored mask_table/mask_ids design)."""
-    from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
+    from photo_search_engine_tpu.ops.grouped_mask import (
+        bucket_mask_table,
+        grouped_mask_oracle,
+    )
 
     queries = jnp.atleast_2d(queries).astype(jnp.float32)
     n, d = corpus_i8.shape
@@ -385,6 +388,7 @@ def grouped_int8_search(
     if n == 0 or k == 0:
         q = queries.shape[0]
         return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    mask_table = bucket_mask_table(mask_table)
     if k > _INT8_MAX_K:
         return grouped_mask_oracle(
             corpus_ref, queries, mask_table, mask_ids, k, count=count

@@ -335,11 +335,14 @@ def sharded_grouped_search(
     if not isinstance(queries, jax.Array):
         queries = np.atleast_2d(np.asarray(queries))
     queries = jnp.atleast_2d(_stage(mesh, queries, P()))
+    from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+
+    # bucket M before staging so the outer jit (keyed on the table shape)
+    # retraces at most log2 times, not once per distinct predicate count
+    mask_table = grouped_ops.bucket_mask_table(np.asarray(mask_table))
     table = _stage(mesh, mask_table, P(None, axis), np.int8)
     ids = _stage(mesh, mask_ids, P(), np.int32)
     k = min(k, total_rows)
-
-    from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
 
     @functools.partial(
         shard_map,
@@ -395,6 +398,10 @@ def sharded_grouped_int8_search(
     if not isinstance(queries, jax.Array):
         queries = np.atleast_2d(np.asarray(queries, np.float32))
     queries = jnp.atleast_2d(_stage(mesh, queries, P())).astype(jnp.float32)
+    from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+
+    # see sharded_grouped_search: bound outer-jit retraces on M
+    mask_table = grouped_ops.bucket_mask_table(np.asarray(mask_table))
     table = _stage(mesh, mask_table, P(None, axis), np.int8)
     ids = _stage(mesh, mask_ids, P(), np.int32)
     k = min(k, total_rows)

@@ -159,6 +159,57 @@ class MicroBatcherTest(unittest.TestCase):
             self.assertGreaterEqual(batcher.grouped_batches_run, 1)
             self.assertLessEqual(batcher.batches_run, 9)
 
+    def test_many_distinct_predicates_bounded_table(self):
+        """64 distinct per-request predicates in one batch: results stay
+        correct, every grouped device call sees a table bounded by
+        mask_table_cap, and table sizes land on the {2,4,8} buckets (one
+        compile per bucket, not one per distinct predicate count)."""
+        tables_seen = []
+
+        def run_grouped(queries, k, table, ids):
+            tables_seen.append(table.shape[0])
+            per_query = table[ids] > 0  # [B, N]
+            scores = queries @ corpus.T
+            scores = np.where(per_query, scores, -np.inf)
+            idx = np.argsort(-scores, axis=1)[:, :k]
+            return np.take_along_axis(scores, idx, axis=1), idx.astype(np.int32)
+
+        def run_batch(queries, k):
+            scores = queries @ corpus.T
+            idx = np.argsort(-scores, axis=1)[:, :k]
+            return np.take_along_axis(scores, idx, axis=1), idx.astype(np.int32)
+
+        rng = np.random.default_rng(5)
+        corpus = rng.normal(size=(128, 8)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        batcher = MicroBatcher(
+            run_batch, run_grouped_batch=run_grouped, max_batch=64,
+            window_s=0.2, pipeline=1,
+        )
+        results = {}
+
+        def worker(i):
+            # predicate i: only rows with index % 64 == i pass — 64
+            # DISTINCT masks, the adversarial per-request-date-filter mix
+            mask = (np.arange(128) % 64) == i
+            dists, idx = batcher.search(corpus[i], 2, mask=mask)
+            results[i] = idx.tolist()
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(64)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        batcher.close()
+        for i in range(64):
+            # rows i and i+64 are the only ones passing predicate i
+            self.assertEqual(sorted(results[i]), [i, i + 64], i)
+        # staging bounded: no call saw more than the cap's bucket
+        self.assertTrue(tables_seen, "grouped path never ran")
+        self.assertLessEqual(max(tables_seen), MicroBatcher.mask_table_cap)
+        # bucketed shapes only — bounded compile count
+        self.assertTrue(set(tables_seen) <= {2, 4, 8}, tables_seen)
+
     def test_quantized_index_grouped_batch(self):
         with tempfile.TemporaryDirectory() as tmp:
             vi = VectorIndex(
