@@ -49,11 +49,13 @@ preserved when this component is disabled.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import math
 import os
 import re
+import threading
 from datetime import datetime
 from typing import Any, Dict, Iterable, List, Optional, Set
 
@@ -96,6 +98,125 @@ _SIDECAR_VERSION = 4
 
 
 _SIDECAR_SUFFIX = ".postings.npz"
+
+
+class _RWLock:
+    """Reentrant FIFO readers-writer lock for index-while-serve consistency.
+
+    The C++ core has its own shared_mutex, but the Python-side state
+    (_row_doc/_docs/_cols_np/_vocab) is a compound structure a reader
+    walks in several steps — a concurrent add can otherwise hand the
+    native scorer a row the cached row→doc array does not know yet
+    (IndexError → HTTP 500 while indexing-while-serving).  Readers run
+    concurrently (BM25 scoring releases the GIL in the C++ core);
+    mutations are exclusive.  Write-reentrant because load() drives
+    clear()/add_document() internally.
+
+    Admission is FIFO over a queue of waiters (consecutive readers
+    coalesce into one batch): a hot closed search loop cannot starve the
+    indexer, and a tight indexing loop cannot starve searches — plain
+    writer-preference livelocked on single-core hosts (the releasing
+    writer re-queued before notified readers were scheduled)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        # FIFO of waiter entries: ["R", n_waiting, admitted] reader
+        # batches / ["W", thread_ident] writers
+        self._queue: List[list] = []
+        self._readers = 0  # active readers
+        self._writer: Optional[int] = None  # owning thread ident
+        self._writer_depth = 0
+
+    def _admit_head(self) -> None:
+        """Called whenever the lock frees up: open the head reader batch
+        (writers admit themselves via their wait predicate)."""
+        if self._queue and self._queue[0][0] == "R":
+            self._queue[0][2] = True
+        self._cond.notify_all()
+
+    def acquire_read(self) -> None:
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me:  # read nested in own write: exclusive already
+                self._writer_depth += 1
+                return
+            if not self._queue and self._writer is None:
+                self._readers += 1  # fast path: no waiters, join running readers
+                return
+            if self._queue and self._queue[-1][0] == "R":
+                batch = self._queue[-1]
+            else:
+                batch = ["R", 0, False]
+                self._queue.append(batch)
+            batch[1] += 1
+            while not (batch[2] and self._writer is None):
+                self._cond.wait()
+            batch[1] -= 1
+            self._readers += 1
+            if not batch[1]:  # batch fully admitted — unblock the next writer
+                self._queue.remove(batch)
+                self._cond.notify_all()
+
+    def release_read(self) -> None:
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me:
+                self._writer_depth -= 1
+                return
+            self._readers -= 1
+            if not self._readers:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me:
+                self._writer_depth += 1
+                return
+            entry = ["W", me]
+            self._queue.append(entry)
+            while not (
+                self._queue[0] is entry
+                and self._writer is None
+                and not self._readers
+            ):
+                self._cond.wait()
+            self._queue.pop(0)
+            self._writer = me
+            self._writer_depth = 1
+            self._admit_head()  # pre-open the next reader batch: they still
+            # wait on writer None, but wake as soon as this writer releases
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer_depth -= 1
+            if not self._writer_depth:
+                self._writer = None
+                self._admit_head()
+
+
+def _reads(method):
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        self._rw.acquire_read()
+        try:
+            return method(self, *args, **kwargs)
+        finally:
+            self._rw.release_read()
+
+    return wrapper
+
+
+def _writes(method):
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        self._rw.acquire_write()
+        try:
+            return method(self, *args, **kwargs)
+        finally:
+            self._rw.release_write()
+
+    return wrapper
 
 
 def _is_cjk(char: str) -> bool:
@@ -239,10 +360,12 @@ class _NativeBM25:
         out_scores = np.empty(capacity, np.float64)
         out_matched = np.empty(capacity, np.int64)
         allowed_ptr = None
+        allowed_len = 0
         allowed_arr = None  # keep the buffer alive across the C call
         if allowed is not None:
             allowed_arr = np.ascontiguousarray(allowed, np.uint8)
             allowed_ptr = self._ptr(allowed_arr, ctypes.c_uint8)
+            allowed_len = len(allowed_arr)
         written = self._lib.pse_bm25_score_field_masked(
             self._handle,
             field_index,
@@ -250,6 +373,7 @@ class _NativeBM25:
             len(term_arr),
             min_required,
             allowed_ptr,
+            allowed_len,
             self._ptr(out_docs, ctypes.c_int64),
             self._ptr(out_scores, ctypes.c_double),
             self._ptr(out_matched, ctypes.c_int64),
@@ -264,6 +388,72 @@ class _NativeBM25:
                 f"native BM25 buffer overflow: need {written} > {capacity}"
             )
         return out_docs[:written], out_scores[:written], out_matched[:written]
+
+    def score_query(
+        self,
+        tids: Iterable[int],
+        min_required: int,
+        boosts: np.ndarray,           # [n_fields] f64, field order
+        rt_field: int,                # phrase-candidate field index (-1 off)
+        full_match: int,
+        allowed: Optional[np.ndarray] = None,
+        total_rows: int = 0,
+    ):
+        """Fused best_fields scorer: one C call for all fields.  Returns
+        (rows, fused_scores, cand_pos, cand_rt) — cand_pos indexes into
+        rows for the retrieval_text full-match (phrase candidate) set."""
+        import ctypes
+
+        term_arr = np.asarray(list(tids), np.int64)
+        empty_i = np.empty(0, np.int64)
+        empty_f = np.empty(0, np.float64)
+        if term_arr.size == 0:
+            return empty_i, empty_f, empty_i, empty_f
+        capacity = max(1024, int(total_rows))
+        out_rows = np.empty(capacity, np.int64)
+        out_scores = np.empty(capacity, np.float64)
+        out_cand_pos = np.empty(capacity, np.int64)
+        out_cand_rt = np.empty(capacity, np.float64)
+        n_cands = np.zeros(1, np.int64)
+        boosts = np.ascontiguousarray(boosts, np.float64)
+        allowed_ptr = None
+        allowed_len = 0
+        allowed_arr = None  # keep the buffer alive across the C call
+        if allowed is not None:
+            allowed_arr = np.ascontiguousarray(allowed, np.uint8)
+            allowed_ptr = self._ptr(allowed_arr, ctypes.c_uint8)
+            allowed_len = len(allowed_arr)
+        written = self._lib.pse_bm25_score_query(
+            self._handle,
+            self._ptr(term_arr, ctypes.c_int64),
+            len(term_arr),
+            min_required,
+            self._ptr(boosts, ctypes.c_double),
+            rt_field,
+            full_match,
+            allowed_ptr,
+            allowed_len,
+            self._ptr(out_rows, ctypes.c_int64),
+            self._ptr(out_scores, ctypes.c_double),
+            capacity,
+            self._ptr(out_cand_pos, ctypes.c_int64),
+            self._ptr(out_cand_rt, ctypes.c_double),
+            capacity,
+            self._ptr(n_cands, ctypes.c_int64),
+        )
+        if written > capacity:
+            # capacity = live row count makes this unreachable (see
+            # score_field) — fail loudly rather than dropping matches
+            raise RuntimeError(
+                f"native BM25 buffer overflow: need {written} > {capacity}"
+            )
+        c = int(n_cands[0])
+        return (
+            out_rows[:written],
+            out_scores[:written],
+            out_cand_pos[:c],
+            out_cand_rt[:c],
+        )
 
     def export_field(self, field_index: int):
         """COO postings + per-doc lengths of one field (for persistence)."""
@@ -331,6 +521,7 @@ class KeywordIndex:
         self.index_path = index_path
         self._native: Optional[_NativeBM25] = None
         self._want_native = native == "auto" or native is True
+        self._rw = _RWLock()
         self._reset_state()
 
     def _reset_state(self) -> None:
@@ -402,6 +593,7 @@ class KeywordIndex:
             self._cat_values[field].append(value)
         return code
 
+    @_writes
     def add_document(self, doc_id: str, document: Dict[str, Any]) -> None:
         """Insert or overwrite a document (reference keyword_store.py:216-238)."""
         if "photo_path" not in document or "description" not in document:
@@ -422,6 +614,12 @@ class KeywordIndex:
         self._dt_col.append(_epoch_seconds(doc_dt) if doc_dt else _NO_DT)
         self._cols_np = None
 
+        # Tokenize and finish EVERY Python-side structure (streams, cache
+        # invalidations) BEFORE the row enters the scorer: the C++ core
+        # scores concurrently with this mutator (index-while-serve), and a
+        # scorer that sees the new row must never index past a stale
+        # packed-stream / column snapshot.
+        field_tids: List[Tuple[int, np.ndarray, int]] = []
         stream: Optional[np.ndarray] = None
         for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
             tokens = tokenize(document.get(field))
@@ -430,6 +628,11 @@ class KeywordIndex:
             )
             if field == "retrieval_text":
                 stream = tids
+            field_tids.append((field_index, tids, len(tokens)))
+        self._streams.append(stream)
+        self._stream_pack = None
+        for field_index, tids, n_tokens in field_tids:
+            field = list(TEXT_FIELD_BOOSTS)[field_index]
             if self._native is not None:
                 self._native.add_doc(row, field_index, tids)
             else:
@@ -442,10 +645,8 @@ class KeywordIndex:
                 for tid, tf in zip(uniq.tolist(), counts.tolist()):
                     postings.setdefault(tid, {})[row] = tf
                 self._row_tids[field][row] = uniq
-                self._doc_len[field][row] = len(tokens)
-                self._total_len[field] += len(tokens)
-        self._streams.append(stream)
-        self._stream_pack = None
+                self._doc_len[field][row] = n_tokens
+                self._total_len[field] += n_tokens
 
     def _remove(self, doc_id: str) -> None:
         row = self._doc_row.pop(doc_id, None)
@@ -473,9 +674,11 @@ class KeywordIndex:
             if length:
                 self._total_len[field] -= length
 
+    @_writes
     def delete_document(self, doc_id: str) -> None:
         self._remove(doc_id)
 
+    @_writes
     def clear(self) -> None:
         """Drop everything (reference keyword_store.py:420 delete+recreate)."""
         self._reset_state()
@@ -507,7 +710,11 @@ class KeywordIndex:
             df = len(postings)
             idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             for row, tf in postings.items():
-                if allowed is not None and not allowed[row]:
+                # rows >= len(allowed) appeared after the caller built its
+                # mask (index-while-serve): filtered out, same as native
+                if allowed is not None and (
+                    row >= len(allowed) or not allowed[row]
+                ):
                     continue
                 dl = lengths.get(row, 0)
                 denom = tf + _K1 * (1.0 - _B + (_B * dl / avg_len if avg_len else 0.0))
@@ -547,25 +754,32 @@ class KeywordIndex:
 
     def _phrase_rows(
         self, pattern: np.ndarray, candidates: Iterable[int]
-    ) -> Set[int]:
+    ) -> np.ndarray:
         """Rows whose retrieval_text stream contains ``pattern`` as a
         contiguous subsequence (the match_phrase clause,
-        keyword_store.py:128-135).  Candidate streams are gathered from the
-        packed buffer (``_packed_streams``) and the pattern match is a
-        single vectorized pass; the -1 separators can never equal a vocab
-        id, so matches cannot span documents."""
+        keyword_store.py:128-135), as a sorted int64 array.  Candidate
+        streams are gathered from the packed buffer (``_packed_streams``)
+        and the pattern match is a single vectorized pass; the -1
+        separators can never equal a vocab id, so matches cannot span
+        documents."""
         plen = len(pattern)
+        empty = np.empty(0, np.int64)
         flat, starts, lens = self._packed_streams()
         if isinstance(candidates, np.ndarray):
             cand = candidates.astype(np.int64, copy=False)
         else:
             cand = np.asarray(list(candidates), np.int64)
         if cand.size == 0:
-            return set()
+            return empty
+        # rows appended after this pack was built (index-while-serve) have
+        # no stream here yet — conservatively no phrase bonus this query
+        cand = cand[cand < starts.shape[0]]
+        if cand.size == 0:
+            return empty
         ok = (starts[cand] >= 0) & (lens[cand] > plen)  # len incl. separator
         cand = cand[ok]
         if cand.size == 0:
-            return set()
+            return empty
         lens_c = lens[cand]
         prefix = np.concatenate(([0], np.cumsum(lens_c)[:-1]))
         total = int(lens_c.sum())
@@ -575,15 +789,15 @@ class KeywordIndex:
         buf = flat[idx]
         n = len(buf) - plen + 1
         if n <= 0:
-            return set()
+            return empty
         match = buf[:n] == pattern[0]
         for j in range(1, plen):
             match &= buf[j : j + n] == pattern[j]
         hit_pos = np.nonzero(match)[0]
         if not len(hit_pos):
-            return set()
+            return empty
         i = np.searchsorted(prefix, hit_pos, side="right") - 1
-        return set(cand[np.unique(i)].tolist())
+        return np.sort(cand[np.unique(i)])
 
     def _text_scores(self, query: Optional[str], cand_rows: Optional[np.ndarray]):
         """best_fields multi_match + phrase bonus as a dense score vector;
@@ -615,6 +829,10 @@ class KeywordIndex:
         if cand_rows is not None:
             allowed = np.zeros(n_rows, np.uint8)
             allowed[cand_rows] = 1
+        if self._native is not None:
+            return self._text_scores_native(
+                terms, known_tids, required, allowed, n_rows
+            )
         best = np.zeros(n_rows, np.float64)
         rt_rows = rt_scores = rt_matched = None
         for field, boost in TEXT_FIELD_BOOSTS.items():
@@ -642,12 +860,50 @@ class KeywordIndex:
             check_scores = rt_scores[full]
             pattern = np.asarray(pattern_tids, np.int32)
             hits = self._phrase_rows(pattern, check_rows)
-            if hits:
-                for row, base in zip(check_rows.tolist(), check_scores.tolist()):
-                    if row in hits:
-                        best[row] += _PHRASE_BOOST * base
+            if len(hits):
+                is_hit = np.isin(check_rows, hits, assume_unique=True)
+                best[check_rows[is_hit]] += _PHRASE_BOOST * check_scores[is_hit]
         scored = np.nonzero(best > 0.0)[0]
         return scored, best[scored]
+
+    def _text_scores_native(
+        self,
+        terms: List[str],
+        known_tids: List[int],
+        required: int,
+        allowed: Optional[np.ndarray],
+        n_rows: int,
+    ):
+        """Fused-native twin of the per-field loop above: ONE C call walks
+        all fields, fuses best_fields max(boost × BM25) and returns the
+        qualifying rows compactly — no dense [n_rows] staging, no per-field
+        output buffers.  Scores are bit-identical to the fallback path
+        (same walk order, same accumulation, exact max) — asserted by
+        tests/test_keyword_index.py parity cases."""
+        boosts = np.asarray(list(TEXT_FIELD_BOOSTS.values()), np.float64)
+        rt_index = list(TEXT_FIELD_BOOSTS).index("retrieval_text")
+        rows, fused, cand_pos, cand_rt = self._native.score_query(
+            known_tids,
+            required,
+            boosts,
+            rt_index,
+            max(len(known_tids), 1),
+            allowed,
+            n_rows,
+        )
+        pattern_tids = [self._vocab.get(t) for t in terms]
+        if (
+            len(terms) >= 2
+            and all(t is not None for t in pattern_tids)
+            and len(cand_pos)
+        ):
+            check_rows = rows[cand_pos]
+            pattern = np.asarray(pattern_tids, np.int32)
+            hits = self._phrase_rows(pattern, check_rows)
+            if len(hits):
+                is_hit = np.isin(check_rows, hits, assume_unique=True)
+                fused[cand_pos[is_hit]] += _PHRASE_BOOST * cand_rt[is_hit]
+        return rows, fused
 
     # ------------------------------------------------------------------
     def _cols(self) -> Dict[str, np.ndarray]:
@@ -731,6 +987,7 @@ class KeywordIndex:
             for doc_id, score in zip(top_docs, top_scores)
         ]
 
+    @_reads
     def search(self, query: str, top_k: int = 50) -> List[Dict[str, Any]]:
         """BM25 search → [{photo_path, score∈(0,1]}] with raw min_score 0.12
         (reference keyword_store.py:240-284)."""
@@ -741,6 +998,7 @@ class KeywordIndex:
         keep = scores >= _MIN_SCORE
         return self._hits_from_arrays(rows[keep], scores[keep], top_k)
 
+    @_reads
     def search_with_filters(
         self,
         query: Optional[str],
@@ -765,6 +1023,7 @@ class KeywordIndex:
             cand_rows, np.zeros(len(cand_rows)), top_k
         )
 
+    @_reads
     def get_filtered_paths(
         self, filters: Dict[str, Any], top_k: int = 1000
     ) -> List[str]:
@@ -800,6 +1059,7 @@ class KeywordIndex:
         lens = np.asarray(list(lengths.values()), np.int64)
         return tids, rows, tfs, len_rows, lens
 
+    @_reads
     def save(self, path: Optional[str] = None, *, final: bool = True) -> None:
         """Persist raw documents (JSON, the source of truth) plus a binary
         postings sidecar so ``load`` skips re-tokenization.
@@ -898,6 +1158,7 @@ class KeywordIndex:
             np.savez(f, **arrays)
         os.replace(tmp, target + _SIDECAR_SUFFIX)
 
+    @_writes
     def load(self, path: Optional[str] = None) -> bool:
         target = path or self.index_path
         if not target or not os.path.exists(target):

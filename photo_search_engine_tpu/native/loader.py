@@ -125,12 +125,32 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,    # n query tokens
         ctypes.c_int64,    # min matched terms required
         ctypes.POINTER(ctypes.c_uint8),  # allowed-row mask (nullable)
+        ctypes.c_int64,    # allowed mask length (rows beyond it: filtered)
         i64p,              # out doc ids buffer
         f64p,              # out scores buffer
         i64p,              # out matched-term counts buffer
         ctypes.c_int64,    # buffer capacity
     ]
     lib.pse_bm25_score_field_masked.restype = ctypes.c_int64
+    lib.pse_bm25_score_query.argtypes = [
+        ctypes.c_void_p,
+        i64p,              # query token ids (unique, known)
+        ctypes.c_int64,    # n query tokens
+        ctypes.c_int64,    # min matched terms required (per field)
+        f64p,              # per-field boosts [n_fields]
+        ctypes.c_int32,    # phrase-candidate field id (-1 disables)
+        ctypes.c_int64,    # full-match threshold for phrase candidates
+        ctypes.POINTER(ctypes.c_uint8),  # allowed-row mask (nullable)
+        ctypes.c_int64,    # allowed mask length (rows beyond it: filtered)
+        i64p,              # out fused row ids
+        f64p,              # out fused scores
+        ctypes.c_int64,    # fused capacity
+        i64p,              # out candidate positions (into fused rows)
+        f64p,              # out candidate raw retrieval_text scores
+        ctypes.c_int64,    # candidate capacity
+        i64p,              # out candidate count (by ref)
+    ]
+    lib.pse_bm25_score_query.restype = ctypes.c_int64
 
 
 def native_available() -> bool:

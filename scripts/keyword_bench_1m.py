@@ -12,13 +12,20 @@ tokens, full EXIF filter columns) and measures:
 * postings sidecar save/load wall time;
 * resident memory (RSS) of the loaded index.
 
-Usage: python scripts/keyword_bench_1m.py [N_DOCS]
+Usage: python scripts/keyword_bench_1m.py [N_DOCS] [--threads N]
 Prints one human table + one machine-readable JSON line.
+
+--threads N adds a concurrent-throughput section: N threads issue the
+hybrid text+filter query in a closed loop for a fixed window; reported
+QPS measures the whole stack under concurrency (C++ scoring overlaps via
+the shared-mutex scorer; Python-side fusion/top-k still serializes on
+the GIL, so scaling is bounded by the GIL-held fraction × core count).
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -85,8 +92,59 @@ def best_ms(fn, n=5, repeats=3):
     return best * 1e3
 
 
+def concurrent_qps(ki, n_threads: int, window_s: float = 5.0):
+    """Closed-loop concurrent hybrid throughput: N threads, fixed window.
+    Returns (qps, p50_ms, per-thread query counts)."""
+    queries = [
+        ("海边 日落", {"season": "夏天"}),
+        ("雪山 人像", {"season": "冬天"}),
+        ("城市 夜景", {"year": 2017}),
+        ("公园 合影", {"time_period": "下午"}),
+    ]
+    stop = time.perf_counter() + window_s
+    counts = [0] * n_threads
+    lat: list = []
+    lat_lock = threading.Lock()
+    errors: list = []
+
+    def worker(tid: int):
+        local_lat = []
+        try:
+            i = tid
+            while time.perf_counter() < stop:
+                q, f = queries[i % len(queries)]
+                t0 = time.perf_counter()
+                ki.search_with_filters(q, f, top_k=50)
+                local_lat.append(time.perf_counter() - t0)
+                counts[tid] += 1
+                i += 1
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+        with lat_lock:
+            lat.extend(local_lat)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    assert not errors, errors
+    total = sum(counts)
+    lat.sort()
+    p50 = lat[len(lat) // 2] * 1e3 if lat else float("nan")
+    return total / elapsed, p50, counts
+
+
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    argv = sys.argv[1:]
+    n_threads = 0
+    if "--threads" in argv:
+        at = argv.index("--threads")
+        n_threads = int(argv[at + 1])
+        del argv[at : at + 2]
+    n_docs = int(argv[0]) if argv else 1_000_000
     rss_before = _rss_mb()
     ki, build_s = build(n_docs)
     rss_built = _rss_mb()
@@ -122,6 +180,22 @@ def main() -> int:
     }
     for name, ms in results.items():
         print(f"{name:28s} {ms:8.1f} ms")
+
+    if n_threads:
+        qps, p50, counts = concurrent_qps(ki, n_threads)
+        ncores = len(os.sched_getaffinity(0))
+        print(
+            f"concurrent hybrid: {n_threads} threads on {ncores} core(s) → "
+            f"{qps:.1f} QPS, p50 {p50:.1f} ms (per-thread {counts})"
+        )
+        results.update(
+            {
+                "concurrent_threads": n_threads,
+                "concurrent_qps": round(qps, 1),
+                "concurrent_p50_ms": round(p50, 1),
+                "cores": ncores,
+            }
+        )
 
     import tempfile
 

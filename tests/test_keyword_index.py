@@ -452,6 +452,121 @@ class ConcurrencyTest(unittest.TestCase):
         self.assertEqual(errors, [])
         self.assertEqual(mismatches, [])
 
+    def test_searches_concurrent_with_mutations(self):
+        """Scoring takes the C++ lock SHARED (concurrent scorers overlap);
+        add/remove take it exclusive.  Drive 6 scorer threads against a
+        mutator thread churning disjoint docs: no crashes/corruption, every
+        hit stays a live document, and once the churn stops results are
+        bit-identical to a fresh serial pass."""
+        import threading
+
+        ki = KeywordIndex()
+        if ki._native is None:
+            self.skipTest("native BM25 core unavailable")
+        # only 1 in 5 docs carries the query terms — query-term idf must
+        # stay healthy or BM25 legitimately floors below MIN_SCORE
+        filler = ["城市 夜景", "森林 徒步", "宠物 草地", "雪山 湖泊"]
+        for i in range(500):
+            text = (
+                f"海边 日落 photo tok{i % 20}"
+                if i % 5 == 0
+                else f"{filler[i % 4]} tok{i % 20}"
+            )
+            ki.add_document(str(i), _doc(f"/p/{i}.jpg", text))
+        stop = threading.Event()
+        errors: list = []
+
+        def mutator():
+            j = 0
+            while not stop.is_set():
+                doc_id = f"churn{j % 50}"
+                ki.add_document(
+                    doc_id, _doc(f"/churn/{j % 50}.jpg", f"churnword{j % 7} 海边")
+                )
+                if j % 3 == 0:
+                    ki.delete_document(f"churn{(j - 1) % 50}")
+                j += 1
+
+        def scorer(seed: int):
+            try:
+                for step in range(60):
+                    hits = ki.search("海边 日落", top_k=10)
+                    self.assertTrue(hits)
+                    for h in hits:
+                        self.assertTrue(
+                            h["photo_path"].startswith(("/p/", "/churn/"))
+                        )
+                    ki.search_with_filters(
+                        f"photo tok{(seed + step) % 20}", {}, top_k=10
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+        mut = threading.Thread(target=mutator)
+        scorers = [threading.Thread(target=scorer, args=(s,)) for s in range(6)]
+        mut.start()
+        for t in scorers:
+            t.start()
+        for t in scorers:
+            t.join()
+        stop.set()
+        mut.join()
+        self.assertEqual(errors, [])
+        # quiesced: concurrent-era structures serve the same results as a
+        # rebuilt serial index over the identical final documents
+        serial = KeywordIndex()
+        for doc_id, doc in ki._docs.items():
+            serial.add_document(doc_id, dict(doc))
+        self.assertEqual(
+            ki.search("海边 日落", top_k=20), serial.search("海边 日落", top_k=20)
+        )
+
+    def test_row_append_race_regression(self):
+        """Row-boundary race (round-4 verify): the native scorer could
+        return a row a concurrent add had just registered in the C++ core
+        while the cached Python row→doc array was still one short
+        (IndexError → HTTP 500 under index-while-serve).  The KeywordIndex
+        _RWLock makes reader snapshots consistent; a tight append loop
+        racing hot readers over a large-ish corpus reproduced the crash
+        reliably pre-fix."""
+        import threading
+
+        ki = KeywordIndex()
+        for i in range(3000):
+            text = f"海边 日落 photo tok{i % 20}" if i % 5 == 0 else f"城市 tok{i % 20}"
+            ki.add_document(str(i), _doc(f"/p/{i}.jpg", text))
+        errors: list = []
+        done = threading.Event()
+
+        def writer():
+            try:
+                for j in range(400):
+                    ki.add_document(
+                        f"app{j}", _doc(f"/app/{j}.jpg", "海边 日落 appended")
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors.append("writer: " + repr(exc))
+            finally:
+                done.set()
+
+        def reader():
+            try:
+                while not done.is_set():
+                    hits = ki.search("海边 日落", top_k=10)
+                    self.assertTrue(hits)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+        threads = [threading.Thread(target=reader) for _ in range(6)]
+        wt = threading.Thread(target=writer)
+        for t in threads:
+            t.start()
+        wt.start()
+        wt.join()
+        for t in threads:
+            t.join()
+        self.assertEqual(errors, [])
+
 
 if __name__ == "__main__":
     unittest.main()
