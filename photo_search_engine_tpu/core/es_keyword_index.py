@@ -32,6 +32,11 @@ Unlike the builtin ``KeywordIndex``, persistence lives in the ES cluster:
 
 from __future__ import annotations
 
+import base64
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
 from typing import Any, Dict, List, Optional
 
 TEXT_QUERY_FIELDS = [
@@ -57,6 +62,144 @@ FILTER_EXACT_FIELDS = (
 _MIN_SCORE = 0.12
 
 
+class ESApiError(Exception):
+    """Non-2xx/404 response from the cluster (the urllib client's analogue
+    of elasticsearch-py's ApiError)."""
+
+    def __init__(self, status: int, body: str) -> None:
+        super().__init__(f"HTTP {status}: {body[:200]}")
+        self.status = status
+
+
+class _HttpESIndices:
+    """``client.indices.*`` namespace of :class:`HttpESClient`."""
+
+    def __init__(self, client: "HttpESClient") -> None:
+        self._c = client
+
+    def exists(self, *, index: str) -> bool:
+        status, _ = self._c._request("HEAD", f"/{index}", ok404=True)
+        return status == 200
+
+    def create(
+        self,
+        *,
+        index: str,
+        mappings: Optional[Dict[str, Any]] = None,
+        settings: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        body: Dict[str, Any] = {}
+        if mappings is not None:
+            body["mappings"] = mappings
+        if settings is not None:
+            body["settings"] = settings
+        return self._c._json("PUT", f"/{index}", body or None)
+
+    def delete(self, *, index: str) -> Dict[str, Any]:
+        return self._c._json("DELETE", f"/{index}")
+
+    def get_mapping(self, *, index: str) -> Dict[str, Any]:
+        return self._c._json("GET", f"/{index}/_mapping")
+
+    def put_settings(
+        self, *, index: str, settings: Dict[str, Any]
+    ) -> Dict[str, Any]:
+        return self._c._json("PUT", f"/{index}/_settings", settings)
+
+    def analyze(self, *, analyzer: str, text: str) -> Dict[str, Any]:
+        return self._c._json(
+            "GET", "/_analyze", {"analyzer": analyzer, "text": text}
+        )
+
+    def refresh(self, *, index: str) -> Dict[str, Any]:
+        return self._c._json("POST", f"/{index}/_refresh")
+
+
+class HttpESClient:
+    """SDK-free Elasticsearch client over urllib, exposing exactly the
+    typed-kwargs surface :class:`ElasticsearchKeywordIndex` uses from
+    elasticsearch-py 8.x/9.x (indices.*, index, delete, count, search).
+
+    Twin of ``services.llm_compat.OpenAIHttpClient``: the adapter works
+    against a real cluster with zero extra dependencies, and wire-level
+    tests can pin the exact request shapes the reference client emits
+    (reference utils/keyword_store.py:105-392) against a stdlib fake
+    HTTP server (tests/test_es_wire.py)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        basic_auth: Optional[tuple] = None,
+        timeout: float = 10.0,
+    ) -> None:
+        self._base = base_url.rstrip("/")
+        self._timeout = timeout
+        self._auth_header: Optional[str] = None
+        if basic_auth:
+            token = base64.b64encode(
+                f"{basic_auth[0]}:{basic_auth[1]}".encode()
+            ).decode()
+            self._auth_header = f"Basic {token}"
+        self.indices = _HttpESIndices(self)
+
+    # -- transport -----------------------------------------------------
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: Optional[Dict[str, Any]] = None,
+        ok404: bool = False,
+    ) -> tuple:
+        data = None
+        headers = {"Accept": "application/json"}
+        if body is not None:
+            data = json.dumps(body).encode()
+            headers["Content-Type"] = "application/json"
+        if self._auth_header:
+            headers["Authorization"] = self._auth_header
+        req = urllib.request.Request(
+            self._base + path, data=data, headers=headers, method=method
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as exc:
+            payload = exc.read().decode("utf-8", "replace")
+            if ok404 and exc.code == 404:
+                return exc.code, payload
+            raise ESApiError(exc.code, payload) from None
+
+    def _json(
+        self,
+        method: str,
+        path: str,
+        body: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        _, payload = self._request(method, path, body)
+        return json.loads(payload) if payload else {}
+
+    # -- document + query API ------------------------------------------
+    def index(
+        self, *, index: str, id: str, document: Dict[str, Any]
+    ) -> Dict[str, Any]:
+        return self._json(
+            "PUT", f"/{index}/_doc/{urllib.parse.quote(id, safe='')}", document
+        )
+
+    def delete(self, *, index: str, id: str) -> Dict[str, Any]:
+        return self._json(
+            "DELETE", f"/{index}/_doc/{urllib.parse.quote(id, safe='')}"
+        )
+
+    def count(self, *, index: str) -> Dict[str, Any]:
+        return self._json("POST", f"/{index}/_count")
+
+    def search(self, *, index: str, **body: Any) -> Dict[str, Any]:
+        # elasticsearch-py folds typed kwargs (query/size/min_score) into
+        # the _search request body verbatim
+        return self._json("POST", f"/{index}/_search", dict(body))
+
+
 class ElasticsearchKeywordIndex:
     """BM25 + EXIF filters over a real Elasticsearch index."""
 
@@ -73,13 +216,19 @@ class ElasticsearchKeywordIndex:
         if client is not None:
             self.es_client = client
         else:
-            from elasticsearch import Elasticsearch  # lazy optional dep
-
             url = f"http://{host}:{port}"
-            if username and password:
-                self.es_client = Elasticsearch(url, basic_auth=(username, password))
-            else:
-                self.es_client = Elasticsearch(url)
+            auth = (username, password) if username and password else None
+            try:
+                from elasticsearch import Elasticsearch  # lazy optional dep
+
+                if auth:
+                    self.es_client = Elasticsearch(url, basic_auth=auth)
+                else:
+                    self.es_client = Elasticsearch(url)
+            except ImportError:
+                # SDK-free fallback: same typed-kwargs surface over urllib,
+                # so KEYWORD_BACKEND=elasticsearch needs no pip install
+                self.es_client = HttpESClient(url, basic_auth=auth)
         self._ensure_index()
 
     # ------------------------------------------------------------------
