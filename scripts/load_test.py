@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_stack(
     rows: int, dim: int, quantized: bool, index_type: str,
     host_corpus: bool = False, window_ms: float = 3.0, pipeline: int = 2,
+    fake_device_ms: float = 0.0,
 ):
     from photo_search_engine_tpu.api.app import create_app
     from photo_search_engine_tpu.core.batcher import attach_microbatcher
@@ -75,7 +76,52 @@ def build_stack(
         ]
 
     t0 = time.perf_counter()
-    if host_corpus:
+    if fake_device_ms > 0:
+        # STACK-ONLY mode (round-3 verdict weak #2): the round-3 route
+        # number (13.3 QPS @1M) was ≥95% device-link RTT on the tunneled
+        # dev chip, leaving the serving stack's own ceiling unmeasured.
+        # Here the device is replaced by a stub that sleeps the recorded
+        # on-chip per-batch scan latency (GIL released, so concurrent
+        # batches overlap exactly like real dispatches) and returns
+        # deterministic valid row indices — everything else (ThreadingWSGI
+        # → routes → Searcher → micro-batcher → fusion/top-k assembly) is
+        # the production code path, so the measured QPS is the stack's
+        # ceiling with a co-located device of that latency.
+        metas = _metas(0, rows)
+        vector_index.metadata.extend(metas)
+        for i, meta in enumerate(metas):
+            vector_index._path_to_index[meta["photo_path"]] = i
+
+        class _FakeStore:
+            count = rows
+            dimension = dim
+
+        vector_index._store = _FakeStore()
+
+        def _fake_scan(queries, k, mask=None):
+            q = np.atleast_2d(np.asarray(queries, np.float32))
+            b = q.shape[0]
+            time.sleep(fake_device_ms / 1e3)
+            seed = (np.abs(q).sum(axis=1) * 1e4).astype(np.int64)
+            idx = (
+                (seed[:, None] + np.arange(k)[None, :]) % max(rows, 1)
+            ).astype(np.int32)
+            dists = np.broadcast_to(
+                np.linspace(0.95, 0.5, k, dtype=np.float32)[None, :], (b, k)
+            ).copy()
+            vector_index.last_route = {
+                "impl": f"fake_device_{fake_device_ms:g}ms",
+                "nprobe": None,
+                "mesh_devices": 1,
+            }
+            return dists, idx
+
+        vector_index.raw_search_batch = _fake_scan
+        vector_index.raw_grouped_search_batch = (
+            lambda queries, k, table, ids: _fake_scan(queries, k)
+        )
+        print(f"  corpus {rows}/{rows} (metadata-only, fake device)", flush=True)
+    elif host_corpus:
         # the production ingest path (host rows → add_batch); at 1M×1536
         # this uploads ~6 GB through the device link — tens of minutes on
         # remote-attached runtimes, so it is opt-in for parity checks only
@@ -304,7 +350,23 @@ def main() -> int:
         help="build via the production add_batch upload path (slow on "
         "remote-attached devices) instead of on-device generation",
     )
+    parser.add_argument(
+        "--fake-device-ms", type=float, default=0.0,
+        help="STACK-ONLY mode: replace the device scan with a stub that "
+        "sleeps this long per batch (GIL released) and returns valid "
+        "indices, measuring the serving stack's own ceiling with a "
+        "co-located device of that latency; forces the CPU platform so "
+        "the run never touches the tunneled chip",
+    )
     args = parser.parse_args()
+
+    if args.fake_device_ms > 0:
+        # stack-only runs must not contend for the tunneled TPU; the env
+        # var alone is ignored on this machine (axon sitecustomize), so
+        # force via jax.config before any jax-touching import
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache (same location as bench.py): XLA-level
     # executables survive across runs, shaving the cold first-request
@@ -320,7 +382,7 @@ def main() -> int:
     app, vector_index, build_s = build_stack(
         args.rows, args.dim, args.quantized, args.index_type,
         host_corpus=args.host_corpus, window_ms=args.window_ms,
-        pipeline=args.pipeline,
+        pipeline=args.pipeline, fake_device_ms=args.fake_device_ms,
     )
     print(f"corpus built: {args.rows}×{args.dim} in {build_s:.1f}s")
     server, port = serve(app)
@@ -346,6 +408,7 @@ def main() -> int:
         index_type=args.index_type,
         window_ms=args.window_ms,
         pipeline=args.pipeline,
+        fake_device_ms=args.fake_device_ms,
         route=vector_index.last_route,
     )
     if batcher is not None and batcher.batches_run:
