@@ -30,6 +30,7 @@ device's job is recall, the host's job is policy.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from datetime import datetime
@@ -207,7 +208,11 @@ class Searcher:
         return normalized if normalized in _SEARCH_MODES else "balanced"
 
     @staticmethod
+    @functools.lru_cache(maxsize=65536)
     def _path_key(photo_path: str) -> str:
+        # cached: dedup/fusion/finalize normalize the same candidate paths
+        # several times per request (~2k calls/request at candidate_k=500,
+        # the hottest stack-profile entry at 1M rows)
         normalized = normalize_local_path(photo_path) if photo_path else ""
         if not normalized and photo_path:
             normalized = str(photo_path).strip()
@@ -673,7 +678,9 @@ class Searcher:
                     "retrieval_text": metadata.get("retrieval_text"),
                     "score": self._distance_to_score(float(item.get("distance", 0.0))),
                     "metadata": metadata,
-                    "match_summary": build_match_summary(metadata),
+                    # match_summary is attached at finalize time to the
+                    # surviving top-k only — building it for all ~500
+                    # candidates was a top stack-profile entry
                 }
             )
         return self._deduplicate(combined)
@@ -781,7 +788,7 @@ class Searcher:
                     "keyword_score": round(k_score, 6),
                     "rank": 0,
                     "metadata": metadata,
-                    "match_summary": build_match_summary(metadata),
+                    # match_summary deferred to finalize (top-k only)
                 }
             )
         combined.sort(key=lambda item: item["score"], reverse=True)
@@ -970,6 +977,10 @@ class Searcher:
         }
         for rank, item in enumerate(final, start=1):
             item["rank"] = rank
+            if "match_summary" not in item:
+                item["match_summary"] = build_match_summary(
+                    item.get("metadata") or {}
+                )
         return self._sanitize(final) if strip_internal else final
 
     @staticmethod
@@ -1577,6 +1588,10 @@ class Searcher:
         results = filtered[:normalized_top_k]
         for rank, item in enumerate(results, start=1):
             item["rank"] = rank
+            if "match_summary" not in item:
+                item["match_summary"] = build_match_summary(
+                    item.get("metadata") or {}
+                )
             item.pop("metadata", None)
         self._last_search_debug = {
             "mode": "image_path",
@@ -1634,6 +1649,10 @@ class Searcher:
         results = filtered[:normalized_top_k]
         for rank, item in enumerate(results, start=1):
             item["rank"] = rank
+            if "match_summary" not in item:
+                item["match_summary"] = build_match_summary(
+                    item.get("metadata") or {}
+                )
             item.pop("metadata", None)
         self._last_search_debug = {
             "mode": "uploaded_image",

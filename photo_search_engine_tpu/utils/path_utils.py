@@ -39,6 +39,23 @@ def normalize_local_path(path: str) -> str:
     and absolutize (reference path_utils.py:42-58)."""
     if not path:
         return ""
+    # fast path: a clean absolute POSIX path outside the WSL mount tree is
+    # its own normalization — the searcher normalizes every candidate path
+    # several times per request, and the regex+abspath walk below was the
+    # single hottest stack-profile entry at 1M rows (~2k calls/request)
+    if (
+        os.name != "nt"
+        and path[0] == "/"
+        and not path[-1].isspace()
+        and path[-1] not in "\"'/"
+        and "\\" not in path
+        and "//" not in path
+        and not path.startswith("/mnt/")
+        and "/./" not in path
+        and "/../" not in path
+        and not path.endswith(("/.", "/.."))
+    ):
+        return path
     candidate = path.strip().strip('"').strip("'")
     if _WIN_DRIVE.match(candidate):
         if os.name == "nt":
