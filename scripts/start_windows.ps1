@@ -1,9 +1,13 @@
 # Windows launcher (reference parity: start_windows.ps1 +
 # artifacts/start_windows.ps1 — env-profile selection, data-dir pinning,
-# port override, health probe).  The reference launcher also bootstraps a
-# local Elasticsearch server; here the keyword channel is builtin
-# (core/keyword_index.py), so no JVM bootstrap exists — set
-# KEYWORD_BACKEND=elasticsearch yourself if you run a real cluster.
+# port override, health probe).  The builtin keyword channel
+# (core/keyword_index.py) needs no JVM; when KEYWORD_BACKEND=elasticsearch
+# and the configured host is local, a managed Elasticsearch is
+# bootstrapped exactly like the reference artifacts launcher (reference
+# artifacts/start_windows.ps1:307-470: resolve ELASTICSEARCH_BAT_PATH /
+# ELASTICSEARCH_HOME or download+extract, write a managed config, start
+# elasticsearch.bat, wait for readiness, record the managed pid for
+# stale-process reuse/stop).
 #
 # Usage:
 #   powershell -ExecutionPolicy Bypass -File scripts\start_windows.ps1 `
@@ -62,6 +66,132 @@ $busy = Get-NetTCPConnection -LocalPort $serverPort -State Listen `
 if ($busy) {
     throw ("port $serverPort is already in use (pid " +
            "$($busy[0].OwningProcess)); stop it or pass -Port")
+}
+
+# ---- managed Elasticsearch bootstrap (KEYWORD_BACKEND=elasticsearch) ----
+# Reference parity: artifacts/start_windows.ps1 Ensure-ManagedElasticsearchHome
+# (download/extract), Write-ManagedElasticsearchConfig, Start-ManagedElasticsearch
+# (readiness wait + stale-managed stop), Write-StackStatus (managed pid record).
+$esStatusFile = Join-Path $env:DATA_DIR "managed_es_status.json"
+
+function Test-EsReady([string]$EsHost, [int]$EsPort) {
+    try {
+        $resp = Invoke-WebRequest -UseBasicParsing -TimeoutSec 5 `
+            -Uri "http://${EsHost}:$EsPort/"
+        return ($resp.StatusCode -ge 200 -and $resp.StatusCode -lt 300)
+    } catch { return $false }
+}
+
+function Stop-StaleManagedEs([string]$StatusPath, [int]$EsPort) {
+    # only ever stops a pid THIS launcher recorded as managed; a foreign
+    # process on the port is an error, not a kill target
+    if (-not (Test-Path $StatusPath)) { return }
+    try { $status = Get-Content $StatusPath -Raw | ConvertFrom-Json } catch { return }
+    if (-not $status.managed -or -not $status.pid) { return }
+    $proc = Get-Process -Id $status.pid -ErrorAction SilentlyContinue
+    if ($proc) {
+        Write-Host "[start] stopping stale managed Elasticsearch (pid $($status.pid))"
+        Stop-Process -Id $status.pid -Force -ErrorAction SilentlyContinue
+        Start-Sleep -Seconds 3
+    }
+    Remove-Item $StatusPath -Force -ErrorAction SilentlyContinue
+}
+
+function Ensure-EsHome([string]$Version, [string]$EsRoot) {
+    # explicit installs win over the managed download
+    if ($env:ELASTICSEARCH_BAT_PATH) {
+        if (-not (Test-Path $env:ELASTICSEARCH_BAT_PATH)) {
+            throw "ELASTICSEARCH_BAT_PATH does not exist: $env:ELASTICSEARCH_BAT_PATH"
+        }
+        return Split-Path -Parent (Split-Path -Parent $env:ELASTICSEARCH_BAT_PATH)
+    }
+    if ($env:ELASTICSEARCH_HOME) {
+        $bat = Join-Path $env:ELASTICSEARCH_HOME "bin\elasticsearch.bat"
+        if (-not (Test-Path $bat)) {
+            throw "ELASTICSEARCH_HOME is missing bin\elasticsearch.bat: $env:ELASTICSEARCH_HOME"
+        }
+        return $env:ELASTICSEARCH_HOME
+    }
+    $esHome = Join-Path $EsRoot "elasticsearch-$Version"
+    $bat = Join-Path $esHome "bin\elasticsearch.bat"
+    if (Test-Path $bat) { return $esHome }
+    New-Item -ItemType Directory -Force -Path $EsRoot | Out-Null
+    $zipName = "elasticsearch-$Version-windows-x86_64.zip"
+    $zipPath = Join-Path $EsRoot $zipName
+    if (-not (Test-Path $zipPath)) {
+        Write-Host "[start] downloading Elasticsearch $Version"
+        Invoke-WebRequest -UseBasicParsing -OutFile $zipPath `
+            -Uri "https://artifacts.elastic.co/downloads/elasticsearch/$zipName"
+    }
+    Write-Host "[start] extracting Elasticsearch $Version"
+    Expand-Archive -Path $zipPath -DestinationPath $EsRoot -Force
+    if (-not (Test-Path $bat)) {
+        throw "Elasticsearch archive extracted but $bat not found"
+    }
+    return $esHome
+}
+
+if ($env:KEYWORD_BACKEND -eq "elasticsearch") {
+    $esHost = if ($env:ELASTICSEARCH_HOST) { $env:ELASTICSEARCH_HOST } else { "localhost" }
+    $esPort = if ($env:ELASTICSEARCH_PORT) { [int]$env:ELASTICSEARCH_PORT } else { 9200 }
+    $isLocal = $esHost -in @("localhost", "127.0.0.1", "::1", "0.0.0.0")
+    if (-not $isLocal) {
+        Write-Host "[start] KEYWORD_BACKEND=elasticsearch with remote host ${esHost}:$esPort — not managing it"
+    } elseif (Test-EsReady $esHost $esPort) {
+        Write-Host "[start] Elasticsearch already reachable at http://${esHost}:$esPort"
+    } else {
+        $esBusy = Get-NetTCPConnection -LocalPort $esPort -State Listen `
+            -ErrorAction SilentlyContinue
+        if ($esBusy) { Stop-StaleManagedEs $esStatusFile $esPort }
+        $esBusy = Get-NetTCPConnection -LocalPort $esPort -State Listen `
+            -ErrorAction SilentlyContinue
+        if ($esBusy) {
+            throw ("port $esPort is busy but Elasticsearch is not responding; " +
+                   "stop the process or change ELASTICSEARCH_PORT")
+        }
+        $esVersion = if ($env:ELASTICSEARCH_VERSION) { $env:ELASTICSEARCH_VERSION } else { "8.14.3" }
+        $esRoot = Join-Path $env:DATA_DIR "elasticsearch"
+        $esHome = Ensure-EsHome $esVersion $esRoot
+        $esConfigDir = Join-Path $esRoot "config"
+        $esDataDir = Join-Path $esRoot "data"
+        $esLogsDir = Join-Path $esRoot "logs"
+        foreach ($d in @($esConfigDir, $esDataDir, $esLogsDir)) {
+            New-Item -ItemType Directory -Force -Path $d | Out-Null
+        }
+        # single-node dev config, security off — matches the reference's
+        # managed config (artifacts/start_windows.ps1:274-305)
+        @"
+cluster.name: photo-search-managed
+node.name: photo-search-node
+discovery.type: single-node
+network.host: $esHost
+http.port: $esPort
+xpack.security.enabled: false
+xpack.security.http.ssl.enabled: false
+path.data: '$esDataDir'
+path.logs: '$esLogsDir'
+"@ | Set-Content -Path (Join-Path $esConfigDir "elasticsearch.yml") -Encoding UTF8
+
+        $env:ES_PATH_CONF = $esConfigDir
+        if (-not $env:ES_JAVA_OPTS) { $env:ES_JAVA_OPTS = "-Xms1g -Xmx1g" }
+        Write-Host "[start] starting managed Elasticsearch $esVersion at http://${esHost}:$esPort"
+        $esProc = Start-Process -FilePath "cmd.exe" `
+            -ArgumentList @("/c", "`"$esHome\bin\elasticsearch.bat`"") `
+            -WorkingDirectory $esHome -PassThru -WindowStyle Hidden
+        $esReady = $false
+        foreach ($i in 1..120) {
+            if ($esProc.HasExited) { break }
+            if (Test-EsReady $esHost $esPort) { $esReady = $true; break }
+            Start-Sleep -Seconds 1
+        }
+        if (-not $esReady) {
+            throw "managed Elasticsearch failed to become ready within 120s (see $esLogsDir)"
+        }
+        @{ managed = $true; pid = $esProc.Id; version = $esVersion;
+           url = "http://${esHost}:$esPort" } |
+            ConvertTo-Json | Set-Content -Path $esStatusFile -Encoding UTF8
+        Write-Host "[start] Elasticsearch ready (managed pid $($esProc.Id))"
+    }
 }
 
 # ---- python selection --------------------------------------------------
