@@ -49,6 +49,7 @@ preserved when this component is disabled.
 
 from __future__ import annotations
 
+import collections
 import functools
 import hashlib
 import json
@@ -219,6 +220,26 @@ def _writes(method):
     return wrapper
 
 
+def _gated_reads(method):
+    """Read lock + whole-query admission gate for the scoring entry
+    points.  The gate is taken OUTSIDE the read lock so a queued query
+    holds nothing — writers stay unblocked by the waiting line.  See
+    _score_concurrency_limit for the measured rationale (1-core host:
+    p50 172.6 → 20.6 ms at 8 threads, QPS 34.9 → 47.0 vs gating only
+    the native call)."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with _QUERY_GATE:
+            self._rw.acquire_read()
+            try:
+                return method(self, *args, **kwargs)
+            finally:
+                self._rw.release_read()
+
+    return wrapper
+
+
 def _is_cjk(char: str) -> bool:
     code = ord(char)
     return (
@@ -294,6 +315,80 @@ def _epoch_seconds(dt: datetime) -> int:
     # naive arithmetic on naive datetimes — no timezone dependence, and the
     # same conversion is applied to document values and query bounds
     return int((dt - _EPOCH).total_seconds())
+
+
+def _score_concurrency_limit() -> int:
+    """Concurrent scoring queries admitted process-wide: one per
+    available core (env-overridable via PSE_BM25_MAX_CONCURRENCY).
+
+    The C++ shared_mutex admits ANY number of concurrent scorers, so
+    correctness never depends on this — it is a throughput governor.
+    Admitting more scoring queries than cores just timeshares the cores
+    among N cold ~12 MB scratch sets and GIL-convoys the Python fusion
+    half of each query.  Measured at 1M docs on a 1-core host, 8 closed-
+    loop threads: unbounded → 0.6–41 QPS, p50 156–3483 ms (native call
+    wall inflates 16 → 763 ms under the convoy); whole-query admissions
+    bounded to the core count → 45–49 QPS, p50 20.6 ms ≈ the 22.6 ms
+    serial latency.  Gating only the native C call (not the whole query)
+    still left the Python half convoying: p50 173 ms median, 3.4× worse
+    QPS.  Multicore hosts overlap fully up to one query per core."""
+    override = os.getenv("PSE_BM25_MAX_CONCURRENCY")
+    if override:
+        try:
+            return max(1, int(override))
+        except ValueError:
+            pass
+    try:
+        return max(1, len(os.sched_getaffinity(0)))
+    except AttributeError:  # non-Linux
+        return max(1, os.cpu_count() or 1)
+
+
+class _LazyQueryGate:
+    """Process-wide FIFO scoring-query admission gate, sized on first
+    use so tests can set PSE_BM25_MAX_CONCURRENCY before any search.
+
+    FIFO matters: with a plain threading.Semaphore the releasing thread
+    barges — it re-acquires before the woken waiter is scheduled, and a
+    closed-loop client can monopolize the gate for the whole window
+    (measured 1M/8 threads/1 core: per-thread completions [167,1,1,1,
+    1,1,1,1], i.e. 7 clients starved for the full 5 s window, AND
+    aggregate QPS *below* serial at 31.6).  Handing each released
+    permit directly to the oldest waiter bounds every client's wait to
+    (queue length × per-query latency) and restores serial-rate
+    aggregate throughput."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._waiters: "collections.deque[threading.Event]" = (
+            collections.deque()
+        )
+        self._permits: Optional[int] = None  # sized lazily
+
+    def __enter__(self):
+        with self._lock:
+            if self._permits is None:
+                self._permits = _score_concurrency_limit()
+            if self._permits > 0 and not self._waiters:
+                self._permits -= 1
+                return self
+            ev = threading.Event()
+            self._waiters.append(ev)
+        ev.wait()
+        return self
+
+    def __exit__(self, *exc):
+        with self._lock:
+            if self._waiters:
+                # Hand the permit straight to the oldest waiter; the
+                # permit count is unchanged (ownership transfers).
+                self._waiters.popleft().set()
+            else:
+                self._permits += 1
+        return False
+
+
+_QUERY_GATE = _LazyQueryGate()
 
 
 class _NativeBM25:
@@ -987,7 +1082,7 @@ class KeywordIndex:
             for doc_id, score in zip(top_docs, top_scores)
         ]
 
-    @_reads
+    @_gated_reads
     def search(self, query: str, top_k: int = 50) -> List[Dict[str, Any]]:
         """BM25 search → [{photo_path, score∈(0,1]}] with raw min_score 0.12
         (reference keyword_store.py:240-284)."""
@@ -998,7 +1093,7 @@ class KeywordIndex:
         keep = scores >= _MIN_SCORE
         return self._hits_from_arrays(rows[keep], scores[keep], top_k)
 
-    @_reads
+    @_gated_reads
     def search_with_filters(
         self,
         query: Optional[str],

@@ -13,6 +13,9 @@ tokens, full EXIF filter columns) and measures:
 * resident memory (RSS) of the loaded index.
 
 Usage: python scripts/keyword_bench_1m.py [N_DOCS] [--threads N]
+       [--skip-persist]   (skip the save/load phase — it dominates wall
+                           time at 1M when only query/concurrency
+                           numbers are needed)
 Prints one human table + one machine-readable JSON line.
 
 --threads N adds a concurrent-throughput section: N threads issue the
@@ -144,6 +147,9 @@ def main() -> int:
         at = argv.index("--threads")
         n_threads = int(argv[at + 1])
         del argv[at : at + 2]
+    skip_persist = "--skip-persist" in argv
+    if skip_persist:
+        argv.remove("--skip-persist")
     n_docs = int(argv[0]) if argv else 1_000_000
     rss_before = _rss_mb()
     ki, build_s = build(n_docs)
@@ -196,6 +202,13 @@ def main() -> int:
                 "cores": ncores,
             }
         )
+
+    if skip_persist:
+        results["n_docs"] = n_docs
+        results["build_s"] = round(build_s, 1)
+        print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in results.items()}))
+        return 0
 
     import tempfile
 

@@ -521,6 +521,152 @@ class ConcurrencyTest(unittest.TestCase):
             ki.search("海边 日落", top_k=20), serial.search("海边 日落", top_k=20)
         )
 
+    def test_gate_fifo_handoff_order(self):
+        """The admission gate hands each released permit straight to the
+        OLDEST waiter (a plain Semaphore lets the releasing thread barge
+        back in; measured: 7 of 8 closed-loop clients starved for a full
+        5 s window).  Sequence four waiters behind a held 1-permit gate
+        and assert they are admitted in arrival order."""
+        import threading
+        import time
+
+        from photo_search_engine_tpu.core import keyword_index as kim
+
+        gate = kim._LazyQueryGate()
+        gate._permits = 1  # pre-size: bypass lazy env sizing
+        admitted: list = []
+        gate.__enter__()  # hold the only permit
+
+        def waiter(idx: int):
+            with gate:
+                admitted.append(idx)
+
+        threads = []
+        for i in range(4):
+            t = threading.Thread(target=waiter, args=(i,))
+            t.start()
+            threads.append(t)
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                with gate._lock:
+                    if len(gate._waiters) == i + 1:
+                        break
+                time.sleep(0.001)
+            else:
+                self.fail(f"waiter {i} never queued")
+        gate.__exit__(None, None, None)
+        for t in threads:
+            t.join(timeout=5)
+            self.assertFalse(t.is_alive())
+        self.assertEqual(admitted, [0, 1, 2, 3])
+        with gate._lock:  # permit restored once the line drains
+            self.assertEqual(gate._permits, 1)
+            self.assertEqual(len(gate._waiters), 0)
+
+    def test_gate_no_starvation_closed_loop(self):
+        """Closed-loop clients over a 1-permit gate all make progress —
+        the pre-fix failure mode was per-thread completions like
+        [167,1,1,1,1,1,1,1]."""
+        import threading
+        import time
+
+        from photo_search_engine_tpu.core import keyword_index as kim
+
+        gate = kim._LazyQueryGate()
+        gate._permits = 1
+        counts = [0] * 4
+        stop = time.time() + 1.0
+
+        def client(idx: int):
+            while time.time() < stop:
+                with gate:
+                    time.sleep(0.001)
+                counts[idx] += 1
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        self.assertGreaterEqual(
+            min(counts), 3, f"starved client: per-thread completions {counts}"
+        )
+
+    def test_gate_env_sizing(self):
+        """PSE_BM25_MAX_CONCURRENCY sizes the gate on first use; N
+        permits admit N holders concurrently without queueing."""
+        from photo_search_engine_tpu.core import keyword_index as kim
+
+        old = os.environ.get("PSE_BM25_MAX_CONCURRENCY")
+        os.environ["PSE_BM25_MAX_CONCURRENCY"] = "3"
+        try:
+            gate = kim._LazyQueryGate()
+            for _ in range(3):
+                gate.__enter__()  # none of these may block
+            with gate._lock:
+                self.assertEqual(gate._permits, 0)
+                self.assertEqual(len(gate._waiters), 0)
+            for _ in range(3):
+                gate.__exit__(None, None, None)
+            with gate._lock:
+                self.assertEqual(gate._permits, 3)
+        finally:
+            if old is None:
+                del os.environ["PSE_BM25_MAX_CONCURRENCY"]
+            else:
+                os.environ["PSE_BM25_MAX_CONCURRENCY"] = old
+
+    def test_mutations_unblocked_by_gate_queue(self):
+        """The gate wraps the whole query but is taken OUTSIDE the
+        index read lock, so a queued query holds nothing: writers must
+        complete while a query line is waiting."""
+        import threading
+
+        from photo_search_engine_tpu.core import keyword_index as kim
+
+        ki = KeywordIndex()
+        for i in range(50):
+            ki.add_document(str(i), _doc(f"/p/{i}.jpg", f"海边 日落 tok{i % 5}"))
+        gate = kim._LazyQueryGate()
+        gate._permits = 1
+        old_gate = kim._QUERY_GATE
+        kim._QUERY_GATE = gate
+        try:
+            release_holder = threading.Event()
+            holder_in = threading.Event()
+
+            def slow_query():
+                with gate:
+                    holder_in.set()
+                    release_holder.wait(5)
+
+            def queued_query():
+                ki.search("海边", top_k=5)
+
+            holder = threading.Thread(target=slow_query)
+            holder.start()
+            self.assertTrue(holder_in.wait(5))
+            queued = threading.Thread(target=queued_query)
+            queued.start()
+            # writer proceeds while the query line is blocked at the gate
+            writer_done = threading.Event()
+
+            def writer():
+                ki.add_document("w1", _doc("/w/1.jpg", "海边 writer"))
+                writer_done.set()
+
+            threading.Thread(target=writer).start()
+            self.assertTrue(
+                writer_done.wait(5),
+                "mutation blocked behind the scoring-admission queue",
+            )
+            release_holder.set()
+            holder.join(5)
+            queued.join(5)
+            self.assertFalse(queued.is_alive())
+        finally:
+            kim._QUERY_GATE = old_gate
+
     def test_row_append_race_regression(self):
         """Row-boundary race (round-4 verify): the native scorer could
         return a row a concurrent add had just registered in the C++ core
