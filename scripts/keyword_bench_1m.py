@@ -95,9 +95,27 @@ def best_ms(fn, n=5, repeats=3):
     return best * 1e3
 
 
-def concurrent_qps(ki, n_threads: int, window_s: float = 5.0):
-    """Closed-loop concurrent hybrid throughput: N threads, fixed window.
-    Returns (qps, p50_ms, per-thread query counts)."""
+def concurrent_qps(ki, n_threads: int, window_s: float = 5.0, repeats: int = 3):
+    """Closed-loop concurrent hybrid throughput: N threads, fixed window,
+    best of ``repeats`` windows.  Returns (qps, p50_ms, per-thread query
+    counts of the best window, all per-window qps).
+
+    Best-of mirrors ``best_ms`` for the serial section: this host has
+    BURSTY hypervisor CPU steal (~5% average, concentrated in multi-
+    second windows — /proc/stat st; measured identical runs spanning
+    3.4-30 QPS), so a single window measures the neighbor, not the
+    index.  The best window is the machine-capability number."""
+    best = None
+    all_qps = []
+    for _ in range(max(1, repeats)):
+        qps, p50, counts = _concurrent_window(ki, n_threads, window_s)
+        all_qps.append(round(qps, 1))
+        if best is None or qps > best[0]:
+            best = (qps, p50, counts)
+    return best[0], best[1], best[2], all_qps
+
+
+def _concurrent_window(ki, n_threads: int, window_s: float):
     queries = [
         ("海边 日落", {"season": "夏天"}),
         ("雪山 人像", {"season": "冬天"}),
@@ -188,17 +206,19 @@ def main() -> int:
         print(f"{name:28s} {ms:8.1f} ms")
 
     if n_threads:
-        qps, p50, counts = concurrent_qps(ki, n_threads)
+        qps, p50, counts, all_qps = concurrent_qps(ki, n_threads)
         ncores = len(os.sched_getaffinity(0))
         print(
             f"concurrent hybrid: {n_threads} threads on {ncores} core(s) → "
-            f"{qps:.1f} QPS, p50 {p50:.1f} ms (per-thread {counts})"
+            f"best {qps:.1f} QPS, p50 {p50:.1f} ms (per-thread {counts}; "
+            f"windows {all_qps})"
         )
         results.update(
             {
                 "concurrent_threads": n_threads,
                 "concurrent_qps": round(qps, 1),
                 "concurrent_p50_ms": round(p50, 1),
+                "concurrent_qps_windows": all_qps,
                 "cores": ncores,
             }
         )
