@@ -164,6 +164,11 @@ class Bm25FuzzTest(unittest.TestCase):
                    "retrieval_text": text}
             native.add_document(str(i), doc)
             python.add_document(str(i), doc)
+        # random deletions (exercise the native swap-remove postings path
+        # — the SoA docs/tfs arrays must stay paired)
+        for i in rng.choice(120, size=15, replace=False):
+            native.delete_document(str(i))
+            python.delete_document(str(i))
 
         for trial in range(15):
             query = " ".join(rng.choice(vocabulary, size=int(rng.integers(1, 6))))
