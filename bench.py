@@ -37,10 +37,40 @@ import os
 
 
 def main() -> None:
+    import threading
     import time
 
     import jax
     import jax.numpy as jnp
+
+    # Backend-acquisition watchdog: when the TPU relay is wedged,
+    # jax.devices() HANGS inside a C call (>240 s measured) rather than
+    # erroring — a SIGALRM handler never fires because the main thread
+    # never returns to the interpreter, and the driver's round-end bench
+    # run would hang forever.  Probe the backend on a daemon thread and
+    # hard-exit with a parseable JSON line if it doesn't come up in time.
+    # Only backend acquisition is bounded — compiles after it may
+    # legitimately take many minutes.
+    backend_up = threading.Event()
+
+    def _probe():
+        jax.devices()  # the call that hangs on a wedged relay
+        backend_up.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not backend_up.wait(int(os.getenv("BENCH_BACKEND_TIMEOUT_S", 600))):
+        print(
+            json.dumps(
+                {
+                    "metric": "backend_unavailable",
+                    "value": 0,
+                    "unit": "qps",
+                    "vs_baseline": 0,
+                    "error": "jax backend acquisition timed out (relay down?)",
+                }
+            )
+        )
+        os._exit(1)
 
     # Persistent compile cache (BENCH_CACHE=0 disables): pins the compiled
     # schedule across bench sessions — the int8 kernel's 47-68k QPS
