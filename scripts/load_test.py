@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_stack(
     rows: int, dim: int, quantized: bool, index_type: str,
     host_corpus: bool = False, window_ms: float = 3.0, pipeline: int = 2,
-    fake_device_ms: float = 0.0,
+    fake_device_ms: float = 0.0, keyword_rows: int = 0,
 ):
     from photo_search_engine_tpu.api.app import create_app
     from photo_search_engine_tpu.core.batcher import attach_microbatcher
@@ -170,11 +170,28 @@ def build_stack(
         window_s=window_ms / 1000.0,
         pipeline=pipeline,
     )
+    keyword_index = None
+    if keyword_rows > 0:
+        # HYBRID mode: a real KeywordIndex over the same photo_paths as
+        # the vector metadata (scene/subject text matching the load
+        # queries), so /search_photos exercises the full two-channel
+        # fusion — BM25 under the FIFO admission gate + vector scan —
+        # and the measured ceiling is the hybrid route's, not the
+        # vector-only route's
+        from keyword_bench_1m import build as build_keyword
+
+        t_kw = time.perf_counter()
+        keyword_index, _ = build_keyword(keyword_rows)
+        print(
+            f"  keyword corpus {keyword_rows} docs in "
+            f"{time.perf_counter() - t_kw:.1f}s", flush=True,
+        )
+
     searcher = Searcher(
         embedding=embedding,
         time_parser=TimeParser(backend="local"),
         vector_index=vector_index,
-        keyword_index=None,
+        keyword_index=keyword_index,
         data_dir=tmp,
         top_k=10,
         query_expansion_enabled=False,
@@ -358,6 +375,12 @@ def main() -> int:
         "co-located device of that latency; forces the CPU platform so "
         "the run never touches the tunneled chip",
     )
+    parser.add_argument(
+        "--keyword", action="store_true",
+        help="HYBRID mode: also build a real BM25 keyword index over the "
+        "same corpus (scene/subject text matching the load queries) so "
+        "the measured route is the two-channel fusion path",
+    )
     args = parser.parse_args()
 
     if args.fake_device_ms > 0:
@@ -383,6 +406,7 @@ def main() -> int:
         args.rows, args.dim, args.quantized, args.index_type,
         host_corpus=args.host_corpus, window_ms=args.window_ms,
         pipeline=args.pipeline, fake_device_ms=args.fake_device_ms,
+        keyword_rows=args.rows if args.keyword else 0,
     )
     print(f"corpus built: {args.rows}×{args.dim} in {build_s:.1f}s")
     server, port = serve(app)
@@ -409,6 +433,7 @@ def main() -> int:
         window_ms=args.window_ms,
         pipeline=args.pipeline,
         fake_device_ms=args.fake_device_ms,
+        keyword=bool(args.keyword),
         route=vector_index.last_route,
     )
     if batcher is not None and batcher.batches_run:
