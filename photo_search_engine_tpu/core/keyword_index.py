@@ -484,6 +484,36 @@ class _NativeBM25:
             )
         return out_docs[:written], out_scores[:written], out_matched[:written]
 
+    def phrase_hits(
+        self,
+        flat: np.ndarray,
+        starts: np.ndarray,
+        lens: np.ndarray,
+        cand: np.ndarray,
+        pattern: np.ndarray,
+    ) -> np.ndarray:
+        """Candidate rows whose packed stream contains ``pattern``
+        contiguously (stateless C walk over the caller-owned buffers —
+        the numpy path gathered every candidate stream into one giant
+        temp; see bm25.cc pse_phrase_hits)."""
+        import ctypes
+
+        flat = np.ascontiguousarray(flat, np.int32)
+        starts = np.ascontiguousarray(starts, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        cand = np.ascontiguousarray(cand, np.int64)
+        pattern = np.ascontiguousarray(pattern, np.int32)
+        out = np.empty(max(len(cand), 1), np.int64)
+        n = self._lib.pse_phrase_hits(
+            self._ptr(flat, ctypes.c_int32), len(flat),
+            self._ptr(starts, ctypes.c_int64),
+            self._ptr(lens, ctypes.c_int64), len(starts),
+            self._ptr(cand, ctypes.c_int64), len(cand),
+            self._ptr(pattern, ctypes.c_int32), len(pattern),
+            self._ptr(out, ctypes.c_int64),
+        )
+        return out[:n]
+
     def score_query(
         self,
         tids: Iterable[int],
@@ -871,6 +901,12 @@ class KeywordIndex:
         cand = cand[cand < starts.shape[0]]
         if cand.size == 0:
             return empty
+        if self._native is not None:
+            # stateless C walk (bm25.cc pse_phrase_hits): same row-validity
+            # checks, same contiguous-match semantics, no giant gather temp
+            return np.sort(
+                self._native.phrase_hits(flat, starts, lens, cand, pattern)
+            )
         ok = (starts[cand] >= 0) & (lens[cand] > plen)  # len incl. separator
         cand = cand[ok]
         if cand.size == 0:
