@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 chip evidence session, part B: the two steps that died with
+# the part-A capture process (docs/CHIP_SESSION_r04.log ends mid step 5).
+# Same rules as chip_session_r4.sh: sequential, timeout-bounded, abort
+# on first failure, never concurrent with another TPU process.
+
+set -u
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+LOG="$REPO/docs/CHIP_SESSION_r04.log"
+STATE="/tmp/chip_watch.state"
+HEAD_SHA=$(git rev-parse HEAD)
+
+note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+
+run_step() { # name timeout_s cmd...
+  local name="$1" tmo="$2"; shift 2
+  note "step $name: start ($*)"
+  local t0=$SECONDS
+  if timeout "$tmo" "$@" >> "$LOG" 2>&1; then
+    note "step $name: OK ($((SECONDS-t0))s)"
+    return 0
+  fi
+  local rc=$?
+  note "step $name: FAILED rc=$rc after $((SECONDS-t0))s — aborting session"
+  echo "failed:$name" > "$STATE"
+  exit "$rc"
+}
+
+echo "running" > "$STATE"
+note "=== chip session part B start, HEAD $HEAD_SHA ==="
+
+# 5 (retry). sharded degenerate-mesh overhead (exact @1M, IVF @262k)
+run_step sharded 5400 python scripts/sharded_bench.py
+
+# 6. IVF serving-path bench for the record
+run_step bench_ivf 3600 env BENCH_IMPL=ivf python bench.py
+
+echo "done" > "$STATE"
+note "=== chip session part B COMPLETE at HEAD $HEAD_SHA ==="
