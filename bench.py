@@ -68,7 +68,8 @@ def main() -> None:
                     "vs_baseline": 0,
                     "error": "jax backend acquisition timed out (relay down?)",
                 }
-            )
+            ),
+            flush=True,  # os._exit skips stdio flush; keep the line when piped
         )
         os._exit(1)
 

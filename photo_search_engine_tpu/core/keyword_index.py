@@ -58,7 +58,7 @@ import os
 import re
 import threading
 from datetime import datetime
-from typing import Any, Dict, Iterable, List, Optional, Set
+from typing import Any, Dict, Iterable, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -744,7 +744,7 @@ class KeywordIndex:
         # scores concurrently with this mutator (index-while-serve), and a
         # scorer that sees the new row must never index past a stale
         # packed-stream / column snapshot.
-        field_tids: List[Tuple[int, np.ndarray, int]] = []
+        field_tids: List[Tuple[int, str, np.ndarray, int]] = []
         stream: Optional[np.ndarray] = None
         for field_index, field in enumerate(TEXT_FIELD_BOOSTS):
             tokens = tokenize(document.get(field))
@@ -753,11 +753,10 @@ class KeywordIndex:
             )
             if field == "retrieval_text":
                 stream = tids
-            field_tids.append((field_index, tids, len(tokens)))
+            field_tids.append((field_index, field, tids, len(tokens)))
         self._streams.append(stream)
         self._stream_pack = None
-        for field_index, tids, n_tokens in field_tids:
-            field = list(TEXT_FIELD_BOOSTS)[field_index]
+        for field_index, field, tids, n_tokens in field_tids:
             if self._native is not None:
                 self._native.add_doc(row, field_index, tids)
             else:
@@ -1012,7 +1011,19 @@ class KeywordIndex:
         (same walk order, same accumulation, exact max) — asserted by
         tests/test_keyword_index.py parity cases."""
         boosts = np.asarray(list(TEXT_FIELD_BOOSTS.values()), np.float64)
-        rt_index = list(TEXT_FIELD_BOOSTS).index("retrieval_text")
+        # The phrase bonus only applies to multi-term queries whose every
+        # term is in-vocabulary; when it can't apply, pass rt_field=-1 so
+        # the C walk skips candidate collection entirely (a hot single-term
+        # query otherwise parks every retrieval_text match for nothing).
+        pattern_tids = [self._vocab.get(t) for t in terms]
+        phrase_possible = len(terms) >= 2 and all(
+            t is not None for t in pattern_tids
+        )
+        rt_index = (
+            list(TEXT_FIELD_BOOSTS).index("retrieval_text")
+            if phrase_possible
+            else -1
+        )
         rows, fused, cand_pos, cand_rt = self._native.score_query(
             known_tids,
             required,
@@ -1022,12 +1033,7 @@ class KeywordIndex:
             allowed,
             n_rows,
         )
-        pattern_tids = [self._vocab.get(t) for t in terms]
-        if (
-            len(terms) >= 2
-            and all(t is not None for t in pattern_tids)
-            and len(cand_pos)
-        ):
+        if phrase_possible and len(cand_pos):
             check_rows = rows[cand_pos]
             pattern = np.asarray(pattern_tids, np.int32)
             hits = self._phrase_rows(pattern, check_rows)

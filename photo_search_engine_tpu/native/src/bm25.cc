@@ -468,7 +468,9 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
       int32_t* matched = acc->matched.data();
       for (size_t i = 0; i < n; ++i) {
         const int32_t doc = pl.docs[i];
-        if (allowed && !allowed[doc]) continue;
+        // never read allowed past the caller's buffer: a row appended
+        // after the caller snapshotted its mask counts as not-allowed
+        if (allowed && (doc >= allowed_len || !allowed[doc])) continue;
         const double tf = pl.tfs[i];
         const double denom = tf + norm[doc];
         scores[doc] += idf * (tf * (kK1 + 1.0) / denom);

@@ -134,11 +134,19 @@ function Ensure-EsHome([string]$Version, [string]$EsRoot) {
 if ($env:KEYWORD_BACKEND -eq "elasticsearch") {
     $esHost = if ($env:ELASTICSEARCH_HOST) { $env:ELASTICSEARCH_HOST } else { "localhost" }
     $esPort = if ($env:ELASTICSEARCH_PORT) { [int]$env:ELASTICSEARCH_PORT } else { 9200 }
-    $isLocal = $esHost -in @("localhost", "127.0.0.1", "::1", "0.0.0.0")
+    $isLocal = $esHost -in @("localhost", "127.0.0.1", "::1", "::", "0.0.0.0")
+    # probe URL: 0.0.0.0/:: are listen-everywhere bind addresses you cannot
+    # connect TO, and bare IPv6 literals need brackets in a URI
+    $esProbeHost = switch ($esHost) {
+        "0.0.0.0" { "127.0.0.1" }
+        "::"      { "[::1]" }
+        "::1"     { "[::1]" }
+        default   { $esHost }
+    }
     if (-not $isLocal) {
         Write-Host "[start] KEYWORD_BACKEND=elasticsearch with remote host ${esHost}:$esPort — not managing it"
-    } elseif (Test-EsReady $esHost $esPort) {
-        Write-Host "[start] Elasticsearch already reachable at http://${esHost}:$esPort"
+    } elseif (Test-EsReady $esProbeHost $esPort) {
+        Write-Host "[start] Elasticsearch already reachable at http://${esProbeHost}:$esPort"
     } else {
         $esBusy = Get-NetTCPConnection -LocalPort $esPort -State Listen `
             -ErrorAction SilentlyContinue
@@ -181,7 +189,7 @@ path.logs: '$esLogsDir'
         $esReady = $false
         foreach ($i in 1..120) {
             if ($esProc.HasExited) { break }
-            if (Test-EsReady $esHost $esPort) { $esReady = $true; break }
+            if (Test-EsReady $esProbeHost $esPort) { $esReady = $true; break }
             Start-Sleep -Seconds 1
         }
         if (-not $esReady) {
