@@ -63,7 +63,7 @@ class EmbeddingStore:
             raise ValueError("metric must be cosine, l2 or ip")
         self.dimension = int(dimension)
         self.metric = metric
-        self.store_dtype = jnp.dtype(store_dtype)
+        self.store_dtype = jnp.dtype(topk_ops.resolve_store_dtype(store_dtype))
         # kernel block = capacity alignment; VMEM-budget-aware by dim/dtype
         self.block_rows = int(
             block_rows

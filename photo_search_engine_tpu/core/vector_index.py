@@ -130,12 +130,9 @@ class VectorIndex:
     # ------------------------------------------------------------------
     @staticmethod
     def _resolve_store_dtype(store_dtype: Optional[str]) -> str:
-        resolved = (store_dtype or "float32").strip().lower()
-        if resolved != "auto":
-            return resolved
-        import jax
+        from photo_search_engine_tpu.ops.topk import resolve_store_dtype
 
-        return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        return resolve_store_dtype(store_dtype)
 
     def _create_store(self, dimension: int):
         if self.mesh_devices:

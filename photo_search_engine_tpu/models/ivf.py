@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from photo_search_engine_tpu.ops.topk import (
     _extract_block_topk,
     bucket_queries,
+    resolve_store_dtype,
 )
 
 _LANE = 128
@@ -493,7 +494,9 @@ class IVFIndex:
         dp = _round_up(dim, _LANE)
         padded = np.zeros((corpus_ivf.shape[0], dp), np.float32)
         padded[:, :dim] = corpus_ivf
-        self._corpus = jnp.asarray(padded, jnp.dtype(store_dtype))
+        self._corpus = jnp.asarray(
+            padded, jnp.dtype(resolve_store_dtype(store_dtype))
+        )
         self._centroids_dev = jnp.asarray(
             np.pad(self.centroids, ((0, 0), (0, dp - dim)))
         )

@@ -77,6 +77,19 @@ def default_block_n(dtype, dim: int = 1536) -> int:
     return rows
 
 
+def resolve_store_dtype(store_dtype) -> str:
+    """Resolve the ``"auto"`` store-dtype sentinel to the platform's
+    right corpus dtype: bfloat16 on TPU (halves the HBM bytes on the
+    bandwidth-bound scans — measured 2.4× on the sharded IVF probe,
+    docs/DESIGN.md §3), float32 elsewhere.  Mirrors
+    ``VectorIndex._resolve_store_dtype`` so stores constructed directly
+    (benches, tools) default like the serving stack does."""
+    resolved = (str(store_dtype) if store_dtype else "float32").strip().lower()
+    if resolved != "auto":
+        return resolved
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+
 def bucket_queries(qn: int) -> int:
     """Next power of two ≥ max(8, qn) — the padded query count for a
     kernel call.  Rounding to the nearest 8 gave every distinct batch

@@ -519,7 +519,7 @@ class ShardedEmbeddingStore:
         self.dimension = int(dimension)
         self.mesh = mesh or make_mesh()
         self.metric = metric
-        self.store_dtype = jnp.dtype(store_dtype)
+        self.store_dtype = jnp.dtype(topk_ops.resolve_store_dtype(store_dtype))
         self.shard_block = int(shard_block)
         self.quantized = bool(quantized)
         self.n_shards = self.mesh.shape[DATA_AXIS]

@@ -238,7 +238,13 @@ def main() -> int:
 
         # IVF: the ShardedIVFIndex program inside a chained scan
         if not skip_ivf:
-            store = ShardedEmbeddingStore(dim, mesh, metric="cosine")
+            # "auto" → bf16 on TPU, matching both the unsharded baseline
+            # corpus above and the serving stack's STORE_DTYPE=auto default;
+            # the raw float32 default here cost +140.8% pure HBM traffic in
+            # the first round-4 capture (docs/DESIGN.md §3 mesh-overhead note)
+            store = ShardedEmbeddingStore(
+                dim, mesh, metric="cosine", store_dtype="auto"
+            )
             step = max(1, ivf_rows // 8)
             for i in range(0, ivf_rows, step):
                 store.append(corpus_host[i : i + step])

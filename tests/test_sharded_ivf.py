@@ -302,5 +302,70 @@ class ShardedIVFTest(unittest.TestCase):
             self.assertEqual(set(got[row].tolist()), set(np.asarray(eids)[row].tolist()))
 
 
+class StoreDtypeResolutionTest(unittest.TestCase):
+    """STORE_DTYPE=auto plumbing down to the raw stores (round 4).
+
+    The first round-4 chip capture measured the sharded IVF program at
+    +140.8% vs unsharded — root-caused (scripts/sivf_probe.py) to the
+    raw ShardedEmbeddingStore float32 default doubling HBM bytes on the
+    bandwidth-bound cluster scan while the unsharded baseline corpus was
+    bf16.  "auto" now resolves at the store level exactly like
+    VectorIndex's serving default."""
+
+    def test_auto_resolves_to_platform_dtype(self):
+        import jax
+
+        from photo_search_engine_tpu.ops.topk import resolve_store_dtype
+
+        expect = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        self.assertEqual(resolve_store_dtype("auto"), expect)
+        self.assertEqual(resolve_store_dtype("float32"), "float32")
+        self.assertEqual(resolve_store_dtype("bfloat16"), "bfloat16")
+        self.assertEqual(resolve_store_dtype(None), "float32")
+
+    def test_stores_accept_auto(self):
+        import jax.numpy as jnp
+
+        from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+
+        # conftest pins the CPU platform, so auto must land on float32 here
+        self.assertEqual(
+            ShardedEmbeddingStore(16, make_mesh(), store_dtype="auto").store_dtype,
+            jnp.dtype("float32"),
+        )
+        self.assertEqual(
+            EmbeddingStore(16, store_dtype="auto").store_dtype,
+            jnp.dtype("float32"),
+        )
+
+    def test_bf16_store_ivf_layout_inherits_and_recalls(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        mesh = make_mesh(8)
+        store = ShardedEmbeddingStore(
+            32, mesh, metric="cosine", store_dtype="bfloat16"
+        )
+        rows = _clustered(2048, 32, 8, rng)
+        store.append(rows)
+        index = ShardedIVFIndex.build(store, nlist=16, seed=9)
+        # the layout must inherit the store dtype (the perf contract)
+        self.assertEqual(index._layout.dtype, jnp.dtype("bfloat16"))
+        queries = rows[rng.choice(2048, 16, replace=False)]
+        vals, got = index.search(queries, k=10, nprobe=16)
+        # exact corpus rows stay top-1 through bf16 rounding
+        f32_oracle = ShardedEmbeddingStore(32, mesh, metric="cosine")
+        f32_oracle.append(rows)
+        _, eids = f32_oracle.search(queries, 10)
+        top1 = np.asarray(eids)[:, 0]
+        self.assertTrue((got[:, 0] == top1).all())
+        # and the tail keeps high agreement with the f32 exact oracle
+        hits = sum(
+            len(set(g.tolist()) & set(np.asarray(e).tolist())) / 10
+            for g, e in zip(got, np.asarray(eids))
+        ) / 16
+        self.assertGreaterEqual(hits, 0.8)
+
+
 if __name__ == "__main__":
     unittest.main()
