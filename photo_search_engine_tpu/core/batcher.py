@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -164,25 +164,39 @@ class MicroBatcher:
     mask_table_cap = 8
 
     @staticmethod
+    def _mask_keys(batch: List[_Pending]) -> List[Optional[bytes]]:
+        """One raw-bytes digest per request mask, computed ONCE per batch
+        — both the cap split and the table factoring key on these (the
+        masks are ~1 MB each at 1M rows; digesting them twice was pure
+        overhead on the grouped hot path, review round 4)."""
+        return [
+            None
+            if item.mask is None
+            else np.asarray(item.mask, np.int8).tobytes()
+            for item in batch
+        ]
+
+    @staticmethod
     def _factor_masks(
-        batch: List[_Pending],
+        batch: List[_Pending], keys: List[Optional[bytes]]
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Dedupe per-request masks into (mask_table [M, N], ids [B]).
         Row 0 is the all-ones predicate for unfiltered requests.  M is
         padded to the op-level bucket sizes ({2, 4, 8}) with zero rows so
-        consecutive mixed batches reuse one compiled kernel per bucket."""
+        consecutive mixed batches reuse one compiled kernel per bucket.
+        Equality is on the RAW mask bytes (identical raw ⇒ identical
+        padded row), so only UNIQUE masks are padded/copied."""
         n = max(item.mask.shape[0] for item in batch if item.mask is not None)
         rows: List[np.ndarray] = [np.ones(n, np.int8)]
-        digests = {None: 0}
+        digests: Dict[bytes, int] = {}
         ids = np.zeros(len(batch), np.int32)
-        for pos, item in enumerate(batch):
-            if item.mask is None:
+        for pos, (item, key) in enumerate(zip(batch, keys)):
+            if key is None:
                 continue
-            mask = np.zeros(n, np.int8)
-            mask[: item.mask.shape[0]] = np.asarray(item.mask, np.int8)
-            key = mask.tobytes()
             row = digests.get(key)
             if row is None:
+                mask = np.zeros(n, np.int8)
+                mask[: item.mask.shape[0]] = np.asarray(item.mask, np.int8)
                 row = len(rows)
                 rows.append(mask)
                 digests[key] = row
@@ -192,31 +206,28 @@ class MicroBatcher:
         return bucket_mask_table(np.stack(rows)), ids
 
     def _split_by_mask_cap(
-        self, batch: List[_Pending]
-    ) -> List[List[_Pending]]:
+        self, batch: List[_Pending], keys: List[Optional[bytes]]
+    ) -> List[Tuple[List[_Pending], List[Optional[bytes]]]]:
         """Partition a filtered batch so each chunk holds at most
         ``mask_table_cap - 1`` distinct non-trivial predicates (row 0 is
         reserved for unfiltered requests).  Order-preserving greedy split;
         normal serving mixes (a handful of season/time-of-day filters)
         stay one chunk."""
         cap = max(1, self.mask_table_cap - 1)
-        chunks: List[List[_Pending]] = []
+        chunks: List[Tuple[List[_Pending], List[Optional[bytes]]]] = []
         current: List[_Pending] = []
+        current_keys: List[Optional[bytes]] = []
         digests: set = set()
-        for item in batch:
-            key = (
-                None
-                if item.mask is None
-                else np.asarray(item.mask, np.int8).tobytes()
-            )
+        for item, key in zip(batch, keys):
             if key is not None and key not in digests and len(digests) >= cap:
-                chunks.append(current)
-                current, digests = [], set()
+                chunks.append((current, current_keys))
+                current, current_keys, digests = [], [], set()
             current.append(item)
+            current_keys.append(key)
             if key is not None:
                 digests.add(key)
         if current:
-            chunks.append(current)
+            chunks.append((current, current_keys))
         return chunks
 
     def _execute(self, batch: List[_Pending]) -> None:
@@ -224,10 +235,12 @@ class MicroBatcher:
             if any(item.mask is not None for item in batch) and (
                 self._run_grouped_batch is not None
             ):
-                for chunk in self._split_by_mask_cap(batch):
+                for chunk, chunk_keys in self._split_by_mask_cap(
+                    batch, self._mask_keys(batch)
+                ):
                     queries = np.stack([item.query for item in chunk])
                     k_max = max(item.k for item in chunk)
-                    table, ids = self._factor_masks(chunk)
+                    table, ids = self._factor_masks(chunk, chunk_keys)
                     dists, idx = self._run_grouped_batch(
                         queries, k_max, table, ids
                     )

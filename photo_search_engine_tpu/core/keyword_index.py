@@ -374,7 +374,23 @@ class _LazyQueryGate:
                 return self
             ev = threading.Event()
             self._waiters.append(ev)
-        ev.wait()
+        try:
+            ev.wait()
+        except BaseException:
+            # interrupted while queued (e.g. KeyboardInterrupt in a CLI
+            # bench): the 'with' body never runs, so __exit__ will not
+            # return this permit — undo the enqueue, or, if a releasing
+            # thread already handed us the permit (our Event left the
+            # queue), forward it on so it is not lost (review round 4)
+            with self._lock:
+                try:
+                    self._waiters.remove(ev)
+                except ValueError:
+                    if self._waiters:
+                        self._waiters.popleft().set()
+                    else:
+                        self._permits += 1
+            raise
         return self
 
     def __exit__(self, *exc):

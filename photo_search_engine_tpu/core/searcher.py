@@ -40,7 +40,11 @@ from typing import Any, Dict, List, Optional, Set, Tuple
 import numpy as np
 
 from photo_search_engine_tpu.services.analysis import build_match_summary
-from photo_search_engine_tpu.utils.path_utils import normalize_local_path, same_file_path
+from photo_search_engine_tpu.utils.path_utils import (
+    normalize_local_path,
+    path_normalization_is_state_free,
+    same_file_path,
+)
 
 MIN_RESULT_SCORE = 0.4
 _SEARCH_MODES = {"fast", "balanced", "high_recall"}
@@ -208,11 +212,25 @@ class Searcher:
         return normalized if normalized in _SEARCH_MODES else "balanced"
 
     @staticmethod
-    @functools.lru_cache(maxsize=65536)
     def _path_key(photo_path: str) -> str:
         # cached: dedup/fusion/finalize normalize the same candidate paths
         # several times per request (~2k calls/request at candidate_k=500,
-        # the hottest stack-profile entry at 1M rows)
+        # the hottest stack-profile entry at 1M rows).  Relative/~ paths
+        # absolutize against the live CWD/HOME inside normalize_local_path,
+        # so the process-global cache would pin the first call's CWD for
+        # the process lifetime (review round 4) — they bypass the cache
+        # (index metadata stores absolute paths, so the hot case caches)
+        if path_normalization_is_state_free(photo_path or ""):
+            return Searcher._path_key_cached(photo_path)
+        return Searcher._path_key_impl(photo_path)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=65536)
+    def _path_key_cached(photo_path: str) -> str:
+        return Searcher._path_key_impl(photo_path)
+
+    @staticmethod
+    def _path_key_impl(photo_path: str) -> str:
         normalized = normalize_local_path(photo_path) if photo_path else ""
         if not normalized and photo_path:
             normalized = str(photo_path).strip()

@@ -312,6 +312,12 @@ void pse_bm25_load_field(void* handle, int32_t field_id,
   }
   field.doc_len.reserve(n_docs + 16);
   for (int64_t i = 0; i < n_docs; ++i) {
+    // same dense-int32-row guard as the postings loop above and
+    // pse_bm25_add_doc: a corrupted sidecar row id would otherwise set
+    // max_doc astronomically and the next query's scratch allocation
+    // (slots = max_doc + 1) would std::bad_alloc across the ctypes
+    // boundary and abort the process
+    if (len_docs[i] < 0 || len_docs[i] > INT32_MAX) continue;
     field.doc_len[len_docs[i]] = lens[i];
     field.total_len += lens[i];
     index->docs[len_docs[i]] = true;

@@ -100,11 +100,28 @@ class SPMDVectorIndex(VectorIndex):
         # once shutdown has been broadcast the followers have left
         # follow() — a late op (e.g. a micro-batcher thread draining its
         # queue during app teardown) must NOT fan out, or rank 0 blocks
-        # forever in a collective nobody else enters; it executes locally
+        # forever in a collective nobody else enters.  It must not
+        # "execute locally" either: on a multi-controller mesh the local
+        # dispatch enters the SAME cross-process device collectives the
+        # skipped broadcast guarded (shard_map/all_gather over global
+        # devices), reproducing the hang — so post-shutdown device ops
+        # fail fast with RuntimeError instead (review round 4)
         self._spmd_shutdown = False
         self.spmd_ops_replayed = 0
 
     # -- primary-side fan-out ------------------------------------------
+    def _check_live(self) -> None:
+        """Reject device ops after shutdown on a multi-controller mesh.
+        The computation itself spans every process's devices, so with
+        the followers gone it would block in a collective forever —
+        a RuntimeError (→ HTTP 500 on a teardown-race request) is the
+        correct failure mode.  Single-process meshes keep working."""
+        if self._spmd_shutdown and self._spmd_world > 1:
+            raise RuntimeError(
+                "SPMD serving is shut down: followers have exited, a "
+                "mesh-wide device op can no longer execute"
+            )
+
     def _announce(self, header: List[int]) -> None:
         if self._spmd_world == 1 or self._spmd_rank != 0 or self._spmd_shutdown:
             return
@@ -123,6 +140,7 @@ class SPMDVectorIndex(VectorIndex):
         self, queries: np.ndarray, k: int, mask: Optional[np.ndarray]
     ):
         with self._spmd_lock:
+            self._check_live()
             if self._spmd_rank == 0 and self._spmd_world > 1:
                 q = np.atleast_2d(np.asarray(queries, np.float32))
                 mask_len = 0 if mask is None else int(np.asarray(mask).shape[0])
@@ -142,6 +160,7 @@ class SPMDVectorIndex(VectorIndex):
         mask_ids: np.ndarray,
     ):
         with self._spmd_lock:
+            self._check_live()
             if self._spmd_rank == 0 and self._spmd_world > 1:
                 q = np.atleast_2d(np.asarray(query_embeddings, np.float32))
                 table = np.asarray(mask_table, np.uint8)
@@ -166,6 +185,7 @@ class SPMDVectorIndex(VectorIndex):
         self, embeddings: np.ndarray, metadatas: List[Dict[str, Any]]
     ) -> None:
         with self._spmd_lock:
+            self._check_live()
             if self._spmd_rank == 0 and self._spmd_world > 1:
                 emb = np.atleast_2d(np.asarray(embeddings, np.float32))
                 blob = json.dumps(metadatas, ensure_ascii=False).encode("utf-8")
@@ -185,21 +205,25 @@ class SPMDVectorIndex(VectorIndex):
 
     def load(self) -> bool:
         with self._spmd_lock:
+            self._check_live()
             if self._spmd_rank == 0 and self._spmd_world > 1:
                 self._announce([_OP_RELOAD])
             return super().load()
 
     def clear(self) -> None:
         with self._spmd_lock:
+            self._check_live()
             if self._spmd_rank == 0 and self._spmd_world > 1:
                 self._announce([_OP_CLEAR])
             super().clear()
 
     def shutdown_followers(self) -> None:
         """Release every follower from :meth:`follow` (rank 0 only).
-        Idempotent; afterwards device ops execute locally instead of
-        fanning out (the followers are gone — a post-shutdown broadcast
-        would block rank 0 in a collective forever)."""
+        Idempotent; afterwards device ops on a multi-controller mesh
+        raise RuntimeError instead of fanning out or executing locally
+        (the followers are gone — either a post-shutdown broadcast or
+        the mesh-wide computation itself would block rank 0 in a
+        collective forever)."""
         with self._spmd_lock:
             if self._spmd_shutdown:
                 return

@@ -68,6 +68,24 @@ def normalize_local_path(path: str) -> str:
     return os.path.abspath(os.path.expanduser(candidate))
 
 
+def path_normalization_is_state_free(path: str) -> bool:
+    """True when ``normalize_local_path(path)`` cannot depend on live
+    process state (CWD / HOME): absolute POSIX, Windows-drive, or
+    WSL-mount forms.  Relative and ``~`` paths absolutize against the
+    CWD/HOME *at call time* (``os.path.abspath``/``expanduser`` above),
+    so their normalizations must never be memoized across requests."""
+    candidate = (path or "").strip().strip('"').strip("'")
+    if not candidate:
+        return True  # "" normalizes to "" unconditionally
+    if candidate.startswith("~"):
+        return False
+    if _WIN_DRIVE.match(candidate) or _WSL_MOUNT.match(candidate):
+        return True
+    if os.name == "nt":
+        return ntpath.isabs(candidate)
+    return candidate.startswith("/")
+
+
 def ensure_display_path(path: str) -> str:
     """Prefer Windows-style display when the path lives under a WSL mount
     (reference path_utils.py:61-66)."""

@@ -163,7 +163,15 @@ def main() -> int:
     n_threads = 0
     if "--threads" in argv:
         at = argv.index("--threads")
-        n_threads = int(argv[at + 1])
+        try:
+            n_threads = int(argv[at + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: keyword_bench_1m.py [N_DOCS] [--threads N] "
+                "[--skip-persist]",
+                file=sys.stderr,
+            )
+            return 2
         del argv[at : at + 2]
     skip_persist = "--skip-persist" in argv
     if skip_persist:

@@ -91,8 +91,22 @@ function Stop-StaleManagedEs([string]$StatusPath, [int]$EsPort) {
     $proc = Get-Process -Id $status.pid -ErrorAction SilentlyContinue
     if ($proc) {
         Write-Host "[start] stopping stale managed Elasticsearch (pid $($status.pid))"
-        Stop-Process -Id $status.pid -Force -ErrorAction SilentlyContinue
+        # the recorded pid is the cmd.exe wrapper from Start-Process
+        # cmd /c elasticsearch.bat — on Windows children outlive their
+        # parent, so a plain Stop-Process leaves the java process
+        # holding the port; /T kills the whole tree
+        & taskkill.exe /PID $status.pid /T /F 2>$null | Out-Null
         Start-Sleep -Seconds 3
+    }
+    $stillBusy = Get-NetTCPConnection -LocalPort $EsPort -State Listen `
+        -ErrorAction SilentlyContinue
+    if ($stillBusy) {
+        # the port is still held (e.g. an orphaned JVM the tree kill
+        # could not reach) — keep the status file so the managed pid is
+        # not lost for a retry, and let the caller's busy-port check
+        # surface the error
+        Write-Host "[start] port $EsPort still busy after stopping pid $($status.pid)"
+        return
     }
     Remove-Item $StatusPath -Force -ErrorAction SilentlyContinue
 }

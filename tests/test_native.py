@@ -132,5 +132,29 @@ class NativeBm25ParityTest(unittest.TestCase):
         self.assertLessEqual(native_time, python_time * 1.5)
 
 
+class NativeBm25LoadGuardTest(unittest.TestCase):
+    """Round-4 review: the bulk-load path must apply the same
+    dense-int32-row guard as add_doc — a corrupted sidecar row id (e.g.
+    2^40) would otherwise set max_doc astronomically and the next
+    query's scratch allocation (slots = max_doc + 1) would bad_alloc
+    across the ctypes boundary and abort the process."""
+
+    def test_corrupt_doc_len_row_is_skipped(self):
+        from photo_search_engine_tpu.core.keyword_index import _NativeBM25
+
+        native = _NativeBM25()
+        tids = np.array([0, 1], np.int64)
+        rows = np.array([0, 0], np.int64)
+        tfs = np.array([1, 1], np.int32)
+        # second doc-length entry carries a corrupt (huge) row id
+        len_rows = np.array([0, np.int64(1) << 40], np.int64)
+        lens = np.array([2, 2], np.int64)
+        native.load_field(0, tids, rows, tfs, len_rows, lens)
+        # scoring must neither crash nor allocate 2^40 scratch slots
+        docs, scores, matched = native.score_field(0, [0, 1], 1)
+        self.assertEqual(docs.tolist(), [0])
+        self.assertTrue((docs <= np.iinfo(np.int32).max).all())
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -147,5 +147,150 @@ class LargeKRoutingTest(unittest.TestCase):
         np.testing.assert_array_equal(np.asarray(idx), ref)
 
 
+class QueryGateInterruptTest(unittest.TestCase):
+    """Round-4 review: an interrupted queued waiter must not leak the
+    gate's permit (pre-fix: the releasing thread handed the permit to
+    the dead waiter's Event and every later search blocked forever)."""
+
+    class _Boom(BaseException):
+        pass
+
+    def _gate(self):
+        from photo_search_engine_tpu.core.keyword_index import _LazyQueryGate
+
+        gate = _LazyQueryGate()
+        gate._permits = 1
+        return gate
+
+    def test_interrupt_before_handoff(self):
+        import threading
+
+        from photo_search_engine_tpu.core import keyword_index as ki
+
+        gate = self._gate()
+        gate.__enter__()  # take the only permit
+
+        orig_event = threading.Event
+
+        class _RaisingEvent(orig_event):
+            def wait(self, *a, **k):
+                raise QueryGateInterruptTest._Boom()
+
+        ki.threading.Event = _RaisingEvent
+        try:
+            with self.assertRaises(self._Boom):
+                gate.__enter__()  # queued waiter interrupted mid-wait
+        finally:
+            ki.threading.Event = orig_event
+        self.assertEqual(len(gate._waiters), 0)
+        gate.__exit__(None, None, None)  # holder releases
+        self.assertEqual(gate._permits, 1)  # permit is back
+        gate.__enter__()  # and a fresh acquire succeeds without blocking
+        gate.__exit__(None, None, None)
+
+    def test_interrupt_after_handoff_forwards_permit(self):
+        import threading
+
+        from photo_search_engine_tpu.core import keyword_index as ki
+
+        gate = self._gate()
+        gate.__enter__()
+
+        orig_event = threading.Event
+
+        class _HandoffThenRaise(orig_event):
+            def wait(self, *a, **k):
+                # the holder releases WHILE we are blocked: the permit is
+                # handed to this event... and then the wait is interrupted
+                gate.__exit__(None, None, None)
+                raise QueryGateInterruptTest._Boom()
+
+        ki.threading.Event = _HandoffThenRaise
+        try:
+            with self.assertRaises(self._Boom):
+                gate.__enter__()
+        finally:
+            ki.threading.Event = orig_event
+        # the handed-off permit was forwarded back, not lost
+        self.assertEqual(gate._permits, 1)
+        gate.__enter__()
+        gate.__exit__(None, None, None)
+
+
+class SpmdShutdownGuardTest(unittest.TestCase):
+    """Round-4 review: after shutdown_followers() on a multi-controller
+    mesh, device ops must fail fast instead of 'executing locally' —
+    the local dispatch enters the same cross-process collectives the
+    skipped broadcast guarded, hanging rank 0."""
+
+    def _bare(self, world: int, shutdown: bool):
+        import threading
+
+        from photo_search_engine_tpu.parallel.spmd_serving import (
+            SPMDVectorIndex,
+        )
+
+        index = object.__new__(SPMDVectorIndex)
+        index._spmd_rank = 0
+        index._spmd_world = world
+        index._spmd_lock = threading.RLock()
+        index._spmd_shutdown = shutdown
+        return index
+
+    def test_post_shutdown_multicontroller_raises(self):
+        index = self._bare(world=2, shutdown=True)
+        # RuntimeError must fire BEFORE any broadcast or device dispatch
+        # (the bare instance has no store — reaching super() would fail
+        # with AttributeError instead)
+        for call in (
+            lambda: index._route_search(np.zeros((1, 4), np.float32), 1, None),
+            lambda: index.raw_grouped_search_batch(
+                np.zeros((1, 4), np.float32), 1,
+                np.ones((1, 8), np.uint8), np.zeros(1, np.int64),
+            ),
+            lambda: index.load(),
+            lambda: index.clear(),
+        ):
+            with self.assertRaisesRegex(RuntimeError, "shut down"):
+                call()
+
+    def test_single_process_unaffected(self):
+        index = self._bare(world=1, shutdown=True)
+        index._check_live()  # must not raise: no followers to hang on
+
+
+class PathKeyCwdTest(unittest.TestCase):
+    """Round-4 review: relative/~ photo paths absolutize against the
+    live CWD — the process-global _path_key cache must not pin the
+    first call's CWD for the process lifetime."""
+
+    def test_relative_path_follows_cwd(self):
+        from photo_search_engine_tpu.core.searcher import Searcher
+
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as a, \
+                tempfile.TemporaryDirectory() as b:
+            try:
+                os.chdir(a)
+                key_a = Searcher._path_key("photos/x.jpg")
+                os.chdir(b)
+                key_b = Searcher._path_key("photos/x.jpg")
+            finally:
+                os.chdir(cwd)
+        self.assertNotEqual(key_a, key_b)
+        self.assertTrue(key_a.replace("\\", "/").endswith("photos/x.jpg"))
+
+    def test_absolute_path_still_cached(self):
+        from photo_search_engine_tpu.core.searcher import Searcher
+
+        Searcher._path_key_cached.cache_clear()
+        self.assertEqual(
+            Searcher._path_key("/p/beach.jpg"), "/p/beach.jpg"
+        )
+        self.assertGreaterEqual(
+            Searcher._path_key_cached.cache_info().currsize, 1
+        )
+
+
 if __name__ == "__main__":
     unittest.main()
