@@ -119,7 +119,22 @@ def _local_topk(
     shard_rows = corpus_shard.shape[0]
     count = counts[shard_id]
     k = min(k, shard_rows)  # a shard can contribute at most shard_rows hits
-    if impl == "pallas":
+    if impl == "approx":
+        # large-candidate route (store-level routing decision, the
+        # sharded mirror of EmbeddingStore's ApproxTopK path): XLA
+        # ApproxTopK per shard at recall_target 0.99 instead of the full
+        # sort the lax fallback pays at k > the kernel's unrolled max —
+        # measured 3.2-6.8x at 1M/candidate_k=500 (docs/DESIGN.md).  The
+        # head is effectively exact; the tail only feeds fusion/threshold
+        # statistics.  Off-TPU approx_max_k computes exactly.
+        vals, idx = topk_ops.approx_search_large_k(
+            corpus_shard, queries, k, count=count, mask=mask_shard,
+            metric=metric,
+        )
+        if metric == "l2":
+            empty = jnp.isposinf(vals)
+            vals = jnp.where(empty, -jnp.inf, -vals)
+    elif impl == "pallas":
         # the live-count mask must ride INSIDE the scan (padding rows score
         # 0 for ip and would displace real hits before any post-mask)
         vals, idx = topk_ops.exact_search(
@@ -183,7 +198,12 @@ def sharded_exact_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN over a row-sharded corpus; returns replicated
     (distances, global indices) with FAISS conventions.  ``mask`` rides
-    inside each shard's scan (the ES-filter analogue, sharded)."""
+    inside each shard's scan (the ES-filter analogue, sharded).
+
+    ``impl="approx"`` opts into the per-shard ApproxTopK large-candidate
+    scan (recall_target 0.99 on the tail; exact off-TPU) — the routing
+    decision lives in ``ShardedEmbeddingStore.search``, mirroring the
+    unsharded store; this function stays exact unless explicitly asked."""
     n_shards = mesh.shape[axis]
     total_rows, dim = corpus.shape
     if total_rows % n_shards:
@@ -736,16 +756,49 @@ class ShardedEmbeddingStore:
                 mask=mask,
             )
         else:
-            vals, idx = sharded_exact_search(
-                corpus,
-                queries,  # staged onto the mesh; kernels cast to store dtype
-                min(k, self.count),
-                self.mesh,
-                counts=self.counts,
-                metric=self.metric,
-                impl=impl,
-                mask=mask,
-            )
+            route_impl = impl
+            if (
+                impl == "auto"
+                and min(k, self.count) > topk_ops._PALLAS_MAX_K
+                and topk_ops._use_approx_large_k(capacity)
+                and not getattr(self, "_approx_large_k_broken", False)
+            ):
+                # serving over-fetch (candidate_k up to 500) exceeds the
+                # fused kernel's unrolled extraction; the per-shard
+                # ApproxTopK beats the full sort the lax fallback pays —
+                # the same store-level routing (incl. the
+                # TOPK_EXACT_LARGE_K=1 override inside
+                # _use_approx_large_k) as EmbeddingStore.search
+                route_impl = "approx"
+            try:
+                vals, idx = sharded_exact_search(
+                    corpus,
+                    queries,  # staged onto the mesh; kernels cast to store dtype
+                    min(k, self.count),
+                    self.mesh,
+                    counts=self.counts,
+                    metric=self.metric,
+                    impl=route_impl,
+                    mask=mask,
+                )
+            except Exception:  # noqa: BLE001 — fail-soft to the exact sort
+                if route_impl != "approx":
+                    raise
+                # ApproxTopK availability varies by backend/stack; degrade
+                # to the exact sort, not a 500 (same rule as the unsharded
+                # store's _approx_large_k_broken latch)
+                print("[WARN] sharded ApproxTopK unavailable; exact sort")
+                self._approx_large_k_broken = True
+                vals, idx = sharded_exact_search(
+                    corpus,
+                    queries,
+                    min(k, self.count),
+                    self.mesh,
+                    counts=self.counts,
+                    metric=self.metric,
+                    impl=impl,
+                    mask=mask,
+                )
         return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
 
     def _rebase(self, raw: np.ndarray, capacity: int) -> np.ndarray:

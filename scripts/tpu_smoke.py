@@ -203,6 +203,29 @@ def main() -> int:
     vo, io = exact_search_oracle(corpus, queries, 10, count=2500)
     check("sharded degenerate", bool((np.asarray(idx) == np.asarray(io)).all()))
 
+    # sharded ApproxTopK large-k route (the candidate_k-style serving
+    # scan over a mesh): compiled approx_max_k INSIDE shard_map; same
+    # in-range + tail-recall requirements as the unsharded case above
+    vo, io = exact_search_oracle(big, bq, 500, count=299_000)
+    va, ia = sharded_exact_search(
+        big, bq, 500, mesh, counts=np.array([299_000], np.int32),
+        impl="approx",
+    )
+    ia_np = np.asarray(ia)
+    in_range = bool((ia_np < 299_000).all() and (ia_np >= 0).all())
+    rec = float(
+        np.mean(
+            [
+                len(set(np.asarray(io)[i].tolist()) & set(ia_np[i].tolist())) / 500
+                for i in range(8)
+            ]
+        )
+    )
+    check(
+        f"sharded approx large-k (in-range {in_range}, recall {rec:.3f})",
+        in_range and rec >= 0.98,
+    )
+
     i8q, i8sc = quantize_rows(jnp.asarray(i8_corpus))
     vo, io = exact_search_oracle(jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10)
     vals, idx = sharded_int8_search(

@@ -412,3 +412,84 @@ class ShardedCheckpointTest(unittest.TestCase):
             np.testing.assert_allclose(
                 smaller.reconstruct(int(idx[0][0])), vectors[3], rtol=1e-5
             )
+
+
+class ShardedApproxLargeKTest(unittest.TestCase):
+    """The sharded mirror of the store-level ApproxTopK large-candidate
+    route (round 4): off-TPU approx_max_k computes exactly, so every
+    CPU-mesh result must match the exact oracle."""
+
+    def test_impl_approx_matches_oracle(self):
+        from photo_search_engine_tpu.ops.topk import exact_search_oracle
+
+        rng = np.random.default_rng(11)
+        mesh = make_mesh(8)
+        corpus = rng.normal(size=(8 * 256, 32)).astype(np.float32)
+        queries = rng.normal(size=(4, 32)).astype(np.float32)
+        counts = np.full(8, 250, np.int32)  # 6 padding rows per shard
+        flat_count_mask = np.concatenate(
+            [np.arange(256) < 250 for _ in range(8)]
+        )
+        for metric in ("ip", "l2"):
+            va, ia = sharded_exact_search(
+                jnp.asarray(corpus), jnp.asarray(queries), 200, mesh,
+                counts=counts, metric=metric, impl="approx",
+            )
+            # oracle over the live rows only (order within the flat corpus)
+            vo, io = exact_search_oracle(
+                jnp.asarray(corpus), jnp.asarray(queries), 200,
+                mask=jnp.asarray(flat_count_mask.astype(np.int32)),
+                metric=metric,
+            )
+            for row in range(queries.shape[0]):
+                self.assertEqual(
+                    set(np.asarray(ia)[row].tolist()),
+                    set(np.asarray(io)[row].tolist()),
+                    metric,
+                )
+            np.testing.assert_allclose(
+                np.sort(np.asarray(va), 1), np.sort(np.asarray(vo), 1),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_store_routes_and_fails_soft(self):
+        from photo_search_engine_tpu.ops import topk as topk_ops
+
+        rng = np.random.default_rng(12)
+        store = ShardedEmbeddingStore(24, make_mesh(8), metric="ip",
+                                      shard_block=8)
+        rows = rng.normal(size=(600, 24)).astype(np.float32)
+        store.append(rows)
+        query = rows[17]
+        v_exact, i_exact = store.search(query, 100)
+
+        calls = []
+        orig_gate = topk_ops._use_approx_large_k
+        orig_approx = topk_ops.approx_search_large_k
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig_approx(*args, **kwargs)
+
+        topk_ops._use_approx_large_k = lambda n: True
+        topk_ops.approx_search_large_k = wrapped
+        try:
+            v_apx, i_apx = store.search(query, 100)
+        finally:
+            topk_ops.approx_search_large_k = orig_approx
+        self.assertTrue(calls, "the approx route was never taken")
+        np.testing.assert_array_equal(np.asarray(i_apx), np.asarray(i_exact))
+
+        # fail-soft: a broken approx path degrades to the exact sort and
+        # latches off for subsequent searches
+        def boom(*args, **kwargs):
+            raise RuntimeError("approx unavailable")
+
+        topk_ops.approx_search_large_k = boom
+        try:
+            v_fb, i_fb = store.search(query, 100)
+        finally:
+            topk_ops.approx_search_large_k = orig_approx
+            topk_ops._use_approx_large_k = orig_gate
+        np.testing.assert_array_equal(np.asarray(i_fb), np.asarray(i_exact))
+        self.assertTrue(store._approx_large_k_broken)
