@@ -390,6 +390,28 @@ class EmbeddingStore:
                 block_n=self._i8_block,
             )
         else:
+            if (
+                impl == "auto"
+                and k > topk_ops._PALLAS_MAX_K
+                and topk_ops._use_approx_large_k(self._count)
+                and not getattr(self, "_approx_large_k_broken", False)
+            ):
+                # the grouped mirror of the plain-search ApproxTopK
+                # routing above: same gate, same TOPK_EXACT_LARGE_K=1
+                # override, same fail-soft latch
+                try:
+                    dists, idx = grouped_ops.grouped_approx_large_k(
+                        self._device,
+                        jnp.asarray(queries, self.store_dtype),
+                        jnp.asarray(table),
+                        ids,
+                        k,
+                        count=self._count,
+                    )
+                    return np.asarray(dists), np.asarray(idx)
+                except Exception as exc:  # noqa: BLE001 — fail-soft
+                    print(f"[WARN] grouped ApproxTopK unavailable ({exc}); exact sort")
+                    self._approx_large_k_broken = True
             dists, idx = grouped_ops.grouped_mask_search(
                 self._device,
                 jnp.asarray(queries, self.store_dtype),

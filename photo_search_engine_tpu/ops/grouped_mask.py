@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from photo_search_engine_tpu.ops.topk import (
+    _APPROX_RECALL_TARGET,
     _LANE,
     _PALLAS_MAX_K,
     _dot_precision,
@@ -89,6 +90,67 @@ def grouped_mask_oracle(
     vals, idx = jax.lax.top_k(scores, k)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _grouped_approx_impl(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    mask_table: jnp.ndarray,
+    mask_ids: jnp.ndarray,
+    count: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = corpus.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        (((1,), (1,)), ((), ())),
+        precision=_dot_precision(corpus.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    per_query_mask = jnp.take(mask_table, mask_ids, axis=0) > 0
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    scores = jnp.where(jnp.logical_and(per_query_mask, valid), scores, -jnp.inf)
+    vals, idx = jax.lax.approx_max_k(
+        scores, k, recall_target=_APPROX_RECALL_TARGET
+    )
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx
+
+
+def grouped_approx_large_k(
+    corpus: jnp.ndarray,
+    queries: jnp.ndarray,
+    mask_table: jnp.ndarray,
+    mask_ids: jnp.ndarray,
+    k: int,
+    *,
+    count: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ApproxTopK grouped-mask scan — same contract as
+    ``grouped_mask_oracle`` (off-TPU ``approx_max_k`` computes exactly,
+    so results match the oracle bit-for-bit there).  The grouped mirror
+    of ``topk.approx_search_large_k``: the serving over-fetch
+    (candidate_k up to 500) exceeds the grouped kernel's unrolled
+    extraction, and at million scale the full sort the lax fallback
+    pays loses 3-7× to ApproxTopK (docs/DESIGN.md crossover table).
+    Routing lives in the stores; this function only runs when asked."""
+    queries = jnp.atleast_2d(queries)
+    n = corpus.shape[0]
+    k = min(k, n) if n else 0
+    if n == 0 or k == 0:
+        q = queries.shape[0]
+        return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    count_arr = jnp.asarray(n if count is None else count, jnp.int32)
+    return _grouped_approx_impl(
+        corpus,
+        queries,
+        jnp.asarray(mask_table),
+        jnp.asarray(mask_ids, jnp.int32),
+        count_arr,
+        k,
+    )
 
 
 def _grouped_kernel(

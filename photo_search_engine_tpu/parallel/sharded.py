@@ -374,10 +374,18 @@ def sharded_grouped_search(
     def run(corpus_shard, queries_rep, table_shard, ids_rep, counts_rep):
         shard_id = jax.lax.axis_index(axis)
         count = counts_rep[shard_id]
-        vals, idx = grouped_ops.grouped_mask_search(
-            corpus_shard, queries_rep, table_shard, ids_rep,
-            min(k, shard_rows), count=count, impl=impl,
-        )
+        if impl == "approx":
+            # per-shard grouped ApproxTopK (the grouped mirror of the
+            # _local_topk approx branch); exact off-TPU
+            vals, idx = grouped_ops.grouped_approx_large_k(
+                corpus_shard, queries_rep, table_shard, ids_rep,
+                min(k, shard_rows), count=count,
+            )
+        else:
+            vals, idx = grouped_ops.grouped_mask_search(
+                corpus_shard, queries_rep, table_shard, ids_rep,
+                min(k, shard_rows), count=count, impl=impl,
+            )
         global_idx = jnp.where(idx >= 0, idx + shard_id * shard_rows, -1)
         return _merge_partials(vals, global_idx, k, axis)
 
@@ -845,16 +853,42 @@ class ShardedEmbeddingStore:
                 counts=self.counts,
             )
         else:
-            vals, idx = sharded_grouped_search(
-                corpus,
-                queries,
-                np.asarray(mask_table, np.int8),
-                np.asarray(mask_ids, np.int32),
-                min(k, self.count),
-                self.mesh,
-                counts=self.counts,
-                impl=impl,
-            )
+            route_impl = impl
+            if (
+                impl == "auto"
+                and min(k, self.count) > topk_ops._PALLAS_MAX_K
+                and topk_ops._use_approx_large_k(capacity)
+                and not getattr(self, "_approx_large_k_broken", False)
+            ):
+                # grouped mirror of the search() ApproxTopK routing —
+                # same gate, override, and fail-soft latch
+                route_impl = "approx"
+            try:
+                vals, idx = sharded_grouped_search(
+                    corpus,
+                    queries,
+                    np.asarray(mask_table, np.int8),
+                    np.asarray(mask_ids, np.int32),
+                    min(k, self.count),
+                    self.mesh,
+                    counts=self.counts,
+                    impl=route_impl,
+                )
+            except Exception:  # noqa: BLE001 — fail-soft to the exact sort
+                if route_impl != "approx":
+                    raise
+                print("[WARN] sharded grouped ApproxTopK unavailable; exact sort")
+                self._approx_large_k_broken = True
+                vals, idx = sharded_grouped_search(
+                    corpus,
+                    queries,
+                    np.asarray(mask_table, np.int8),
+                    np.asarray(mask_ids, np.int32),
+                    min(k, self.count),
+                    self.mesh,
+                    counts=self.counts,
+                    impl=impl,
+                )
         return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
 
     def global_id_to_shard_local(self, global_id: int) -> Tuple[int, int]:

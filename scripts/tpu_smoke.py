@@ -137,6 +137,40 @@ def main() -> int:
     )
     check("grouped_mask", bool((np.asarray(ip_) == np.asarray(io)).all()))
 
+    # grouped ApproxTopK large-k route (filtered candidate_k-style scans):
+    # compiled approx_max_k over per-query-masked scores; in-range +
+    # tail-recall requirements as the plain approx case
+    from photo_search_engine_tpu.ops.grouped_mask import grouped_approx_large_k
+
+    gtab = np.zeros((2, 300_000), np.int8)
+    gtab[0, :] = 1
+    gtab[1, ::2] = 1
+    gids = jnp.asarray(np.arange(8) % 2, jnp.int32)
+    # reuses `big`/`bq` from the plain approx large-k case above
+    vo, io = grouped_mask_oracle(
+        big, bq, jnp.asarray(gtab), gids, 500, count=299_000
+    )
+    va, ia = grouped_approx_large_k(
+        big, bq, jnp.asarray(gtab), gids, 500, count=299_000
+    )
+    ia_np = np.asarray(ia)
+    in_range = bool((ia_np < 299_000).all() and (ia_np >= 0).all())
+    # odd rows must never appear for the ::2 predicate queries
+    odd_leak = bool((ia_np[1::2] % 2 == 1).any())
+    rec = float(
+        np.mean(
+            [
+                len(set(np.asarray(io)[i].tolist()) & set(ia_np[i].tolist())) / 500
+                for i in range(8)
+            ]
+        )
+    )
+    check(
+        f"grouped approx large-k (in-range {in_range}, no-leak {not odd_leak}, "
+        f"recall {rec:.3f})",
+        in_range and not odd_leak and rec >= 0.98,
+    )
+
     from photo_search_engine_tpu.ops import grouped_int8_search
 
     gq8, gsc = quantize_rows(jnp.asarray(i8_corpus))

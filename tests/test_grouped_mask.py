@@ -106,6 +106,105 @@ class GroupedMaskTest(unittest.TestCase):
         )
         self.assertEqual(idx.shape, (9, 3))
 
+    def test_approx_large_k_matches_oracle_on_cpu(self):
+        # the grouped mirror of topk.approx_search_large_k (round 4):
+        # off-TPU approx_max_k computes exactly, so the CPU result must
+        # match the oracle, including count-capping and empty slots
+        from photo_search_engine_tpu.ops.grouped_mask import (
+            grouped_approx_large_k,
+        )
+
+        for count in (None, 150):
+            vo, io = grouped_mask_oracle(
+                jnp.asarray(self.corpus), jnp.asarray(self.queries),
+                jnp.asarray(self.table), jnp.asarray(self.ids), 120,
+                count=count,
+            )
+            va, ia = grouped_approx_large_k(
+                jnp.asarray(self.corpus), jnp.asarray(self.queries),
+                jnp.asarray(self.table), jnp.asarray(self.ids), 120,
+                count=count,
+            )
+            for row in range(9):
+                self.assertEqual(
+                    set(np.asarray(ia)[row].tolist()),
+                    set(np.asarray(io)[row].tolist()),
+                    f"count={count} row={row}",
+                )
+
+    def test_store_grouped_routing_and_fail_soft(self):
+        from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
+        from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+        from photo_search_engine_tpu.ops import topk as topk_ops
+
+        store = EmbeddingStore(64, metric="ip")
+        store.append(self.corpus)
+        k = 120
+        v_exact, i_exact = store.grouped_search(
+            self.queries, k, self.table[:, :300], self.ids
+        )
+
+        calls = []
+        orig_gate = topk_ops._use_approx_large_k
+        orig_fn = grouped_ops.grouped_approx_large_k
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig_fn(*args, **kwargs)
+
+        topk_ops._use_approx_large_k = lambda n: True
+        grouped_ops.grouped_approx_large_k = wrapped
+        try:
+            v_apx, i_apx = store.grouped_search(
+                self.queries, k, self.table[:, :300], self.ids
+            )
+        finally:
+            grouped_ops.grouped_approx_large_k = orig_fn
+        self.assertTrue(calls, "grouped approx route was never taken")
+        np.testing.assert_array_equal(i_apx, i_exact)
+
+        def boom(*args, **kwargs):
+            raise RuntimeError("approx unavailable")
+
+        grouped_ops.grouped_approx_large_k = boom
+        try:
+            v_fb, i_fb = store.grouped_search(
+                self.queries, k, self.table[:, :300], self.ids
+            )
+        finally:
+            grouped_ops.grouped_approx_large_k = orig_fn
+            topk_ops._use_approx_large_k = orig_gate
+        np.testing.assert_array_equal(i_fb, i_exact)
+        self.assertTrue(store._approx_large_k_broken)
+
+    def test_sharded_grouped_approx_matches_oracle(self):
+        from photo_search_engine_tpu.parallel.sharded import (
+            make_mesh,
+            sharded_grouped_search,
+        )
+
+        rng = np.random.default_rng(5)
+        mesh = make_mesh(4)
+        corpus = rng.normal(size=(4 * 128, 32)).astype(np.float32)
+        queries = rng.normal(size=(6, 32)).astype(np.float32)
+        table = np.zeros((2, 512), np.int8)
+        table[0, :] = 1
+        table[1, ::3] = 1
+        ids = np.array([0, 1, 0, 1, 0, 1], np.int32)
+        va, ia = sharded_grouped_search(
+            jnp.asarray(corpus), queries, table, ids, 100, mesh,
+            impl="approx",
+        )
+        vo, io = grouped_mask_oracle(
+            jnp.asarray(corpus), jnp.asarray(queries),
+            jnp.asarray(table), jnp.asarray(ids), 100,
+        )
+        for row in range(6):
+            self.assertEqual(
+                set(np.asarray(ia)[row].tolist()),
+                set(np.asarray(io)[row].tolist()),
+            )
+
 
 if __name__ == "__main__":
     unittest.main()
