@@ -40,6 +40,34 @@ def _get(base, path):
         return json.loads(response.read())
 
 
+def _post_multipart(base, path, fields, file_field, filename, content):
+    """Multipart POST (stdlib-only): the /search_by_uploaded_image contract
+    (reference api/routes.py:290-382 reads request.files['image'] + form)."""
+    boundary = "pse-demo-boundary-7e2f91c4"
+    parts = []
+    for key, value in fields.items():
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{key}"\r\n\r\n{value}\r\n'.encode()
+        )
+    parts.append(
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="{file_field}"; filename="{filename}"\r\n'
+        "Content-Type: image/jpeg\r\n\r\n".encode()
+    )
+    parts.append(content)
+    parts.append(f"\r\n--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+    request = urllib.request.Request(
+        base + path,
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(request, timeout=30) as response:
+        return json.loads(response.read())
+
+
 def make_library(photo_dir: str) -> None:
     from PIL import Image
 
@@ -138,6 +166,19 @@ def main() -> int:
         show("image-to-image (beach_sunset_sea)", _post(base, "/search_by_image",
              {"image_path": os.path.join(photo_dir, "beach_sunset_sea.jpg"),
               "top_k": 3, "enable_visual_rerank": True}))
+        # upload-to-search: a FRESH image (not in the library) goes up as
+        # multipart/form-data, exactly like the SPA's upload tab
+        from io import BytesIO
+
+        from PIL import Image
+
+        upload = Image.new("RGB", (320, 240), (235, 165, 85))  # sunset-ish
+        buffer = BytesIO()
+        upload.save(buffer, format="JPEG")
+        show("upload-to-search (fresh sunset-toned jpeg)", _post_multipart(
+            base, "/search_by_uploaded_image",
+            {"top_k": "3", "enable_visual_rerank": "true"},
+            "image", "fresh_sunset_upload.jpg", buffer.getvalue()))
         print("\nall demo flows completed")
         return 0
     finally:
