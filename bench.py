@@ -18,12 +18,13 @@ inflating naive loop timings by >10x — measured on this machine).
 Scale knobs via env: BENCH_ROWS, BENCH_DIM, BENCH_Q, BENCH_K, BENCH_ITERS.
 Variant via BENCH_IMPL (or the BENCH_FAST=1 / BENCH_INT8=1 aliases):
   exact — bit-exact two-phase kernel (27.7k QPS at the north-star shape)
-  fast  — packed-key selection, the DEFAULT (33k QPS; final scores
-          exact-rescored, index agreement 99.96% — flips only inside
-          2^-13-relative tie windows, i.e. equal-value ties)
+  fast  — packed-key selection, the off-TPU default (33k QPS; final
+          scores exact-rescored, index agreement 99.96% — flips only
+          inside 2^-13-relative tie windows, i.e. equal-value ties)
   int8  — int8-scan + exact-rescore (ops/quantized.py; 47-68k QPS by
           compile session; exact on realistic-gap data, recall@10 =
-          0.996 on iid noise — the adversarial distribution)
+          0.996 on iid noise — the adversarial distribution).  The TPU
+          DEFAULT, matching STORE_QUANTIZED=auto serving.
   ivf   — coarse-quantized small-batch path (models/ivf.py; defaults
           batch 8, BENCH_IVF_NPROBE=16, BENCH_IVF_NLIST=1024; 0.41 ms
           at the north-star corpus)
@@ -95,6 +96,7 @@ def main() -> None:
     n_queries = int(os.getenv("BENCH_Q", 256))
     k = int(os.getenv("BENCH_K", 10))
     iters = int(os.getenv("BENCH_ITERS", 40))
+    on_tpu = jax.default_backend() == "tpu"
     variant = os.getenv("BENCH_IMPL", "").strip().lower()
     if not variant:
         if os.getenv("BENCH_INT8", "") in {"1", "true", "yes"}:
@@ -104,13 +106,14 @@ def main() -> None:
         elif os.getenv("BENCH_EXACT", "") in {"1", "true", "yes"}:
             variant = "exact"
         else:
-            variant = "fast"
+            # follow the serving default (STORE_QUANTIZED=auto): the int8
+            # scan + exact rescore tier on TPU, bf16 packed-key elsewhere
+            variant = "int8" if on_tpu else "fast"
     fast = variant == "fast"
     int8 = variant == "int8"
     ivf = variant == "ivf"
     if ivf and "BENCH_Q" not in os.environ:
         n_queries = 8  # IVF is the small-batch/low-latency path
-    on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     block_n = 1024 if dtype == jnp.bfloat16 else 512
     block_q = min(256, max(8, -(-n_queries // 8) * 8))

@@ -162,7 +162,7 @@ def initialize_services(config: Optional[Dict[str, Any]] = None) -> Dict[str, An
         ivf_nprobe=config.get("IVF_NPROBE", 64),
         ivf_target_recall=config.get("IVF_TARGET_RECALL", 0.98),
         store_block_rows=config.get("TOPK_BLOCK_N") or None,
-        quantized=bool(config.get("STORE_QUANTIZED", False)),
+        quantized=config.get("STORE_QUANTIZED", "auto"),
         mesh_devices=mesh_devices,
     )
 

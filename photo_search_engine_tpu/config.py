@@ -201,8 +201,12 @@ def load_config() -> Dict[str, Any]:
         # auto = bfloat16 on TPU (the benchmarked serving config; persistence
         # stays float32), float32 elsewhere
         "STORE_DTYPE": os.getenv("STORE_DTYPE", "auto"),  # auto|float32|bfloat16
-        # int8 shadow scan + exact rescore (~2× scan QPS; ops/quantized.py)
-        "STORE_QUANTIZED": _get_bool("STORE_QUANTIZED", False),
+        # int8 shadow scan + exact rescore (~1.4-2× scan QPS;
+        # ops/quantized.py).  auto = on for TPU backends (the validated
+        # fastest serving tier: recall@10 0.996 iid / exact on realistic
+        # gaps, docs/ABLATION_INT8.md), off elsewhere; 0/1 pin it.  The
+        # recall-gold exact tier stays one flag away (STORE_QUANTIZED=0).
+        "STORE_QUANTIZED": os.getenv("STORE_QUANTIZED", "auto"),
         # kernel corpus-block rows; 0 = auto (VMEM-budget-aware by dim/dtype)
         "TOPK_BLOCK_N": _get_int("TOPK_BLOCK_N", 0),
         "IVF_NLIST": _get_int("IVF_NLIST", 1024),

@@ -75,7 +75,8 @@ class EmbeddingStore:
         # (ops/quantized.py).  Capacity must align to BOTH kernel blocks so
         # neither search path re-pads (re-padding copies the whole corpus):
         # block_rows drops to a power of two and capacity aligns to the LCM.
-        self.quantized = bool(quantized)
+        # Accepts "auto" (True on TPU) like the serving config does.
+        self.quantized = quant_ops.resolve_store_quantized(quantized)
         # int8 nomination knobs (None = safe defaults, see ops/quantized.py):
         # kloc < k trades burst-safety for ~1.3× scan QPS on corpora whose
         # insertion order does not cluster near-duplicates
@@ -272,9 +273,9 @@ class EmbeddingStore:
         if mask is not None:
             mask_dev = self._device_mask(mask)
         metric = "ip" if self.metric == "cosine" else self.metric
-        if impl == "int8":
-            if not self.quantized:
-                raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+        if impl == "int8" and not self.quantized:
+            raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+        if impl == "int8" and min(k, self._count) <= quant_ops._INT8_MAX_K:
             dists, idx = quant_ops.int8_search(
                 self._device_i8,
                 self._scales[:, 0],
@@ -289,7 +290,12 @@ class EmbeddingStore:
                 block_n=self._i8_block,
             )
         elif (
-            impl == "auto"
+            # int8 serving over-fetch (candidate_k up to 500) exceeds the
+            # int8 kernel's nomination bound — take the SAME ApproxTopK
+            # large-candidate route the bf16 default takes, instead of the
+            # full exact sort int8_search would fall back to (the 51 ms
+            # vs 7.5 ms device-path difference at 1M, docs/ROUND4.md)
+            impl in ("auto", "int8")
             and min(k, self._count) > topk_ops._PALLAS_MAX_K
             and topk_ops._use_approx_large_k(self._count)
             and not getattr(self, "_approx_large_k_broken", False)
@@ -325,7 +331,7 @@ class EmbeddingStore:
                     count=self._count,
                     mask=mask_dev,
                     metric=metric,
-                    impl=impl,
+                    impl="auto" if impl == "int8" else impl,
                     block_n=self.block_rows,
                 )
         else:
@@ -336,7 +342,7 @@ class EmbeddingStore:
                 count=self._count,
                 mask=mask_dev,
                 metric=metric,
-                impl=impl,
+                impl="auto" if impl == "int8" else impl,
                 block_n=self.block_rows,
             )
         return np.asarray(dists), np.asarray(idx)
@@ -373,9 +379,9 @@ class EmbeddingStore:
         table = np.zeros((len(mask_table), self.capacity), np.int8)
         table[:, : self._count] = np.asarray(mask_table)[:, : self._count]
         ids = jnp.asarray(np.asarray(mask_ids, np.int32))
-        if impl == "int8":
-            if not self.quantized:
-                raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+        if impl == "int8" and not self.quantized:
+            raise ValueError("impl='int8' requires EmbeddingStore(quantized=True)")
+        if impl == "int8" and k <= quant_ops._INT8_MAX_K:
             dists, idx = quant_ops.grouped_int8_search(
                 self._device_i8,
                 self._scales[:, 0],
@@ -391,7 +397,11 @@ class EmbeddingStore:
             )
         else:
             if (
-                impl == "auto"
+                # int8 + large k: take the grouped ApproxTopK route (the
+                # grouped mirror of search()'s int8 large-k routing) —
+                # grouped_int8_search would fall back to the full-sort
+                # oracle at this k
+                impl in ("auto", "int8")
                 and k > topk_ops._PALLAS_MAX_K
                 and topk_ops._use_approx_large_k(self._count)
                 and not getattr(self, "_approx_large_k_broken", False)
@@ -419,7 +429,7 @@ class EmbeddingStore:
                 ids,
                 k,
                 count=self._count,
-                impl=impl,
+                impl="auto" if impl == "int8" else impl,
                 block_n=self.block_rows,
             )
         return np.asarray(dists), np.asarray(idx)

@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.parallel.sharded import (
     ShardedEmbeddingStore,
     make_mesh,
@@ -50,7 +51,7 @@ class MeshEmbeddingStore:
             raise ValueError("metric must be cosine, l2 or ip")
         self.dimension = int(dimension)
         self.metric = metric
-        self.quantized = bool(quantized)
+        self.quantized = quant_ops.resolve_store_quantized(quantized)
         self._sharded = ShardedEmbeddingStore(
             dimension,
             mesh or make_mesh(mesh_devices or None),

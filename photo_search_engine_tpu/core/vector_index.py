@@ -46,7 +46,7 @@ class VectorIndex:
         ivf_nprobe: int = 64,
         ivf_target_recall: float = 0.98,
         store_block_rows: Optional[int] = None,
-        quantized: bool = False,
+        quantized: Any = False,  # bool | "auto" (see _resolve_store_quantized)
         mesh_devices: int = 0,
     ) -> None:
         self.dimension = dimension
@@ -84,9 +84,11 @@ class VectorIndex:
         self._ivf_nprobe_auto: Optional[int] = None
         self.store_block_rows = store_block_rows or None
         # int8 shadow scan + exact rescore (ops/quantized.py): exact results
-        # on realistic score gaps, ~2× scan throughput; a runtime
-        # acceleration, not a persistence property (checkpoints stay f32)
-        self.quantized = bool(quantized)
+        # on realistic score gaps, ~1.4-2× scan throughput; a runtime
+        # acceleration, not a persistence property (checkpoints stay f32).
+        # "auto" (the serving default) resolves to True on TPU backends,
+        # False elsewhere — mirrors the store_dtype sentinel above.
+        self.quantized = self._resolve_store_quantized(quantized)
         # MESH_DEVICES: 0 = single-device store; >=1 = row-shard the corpus
         # over a jax.sharding.Mesh of that many devices (1 = degenerate
         # mesh, same code path — SURVEY.md §7.2)
@@ -133,6 +135,12 @@ class VectorIndex:
         from photo_search_engine_tpu.ops.topk import resolve_store_dtype
 
         return resolve_store_dtype(store_dtype)
+
+    @staticmethod
+    def _resolve_store_quantized(value) -> bool:
+        from photo_search_engine_tpu.ops.quantized import resolve_store_quantized
+
+        return resolve_store_quantized(value)
 
     def _create_store(self, dimension: int):
         if self.mesh_devices:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.ops.topk import (
     _extract_block_topk,
     bucket_queries,
@@ -483,7 +484,7 @@ class IVFIndex:
         store_dtype: str = "float32",
         quantized: bool = False,
     ) -> None:
-        self.quantized = bool(quantized)
+        self.quantized = quant_ops.resolve_store_quantized(quantized)
         self.centroids = np.asarray(centroids, np.float32)
         self.nlist = self.centroids.shape[0]
         self.capacity = int(capacity)

@@ -62,6 +62,31 @@ _INT8_MAX_K = 64       # larger k falls back to the full-precision path
 _INT8_MAX_KLOC = _INT8_MAX_K
 
 
+def resolve_store_quantized(value) -> bool:
+    """Resolve the ``STORE_QUANTIZED`` knob to a boolean.
+
+    ``"auto"`` (the serving default) turns the int8-scan + exact-rescore
+    tier on exactly where it is validated — TPU backends, where it is the
+    measured-fastest configuration (47.5k vs 33.3k QPS at 1M×1536 top-10;
+    recall@10 0.996 on iid noise, exact on realistic score gaps —
+    docs/ABLATION_INT8.md) — and off elsewhere (interpret-mode CPU scans
+    gain nothing from the shadow corpus).  Explicit booleans or the usual
+    truthy/falsy strings pin it either way; mirrors
+    :func:`photo_search_engine_tpu.ops.topk.resolve_store_dtype`."""
+    if isinstance(value, bool):
+        return value
+    text = (str(value) if value is not None else "auto").strip().lower()
+    if text == "auto":
+        return _on_tpu()
+    if text in {"1", "true", "yes", "on"}:
+        return True
+    if text in {"", "0", "false", "no", "off", "none"}:
+        return False
+    raise ValueError(
+        f"STORE_QUANTIZED must be auto or a boolean, got {value!r}"
+    )
+
+
 def default_block_n_int8(dim: int = 1536) -> int:
     """int8 rows per VMEM block: 1536-d int8 rows are 4× lighter than f32,
     so the widest packed-key block (2048) fits comfortably (3MB/block,

@@ -549,7 +549,7 @@ class ShardedEmbeddingStore:
         self.metric = metric
         self.store_dtype = jnp.dtype(topk_ops.resolve_store_dtype(store_dtype))
         self.shard_block = int(shard_block)
-        self.quantized = bool(quantized)
+        self.quantized = quant_ops.resolve_store_quantized(quantized)
         self.n_shards = self.mesh.shape[DATA_AXIS]
         self._host_shards = [
             np.zeros((0, self.dimension), np.float32) for _ in range(self.n_shards)
@@ -747,11 +747,11 @@ class ShardedEmbeddingStore:
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
-        if impl == "int8":
-            if not self.quantized:
-                raise ValueError(
-                    "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
-                )
+        if impl == "int8" and not self.quantized:
+            raise ValueError(
+                "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
+            )
+        if impl == "int8" and min(k, self.count) <= quant_ops._INT8_MAX_K:
             vals, idx = sharded_int8_search(
                 self._device_i8,
                 self._scales,
@@ -764,18 +764,18 @@ class ShardedEmbeddingStore:
                 mask=mask,
             )
         else:
-            route_impl = impl
+            route_impl = "auto" if impl == "int8" else impl
             if (
-                impl == "auto"
+                impl in ("auto", "int8")
                 and min(k, self.count) > topk_ops._PALLAS_MAX_K
                 and topk_ops._use_approx_large_k(capacity)
                 and not getattr(self, "_approx_large_k_broken", False)
             ):
                 # serving over-fetch (candidate_k up to 500) exceeds the
-                # fused kernel's unrolled extraction; the per-shard
-                # ApproxTopK beats the full sort the lax fallback pays —
-                # the same store-level routing (incl. the
-                # TOPK_EXACT_LARGE_K=1 override inside
+                # fused kernel's unrolled extraction (and the int8
+                # nomination bound); the per-shard ApproxTopK beats the
+                # full sort the lax fallback pays — the same store-level
+                # routing (incl. the TOPK_EXACT_LARGE_K=1 override inside
                 # _use_approx_large_k) as EmbeddingStore.search
                 route_impl = "approx"
             try:
@@ -804,7 +804,7 @@ class ShardedEmbeddingStore:
                     self.mesh,
                     counts=self.counts,
                     metric=self.metric,
-                    impl=impl,
+                    impl="auto" if impl == "int8" else impl,
                     mask=mask,
                 )
         return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
@@ -836,11 +836,11 @@ class ShardedEmbeddingStore:
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = np.where(norms > 0, queries / np.maximum(norms, 1e-30), queries)
-        if impl == "int8":
-            if not self.quantized:
-                raise ValueError(
-                    "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
-                )
+        if impl == "int8" and not self.quantized:
+            raise ValueError(
+                "impl='int8' requires ShardedEmbeddingStore(quantized=True)"
+            )
+        if impl == "int8" and min(k, self.count) <= quant_ops._INT8_MAX_K:
             vals, idx = sharded_grouped_int8_search(
                 self._device_i8,
                 self._scales,
@@ -853,15 +853,17 @@ class ShardedEmbeddingStore:
                 counts=self.counts,
             )
         else:
-            route_impl = impl
+            route_impl = "auto" if impl == "int8" else impl
             if (
-                impl == "auto"
+                impl in ("auto", "int8")
                 and min(k, self.count) > topk_ops._PALLAS_MAX_K
                 and topk_ops._use_approx_large_k(capacity)
                 and not getattr(self, "_approx_large_k_broken", False)
             ):
                 # grouped mirror of the search() ApproxTopK routing —
-                # same gate, override, and fail-soft latch
+                # same gate, override, and fail-soft latch (int8 + large k
+                # routes here too: the grouped int8 kernel's nomination
+                # bound is k<=64)
                 route_impl = "approx"
             try:
                 vals, idx = sharded_grouped_search(
@@ -887,7 +889,7 @@ class ShardedEmbeddingStore:
                     min(k, self.count),
                     self.mesh,
                     counts=self.counts,
-                    impl=impl,
+                    impl="auto" if impl == "int8" else impl,
                 )
         return np.asarray(vals), self._rebase(np.asarray(idx, np.int64), capacity)
 

@@ -486,3 +486,225 @@ class CapacityAlignmentTest(unittest.TestCase):
             store.append(np.random.default_rng(0).normal(size=(10, dim)))
             self.assertEqual(store.capacity % store.block_rows, 0, dim)
             self.assertEqual(store.capacity % store._i8_block, 0, dim)
+
+
+class ResolveStoreQuantizedTest(unittest.TestCase):
+    """STORE_QUANTIZED=auto: the serving default resolves per backend
+    (mirrors resolve_store_dtype — verdict r4 item 1a)."""
+
+    def test_auto_follows_backend(self):
+        from photo_search_engine_tpu.ops import quantized as quant_ops
+
+        orig = quant_ops._on_tpu
+        try:
+            quant_ops._on_tpu = lambda: True
+            self.assertTrue(quant_ops.resolve_store_quantized("auto"))
+            quant_ops._on_tpu = lambda: False
+            self.assertFalse(quant_ops.resolve_store_quantized("auto"))
+        finally:
+            quant_ops._on_tpu = orig
+
+    def test_explicit_values_pin(self):
+        from photo_search_engine_tpu.ops.quantized import resolve_store_quantized
+
+        self.assertTrue(resolve_store_quantized(True))
+        self.assertFalse(resolve_store_quantized(False))
+        for text in ("1", "true", "YES", "on"):
+            self.assertTrue(resolve_store_quantized(text), text)
+        for text in ("0", "false", "No", "off", "", None):
+            self.assertFalse(resolve_store_quantized(text), repr(text))
+        with self.assertRaises(ValueError):
+            resolve_store_quantized("fastest")
+
+    def test_config_default_is_auto(self):
+        import os
+
+        from photo_search_engine_tpu.config import load_config
+
+        saved = os.environ.pop("STORE_QUANTIZED", None)
+        try:
+            self.assertEqual(load_config()["STORE_QUANTIZED"], "auto")
+        finally:
+            if saved is not None:
+                os.environ["STORE_QUANTIZED"] = saved
+
+    def test_vector_index_accepts_auto(self):
+        import tempfile
+
+        from photo_search_engine_tpu.core.vector_index import VectorIndex
+
+        with tempfile.TemporaryDirectory() as tmp:
+            vi = VectorIndex(
+                dimension=16,
+                index_path=f"{tmp}/i.npy",
+                metadata_path=f"{tmp}/m.json",
+                quantized="auto",
+            )
+            # pytest runs on the forced-CPU backend, so auto resolves False
+            self.assertFalse(vi.quantized)
+            vi2 = VectorIndex(
+                dimension=16,
+                index_path=f"{tmp}/i2.npy",
+                metadata_path=f"{tmp}/m2.json",
+                quantized="1",
+            )
+            self.assertTrue(vi2.quantized)
+
+
+class Int8LargeKRoutingTest(unittest.TestCase):
+    """The serving over-fetch (candidate_k up to 500) on a quantized store
+    must ride the SAME ApproxTopK large-candidate route as the bf16
+    default — not the full exact sort int8_search would fall back to
+    (verdict r4 item 1a: the 47.5k path must not regress the 7.5 ms
+    large-k device path to 51 ms)."""
+
+    def setUp(self):
+        self.rng = np.random.default_rng(77)
+        self.corpus = _normalize(
+            self.rng.normal(size=(600, 24)).astype(np.float32)
+        )
+        self.queries = _normalize(
+            self.rng.normal(size=(4, 24)).astype(np.float32)
+        )
+
+    def test_plain_large_k_takes_approx_route(self):
+        from photo_search_engine_tpu.ops import topk as topk_ops
+
+        store = EmbeddingStore(24, metric="ip", quantized=True)
+        store.append(self.corpus)
+        k = 100
+        v_exact, i_exact = store.search(self.queries, k, impl="auto")
+
+        calls = []
+        orig_gate = topk_ops._use_approx_large_k
+        orig_fn = topk_ops.approx_search_large_k
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig_fn(*args, **kwargs)
+
+        topk_ops._use_approx_large_k = lambda n: True
+        topk_ops.approx_search_large_k = wrapped
+        try:
+            v_int8, i_int8 = store.search(self.queries, k, impl="int8")
+        finally:
+            topk_ops.approx_search_large_k = orig_fn
+            topk_ops._use_approx_large_k = orig_gate
+        self.assertTrue(calls, "int8 large-k never took the approx route")
+        np.testing.assert_array_equal(i_int8, i_exact)
+
+    def test_small_k_still_uses_int8_kernel(self):
+        from photo_search_engine_tpu.ops import quantized as quant_ops
+        from photo_search_engine_tpu.ops import topk as topk_ops
+
+        store = EmbeddingStore(24, metric="ip", quantized=True)
+        store.append(self.corpus)
+        calls = []
+        orig = quant_ops.int8_search
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig(*args, **kwargs)
+
+        orig_gate = topk_ops._use_approx_large_k
+        topk_ops._use_approx_large_k = lambda n: True  # gate open either way
+        quant_ops.int8_search = wrapped
+        try:
+            store.search(self.queries, 10, impl="int8")
+        finally:
+            quant_ops.int8_search = orig
+            topk_ops._use_approx_large_k = orig_gate
+        self.assertTrue(calls, "small-k int8 search bypassed the int8 kernel")
+
+    def test_grouped_large_k_takes_approx_route(self):
+        from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+        from photo_search_engine_tpu.ops import topk as topk_ops
+
+        store = EmbeddingStore(24, metric="ip", quantized=True)
+        store.append(self.corpus)
+        table = (self.rng.random((3, 600)) < 0.7).astype(np.int8)
+        ids = self.rng.integers(0, 3, size=4).astype(np.int32)
+        k = 100
+        v_exact, i_exact = store.grouped_search(
+            self.queries, k, table, ids, impl="auto"
+        )
+
+        calls = []
+        orig_gate = topk_ops._use_approx_large_k
+        orig_fn = grouped_ops.grouped_approx_large_k
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig_fn(*args, **kwargs)
+
+        topk_ops._use_approx_large_k = lambda n: True
+        grouped_ops.grouped_approx_large_k = wrapped
+        try:
+            v_int8, i_int8 = store.grouped_search(
+                self.queries, k, table, ids, impl="int8"
+            )
+        finally:
+            grouped_ops.grouped_approx_large_k = orig_fn
+            topk_ops._use_approx_large_k = orig_gate
+        self.assertTrue(calls, "grouped int8 large-k never took approx")
+        np.testing.assert_array_equal(i_int8, i_exact)
+
+    def test_sharded_large_k_takes_approx_route(self):
+        from photo_search_engine_tpu.ops import topk as topk_ops
+        from photo_search_engine_tpu.parallel.sharded import (
+            ShardedEmbeddingStore,
+            make_mesh,
+        )
+
+        store = ShardedEmbeddingStore(
+            24, make_mesh(8), metric="ip", shard_block=8, quantized=True
+        )
+        store.append(self.corpus)
+        k = 100
+        v_exact, i_exact = store.search(self.queries, k, impl="auto")
+
+        calls = []
+        orig_gate = topk_ops._use_approx_large_k
+        orig_fn = topk_ops.approx_search_large_k
+
+        def wrapped(*args, **kwargs):
+            calls.append(1)
+            return orig_fn(*args, **kwargs)
+
+        topk_ops._use_approx_large_k = lambda n: True
+        topk_ops.approx_search_large_k = wrapped
+        try:
+            v_int8, i_int8 = store.search(self.queries, k, impl="int8")
+        finally:
+            topk_ops.approx_search_large_k = orig_fn
+            topk_ops._use_approx_large_k = orig_gate
+        self.assertTrue(calls, "sharded int8 large-k never took approx")
+        np.testing.assert_array_equal(np.asarray(i_int8), np.asarray(i_exact))
+
+
+class RescoreDepthGateTest(unittest.TestCase):
+    """The recall gate on the quantized tier: the exact-rescore pool is
+    never shallower than the requested k (cand = max(cand, k); default
+    max(32, 2k)), so the rescore re-orders AT LEAST a full result set at
+    reference precision."""
+
+    def test_explicit_shallow_cand_is_clamped(self):
+        rng = np.random.default_rng(3)
+        corpus = _normalize(rng.normal(size=(512, 32)).astype(np.float32))
+        query = _normalize(rng.normal(size=(1, 32)).astype(np.float32))
+        _plant(corpus, query[0], range(24), np.linspace(0.95, 0.3, 24), rng)
+        qd, sc = quantize_rows(jnp.asarray(corpus))
+        # cand=1 < k=16 must clamp to >= k, not truncate the result set
+        vals, idx = int8_search(
+            qd, sc, jnp.asarray(corpus), jnp.asarray(query), 16, cand=1
+        )
+        self.assertEqual(idx.shape, (1, 16))
+        ref_v, ref_i = exact_search_oracle(corpus, query, 16, metric="ip")
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+    def test_default_pool_depth(self):
+        # default cand = max(32, 2k): k + margin for every k the int8
+        # kernel serves (k <= 64)
+        for k in (1, 10, 32, 64):
+            cand = max(32, 2 * k)
+            self.assertGreaterEqual(cand, k + min(k, 32))
