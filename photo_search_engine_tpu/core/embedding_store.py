@@ -82,7 +82,13 @@ class EmbeddingStore:
         # insertion order does not cluster near-duplicates
         self.int8_kloc = int8_kloc
         self.int8_cand = int8_cand
-        self._i8_block = quant_ops.default_block_n_int8(self.dimension)
+        # MXU feed for the int8 scan (INT8_FEED env / auto — see
+        # ops/quantized.resolve_int8_feed); pinned at construction so the
+        # kernel block size and capacity alignment stay consistent
+        self.int8_feed = quant_ops.resolve_int8_feed(None)
+        self._i8_block = quant_ops.default_block_n_int8(
+            self.dimension, self.int8_feed
+        )
         if self.quantized:
             self.block_rows = max(128, 1 << (self.block_rows.bit_length() - 1))
         # the LCM, not the max: capacity must divide by BOTH block sizes or
@@ -288,6 +294,7 @@ class EmbeddingStore:
                 kloc=self.int8_kloc,
                 cand=self.int8_cand,
                 block_n=self._i8_block,
+                feed=self.int8_feed,
             )
         elif (
             # int8 serving over-fetch (candidate_k up to 500) exceeds the
@@ -394,6 +401,7 @@ class EmbeddingStore:
                 kloc=self.int8_kloc,
                 cand=self.int8_cand,
                 block_n=self._i8_block,
+                feed=self.int8_feed,
             )
         else:
             if (

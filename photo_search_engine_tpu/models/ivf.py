@@ -281,11 +281,13 @@ def _ivf_kernel(
     is_live_block = j < count_ref[0, 0]
 
     if int8:
-        acc = jax.lax.dot_general(
-            q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        # feed resolved at trace time (process-level INT8_FEED knob —
+        # ops/quantized.resolve_int8_feed); IVF list blocks are small, so
+        # the bf16 dequant copy always fits the probe kernel's VMEM plan
+        acc = quant_ops._quant_block_dot(
+            q_ref[:], c_ref[:], quant_ops.resolve_int8_feed(None)
         )
-        scores = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+        scores = acc * qs_ref[:] * cs_ref[:]
     else:
         scores = jax.lax.dot_general(
             q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),

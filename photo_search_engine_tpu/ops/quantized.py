@@ -87,13 +87,57 @@ def resolve_store_quantized(value) -> bool:
     )
 
 
-def default_block_n_int8(dim: int = 1536) -> int:
+def resolve_int8_feed(value=None) -> str:
+    """Resolve the int8 MXU feed variant (the round-4 verdict's
+    "restructured kernel" knob — docs/ABLATION_INT8.md proved block/grid
+    knobs cannot close the 47.5k→68k session gap, so the restructure
+    changes WHAT the MXU is fed, not how the grid is shaped):
+
+    * ``"int8"`` — native int8×int8→int32 MXU dot (the round-2 kernel).
+      Fastest when the Mosaic session lowers it to the int8 systolic
+      path (the historical 68k regime); the slow sessions apparently
+      don't (5.4 ms ≈ 285 GB/s, well under both roofs).
+    * ``"bf16"`` — dequantize-in-VMEM: upcast the streamed int8 blocks
+      to bf16 and run the known-good bf16 MXU path (int8 values are
+      exact in bf16).  HBM traffic stays int8; compute rides the same
+      schedule the bf16 exact kernel gets 71%-of-peak on.  Compute roof
+      at 1M×1536 ≈ 15.6 µs/query ≈ 64k QPS on v5e.
+    * ``"auto"`` (default) — the measured-fastest feed for the current
+      backend (pinned by the on-chip A/B recorded in
+      docs/ABLATION_INT8.md; int8 until a session proves otherwise).
+
+    ``None``/empty reads the ``INT8_FEED`` env knob first."""
+    import os
+
+    text = (str(value) if value else "").strip().lower()
+    if not text:
+        text = os.environ.get("INT8_FEED", "auto").strip().lower() or "auto"
+    if text == "auto":
+        return "int8"
+    if text in {"int8", "bf16"}:
+        return text
+    raise ValueError(f"INT8_FEED must be auto, int8 or bf16, got {value!r}")
+
+
+def default_block_n_int8(dim: int = 1536, feed: str = "int8") -> int:
     """int8 rows per VMEM block: 1536-d int8 rows are 4× lighter than f32,
     so the widest packed-key block (2048) fits comfortably (3MB/block,
-    6MB double-buffered) and measured fastest at the north-star shape."""
-    per_row = _round_up(dim, _LANE)  # 1 byte/element
+    6MB double-buffered) and measured fastest at the north-star shape.
+    The bf16 feed materializes a bf16 copy of the block in VMEM (2
+    bytes/element on top of the streamed 1), so its block budget matches
+    the bf16 exact kernel's (1024 rows at 1536-d)."""
+    # bf16 feed: the streamed int8 block (double-buffered, 1 B/elem) plus
+    # one bf16 VMEM copy (2 B/elem, not double-buffered) ≈ the bf16 exact
+    # kernel's residency — use its per-element weight
+    weight = 2 if feed == "bf16" else 1
+    per_row = _round_up(dim, _LANE) * weight
     rows = (8 * 1024 * 1024) // (2 * per_row)
-    return max(128, min(_FAST_MAX_BN, (rows // 128) * 128))
+    rows = max(128, min(_FAST_MAX_BN, (rows // 128) * 128))
+    if feed == "bf16":
+        # power-of-two blocks keep the store's capacity alignment (the
+        # LCM of the exact and int8 block sizes) from exploding
+        rows = 1 << (rows.bit_length() - 1)
+    return rows
 
 
 @jax.jit
@@ -112,6 +156,32 @@ def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale[:, 0]
 
 
+def _quant_block_dot(q, c, feed: str) -> jnp.ndarray:
+    """One block's query×corpus dot on quantized operands, as f32.
+
+    ``feed="int8"`` is the native int8×int8→int32 MXU contraction;
+    ``feed="bf16"`` dequantizes in VMEM (int8 values are EXACT in bf16 —
+    8 significand bits cover ±255) and contracts on the bf16 MXU path
+    with f32 accumulation.  Both orderings agree to ≤1 f32 ulp at the
+    accumulator scale (the f32 accumulation rounds above 2²⁴ ≈ 1.7e7;
+    worst-case 1536-d sums reach 2.5e7), far inside the exact-rescore
+    margin — the nomination pool is identical in practice and exactness
+    never depends on it (see resolve_int8_feed)."""
+    if feed == "bf16":
+        return jax.lax.dot_general(
+            q.astype(jnp.bfloat16),
+            c.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        q,
+        c,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+
 def _int8_block_kernel(
     count_ref,   # SMEM (1, 1) int32 — live rows
     q_ref,       # VMEM (BQ, D) int8 quantized queries
@@ -125,6 +195,7 @@ def _int8_block_kernel(
     bn: int,
     metric: str,
     has_mask: bool,
+    feed: str = "int8",
 ):
     """Phase A: int8 MXU dot + packed-key local top-k of one block."""
     offset = 0
@@ -135,13 +206,8 @@ def _int8_block_kernel(
     outv_ref, outi_ref = rest[offset : offset + 2]
 
     ni = pl.program_id(1)
-    acc = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    scores = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    acc = _quant_block_dot(q_ref[:], c_ref[:], feed)
+    scores = acc * qs_ref[:] * cs_ref[:]
     if metric == "l2":
         # per-query norm is constant, so ordering by -(qn + cn - 2s) equals
         # ordering by 2s - cn; the exact rescore restores real distances
@@ -160,7 +226,7 @@ def _int8_block_kernel(
     jax.jit,
     static_argnames=(
         "k", "kloc", "cand", "metric", "block_q", "block_n", "interpret",
-        "has_mask",
+        "has_mask", "feed",
     ),
 )
 def _int8_rescore_impl(
@@ -179,6 +245,7 @@ def _int8_rescore_impl(
     block_n: int,
     interpret: bool,
     has_mask: bool,
+    feed: str,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     np_, dp = corpus_i8.shape
     qp = queries.shape[0]
@@ -212,6 +279,7 @@ def _int8_rescore_impl(
     kernel = functools.partial(
         _int8_block_kernel,
         k=kloc, kp=kp, bq=block_q, bn=block_n, metric=metric, has_mask=has_mask,
+        feed=feed,
     )
     part_vals, part_idx = pl.pallas_call(
         kernel,
@@ -277,17 +345,13 @@ def _int8_grouped_kernel(
     bq: int,
     bn: int,
     n_masks: int,
+    feed: str = "int8",
 ):
     """int8 dot + one-hot per-query mask select + packed-key extraction
     (the int8 sibling of grouped_mask.py's kernel)."""
     ni = pl.program_id(1)
-    acc = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    scores = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    acc = _quant_block_dot(q_ref[:], c_ref[:], feed)
+    scores = acc * qs_ref[:] * cs_ref[:]
     col = ni * bn + jax.lax.broadcasted_iota(jnp.int32, (bq, bn), 1)
     valid = col < count_ref[0, 0]
     mask_cols = jax.lax.broadcasted_iota(jnp.int32, (bq, n_masks), 1)
@@ -309,6 +373,7 @@ def _int8_grouped_kernel(
     jax.jit,
     static_argnames=(
         "k", "kloc", "cand", "block_q", "block_n", "n_masks", "interpret",
+        "feed",
     ),
 )
 def _int8_grouped_impl(
@@ -326,6 +391,7 @@ def _int8_grouped_impl(
     block_n: int,
     n_masks: int,
     interpret: bool,
+    feed: str,
 ):
     np_, dp = corpus_i8.shape
     qp = queries.shape[0]
@@ -339,7 +405,7 @@ def _int8_grouped_impl(
 
     kernel = functools.partial(
         _int8_grouped_kernel,
-        k=kloc, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks,
+        k=kloc, kp=kp, bq=block_q, bn=block_n, n_masks=n_masks, feed=feed,
     )
     part_vals, part_idx = pl.pallas_call(
         kernel,
@@ -398,6 +464,7 @@ def grouped_int8_search(
     cand: Optional[int] = None,
     block_q: Optional[int] = None,
     block_n: Optional[int] = None,
+    feed: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query filtered int8-scan + exact-rescore (inner-product metric;
     the int8 sibling of ops/grouped_mask.py — see that module for the
@@ -423,7 +490,8 @@ def grouped_int8_search(
     cand = max(cand if cand is not None else max(32, 2 * k), k)
 
     interpret = not _on_tpu()
-    bn = block_n or default_block_n_int8(d)
+    feed = resolve_int8_feed(feed)
+    bn = block_n or default_block_n_int8(d, feed)
     bq = min(block_q or 256, bucket_queries(queries.shape[0]))
     if (_round_up(n, bn) // bn) * kloc < k:
         # nomination pool cannot cover k — take the exact grouped path
@@ -446,7 +514,7 @@ def grouped_int8_search(
 
     vals, idx = _int8_grouped_impl(
         corpus_p, scales_p, ref_p, queries_p, table_p, ids_p, count_arr,
-        k, kloc, cand, bq, bn, n_masks, interpret,
+        k, kloc, cand, bq, bn, n_masks, interpret, feed,
     )
     vals = vals[:qn_rows, :k]
     idx = idx[:qn_rows, :k]
@@ -468,6 +536,7 @@ def int8_search(
     cand: Optional[int] = None,
     block_q: Optional[int] = None,
     block_n: Optional[int] = None,
+    feed: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-rescored k-NN over an int8-quantized corpus.
 
@@ -483,6 +552,8 @@ def int8_search(
       kloc: per-block candidates (default ``k`` — see module docstring on
         burst locality; explicit values are clamped to 64).
       cand: merged candidate-pool size (default ``max(32, 2k)``).
+      feed: MXU feed variant — None reads INT8_FEED / "auto"
+        (:func:`resolve_int8_feed`).
 
     Returns ``(distances [Q, k], indices [Q, k])`` — FAISS conventions,
     ``-1`` for empty slots.
@@ -504,7 +575,8 @@ def int8_search(
     cand = max(cand, k)
 
     interpret = not _on_tpu()
-    bn = block_n or default_block_n_int8(d)
+    feed = resolve_int8_feed(feed)
+    bn = block_n or default_block_n_int8(d, feed)
     bq = min(block_q or 256, bucket_queries(queries.shape[0]))
     if (_round_up(n, bn) // bn) * kloc < k:
         # the per-block nomination pool cannot cover k (few blocks, k >
@@ -548,6 +620,7 @@ def int8_search(
         bn,
         interpret,
         has_mask,
+        feed,
     )
     vals = vals[:qn_rows, :k]
     idx = idx[:qn_rows, :k]

@@ -89,11 +89,16 @@ def _row_updater(mesh: Mesh, ndim: int):
     return upd
 
 
-def _shard_block_n(shard_rows: int) -> int:
+def _shard_block_n(shard_rows: int, dim: int = 1536) -> int:
     """Largest int8 kernel block that divides the shard capacity (so the
-    per-shard pad inside shard_map is a no-op instead of a shard copy)."""
+    per-shard pad inside shard_map is a no-op instead of a shard copy),
+    capped at the resolved feed's VMEM budget (the bf16 feed holds a
+    dequantized copy of the block — ops/quantized.default_block_n_int8)."""
+    cap = quant_ops.default_block_n_int8(
+        dim, quant_ops.resolve_int8_feed(None)
+    )
     for bn in (2048, 1024, 512, 256, 128):
-        if shard_rows % bn == 0:
+        if bn <= cap and shard_rows % bn == 0:
             return bn
     return None  # let int8_search pick (it will pad the shard)
 
@@ -281,7 +286,7 @@ def sharded_int8_search(
     queries = jnp.atleast_2d(_stage(mesh, queries, P())).astype(jnp.float32)
     k = min(k, total_rows)
     kernel_metric = "ip" if metric == "cosine" else metric
-    block_n = _shard_block_n(shard_rows)
+    block_n = _shard_block_n(shard_rows, dim)
     has_mask = mask is not None
     mask_arr = _stage(mesh, mask, P(axis), np.int32) if has_mask else None
 
@@ -433,7 +438,7 @@ def sharded_grouped_int8_search(
     table = _stage(mesh, mask_table, P(None, axis), np.int8)
     ids = _stage(mesh, mask_ids, P(), np.int32)
     k = min(k, total_rows)
-    block_n = _shard_block_n(shard_rows)
+    block_n = _shard_block_n(shard_rows, corpus_i8.shape[1])
 
     @functools.partial(
         shard_map,

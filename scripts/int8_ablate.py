@@ -10,6 +10,10 @@ default rather than left to compiler scheduling luck.
 
 Run on the real chip:  python scripts/int8_ablate.py
 Env: ABLATE_ROWS / ABLATE_DIM / ABLATE_ITERS to rescale.
+ABLATE_FEEDS=1 switches to the round-5 MXU-feed A/B (native int8 dot vs
+dequantize-in-VMEM bf16 dot, each at its own VMEM-budgeted block) —
+the restructure the round-4 verdict asked for after this script proved
+block/grid knobs can't reach the 68k regime.
 Prints one JSON line per variant.
 """
 
@@ -65,6 +69,14 @@ def main() -> int:
     # capacity divisible by every block_n variant (and the lane width)
     if ds or vmem:
         variants = [{"block_q": 256, "block_n": 2048}]
+    elif os.getenv("ABLATE_FEEDS", "") in {"1", "true", "yes"}:
+        variants = [
+            {"block_q": 256, "block_n": 2048, "feed": "int8"},
+            {"block_q": 256, "block_n": 1024, "feed": "bf16"},
+            {"block_q": 256, "block_n": 1024, "feed": "int8"},
+            {"block_q": 128, "block_n": 1024, "feed": "bf16"},
+            {"block_q": 256, "block_n": 2048, "feed": "bf16"},
+        ]
     else:
         variants = [
             {"block_q": 256, "block_n": 2048},  # current default
@@ -104,13 +116,13 @@ def main() -> int:
         )
     )
 
-    @functools.partial(jax.jit, static_argnames=("n", "bq", "bn"))
-    def chained(corpus_i8, scales, corpus, qstack, n, bq, bn):
+    @functools.partial(jax.jit, static_argnames=("n", "bq", "bn", "feed"))
+    def chained(corpus_i8, scales, corpus, qstack, n, bq, bn, feed):
         def body(carry, queries):
             queries = queries + carry.astype(queries.dtype) * 0  # serialize
             vals, _ = int8_search(
                 corpus_i8, scales, corpus, queries, k,
-                count=rows, block_q=bq, block_n=bn,
+                count=rows, block_q=bq, block_n=bn, feed=feed,
             )
             return jnp.sum(vals).astype(jnp.float32), 0
 
@@ -119,19 +131,20 @@ def main() -> int:
 
     results = []
     for v in variants:
-        bq, bn = v["block_q"], v["block_n"]
-        float(chained(corpus_i8, scales, corpus, qstack, 2, bq, bn))
-        float(chained(corpus_i8, scales, corpus, qstack, iters + 2, bq, bn))
+        bq, bn, feed = v["block_q"], v["block_n"], v.get("feed", "int8")
+        float(chained(corpus_i8, scales, corpus, qstack, 2, bq, bn, feed))
+        float(chained(corpus_i8, scales, corpus, qstack, iters + 2, bq, bn, feed))
         started = time.perf_counter()
-        float(chained(corpus_i8, scales, corpus, qstack, 2, bq, bn))
+        float(chained(corpus_i8, scales, corpus, qstack, 2, bq, bn, feed))
         t_short = time.perf_counter() - started
         started = time.perf_counter()
-        float(chained(corpus_i8, scales, corpus, qstack, iters + 2, bq, bn))
+        float(chained(corpus_i8, scales, corpus, qstack, iters + 2, bq, bn, feed))
         t_long = time.perf_counter() - started
         per_batch = max((t_long - t_short) / iters, 1e-9)
         row = {
             "block_q": bq,
             "block_n": bn,
+            "feed": feed,
             "ms_per_batch": round(per_batch * 1e3, 3),
             "qps": round(n_queries / per_batch, 1),
         }

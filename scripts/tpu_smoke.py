@@ -107,11 +107,15 @@ def main() -> int:
         vo, io = exact_search_oracle(
             jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10, metric=metric
         )
-        vp, ip_ = int8_search(
-            q8, sc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10,
-            metric=metric,
-        )
-        check(f"int8/{metric}", bool((np.asarray(ip_) == np.asarray(io)).all()))
+        for feed in ("int8", "bf16"):
+            vp, ip_ = int8_search(
+                q8, sc, jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10,
+                metric=metric, feed=feed,
+            )
+            check(
+                f"int8/{metric}/feed={feed}",
+                bool((np.asarray(ip_) == np.asarray(io)).all()),
+            )
     vo, io = exact_search_oracle(
         jnp.asarray(i8_corpus), jnp.asarray(i8_queries), 10, mask=mask, count=2500
     )

@@ -708,3 +708,88 @@ class RescoreDepthGateTest(unittest.TestCase):
         for k in (1, 10, 32, 64):
             cand = max(32, 2 * k)
             self.assertGreaterEqual(cand, k + min(k, 32))
+
+
+class Int8FeedTest(unittest.TestCase):
+    """The restructured-kernel knob (verdict r4 item 1b): the int8 scan's
+    MXU feed — native int8×int8→int32 vs dequantize-in-VMEM bf16 — must
+    be rank-identical on planted (well-separated) neighbors; exactness
+    comes from the rescore either way."""
+
+    def setUp(self):
+        self.rng = np.random.default_rng(41)
+        self.corpus = _normalize(
+            self.rng.normal(size=(700, 64)).astype(np.float32)
+        )
+        self.queries = _normalize(
+            self.rng.normal(size=(5, 64)).astype(np.float32)
+        )
+        for qi in range(5):
+            _plant(
+                self.corpus, self.queries[qi],
+                range(qi * 20, qi * 20 + 12),
+                np.linspace(0.95, 0.35, 12), self.rng,
+            )
+        self.q8, self.sc = quantize_rows(jnp.asarray(self.corpus))
+
+    def test_both_feeds_match_oracle(self):
+        ref_v, ref_i = exact_search_oracle(
+            self.corpus, self.queries, 8, metric="ip"
+        )
+        for feed in ("int8", "bf16"):
+            vals, idx = int8_search(
+                self.q8, self.sc, jnp.asarray(self.corpus),
+                jnp.asarray(self.queries), 8, feed=feed,
+            )
+            np.testing.assert_array_equal(np.asarray(idx), ref_i, feed)
+            np.testing.assert_allclose(
+                np.asarray(vals), ref_v, rtol=1e-5, err_msg=feed
+            )
+
+    def test_grouped_both_feeds_match_oracle(self):
+        from photo_search_engine_tpu.ops.grouped_mask import grouped_mask_oracle
+        from photo_search_engine_tpu.ops.quantized import grouped_int8_search
+
+        table = np.ones((2, 700), np.int8)
+        table[1, ::3] = 0
+        ids = np.array([0, 1, 0, 1, 0], np.int32)
+        ref_v, ref_i = grouped_mask_oracle(
+            jnp.asarray(self.corpus), jnp.asarray(self.queries),
+            jnp.asarray(table), jnp.asarray(ids), 8,
+        )
+        for feed in ("int8", "bf16"):
+            vals, idx = grouped_int8_search(
+                self.q8, self.sc, jnp.asarray(self.corpus),
+                jnp.asarray(self.queries), jnp.asarray(table),
+                jnp.asarray(ids), 8, feed=feed,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(idx), np.asarray(ref_i), feed
+            )
+
+    def test_resolver(self):
+        import os
+
+        from photo_search_engine_tpu.ops.quantized import (
+            default_block_n_int8,
+            resolve_int8_feed,
+        )
+
+        self.assertEqual(resolve_int8_feed("int8"), "int8")
+        self.assertEqual(resolve_int8_feed("BF16"), "bf16")
+        self.assertEqual(resolve_int8_feed("auto"), "int8")
+        saved = os.environ.pop("INT8_FEED", None)
+        try:
+            self.assertEqual(resolve_int8_feed(None), "int8")
+            os.environ["INT8_FEED"] = "bf16"
+            self.assertEqual(resolve_int8_feed(None), "bf16")
+        finally:
+            if saved is None:
+                os.environ.pop("INT8_FEED", None)
+            else:
+                os.environ["INT8_FEED"] = saved
+        with self.assertRaises(ValueError):
+            resolve_int8_feed("int4x")
+        # the bf16 feed budgets VMEM for its dequantized block copy
+        self.assertEqual(default_block_n_int8(1536, "int8"), 2048)
+        self.assertEqual(default_block_n_int8(1536, "bf16"), 1024)
