@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from photo_search_engine_tpu.core import capacity as capacity_mod
 from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
 from photo_search_engine_tpu.ops import quantized as quant_ops
 from photo_search_engine_tpu.ops import topk as topk_ops
@@ -155,6 +156,17 @@ class EmbeddingStore:
 
     def _grow_to(self, needed: int) -> None:
         new_capacity = _round_up(max(needed, 2 * self.capacity), self._capacity_align)
+        # clean pre-allocation ceiling check: past-capacity growth raises
+        # DeviceCapacityError instead of a device OOM abort
+        # (core/capacity.py; docs/OPERATIONS.md "Single-chip capacity")
+        capacity_mod.check_store_allocation(
+            new_capacity,
+            self.capacity,
+            self.dimension,
+            self.store_dtype.itemsize,
+            self.quantized,
+            what="embedding store growth",
+        )
         fresh = jnp.zeros((new_capacity, self.dimension), self.store_dtype)
         if self._device is not None and self._count > 0:
             fresh = _update_slice_jit(fresh, self._device[: self.capacity], 0)
@@ -192,6 +204,14 @@ class EmbeddingStore:
         if n == 0:
             return
         capacity = _round_up(n, self._capacity_align)
+        capacity_mod.check_store_allocation(
+            capacity,
+            0,
+            self.dimension,
+            self.store_dtype.itemsize,
+            self.quantized,
+            what="device-corpus install",
+        )
         padded = jnp.zeros((capacity, self.dimension), self.store_dtype)
         padded = _update_slice_jit(padded, rows_dev.astype(self.store_dtype), 0)
         self._device = padded

@@ -495,6 +495,19 @@ class IVFIndex:
         dim = corpus_ivf.shape[1]
         self.dim = dim
         dp = _round_up(dim, _LANE)
+        # clean pre-allocation ceiling check for the cluster-major layout
+        # (slack x corpus rows in store dtype + optional int8 shadow) —
+        # core/capacity.py; docs/OPERATIONS.md "Single-chip capacity"
+        from photo_search_engine_tpu.core import capacity as capacity_mod
+
+        capacity_mod.check_store_allocation(
+            corpus_ivf.shape[0],
+            0,
+            dp,
+            jnp.dtype(resolve_store_dtype(store_dtype)).itemsize,
+            self.quantized,
+            what="IVF layout allocation",
+        )
         padded = np.zeros((corpus_ivf.shape[0], dp), np.float32)
         padded[:, :dim] = corpus_ivf
         self._corpus = jnp.asarray(
@@ -612,6 +625,17 @@ class IVFIndex:
         # OOMs a 16GB chip at 1M×1536 f32 (slack 1.5 → 9GB layout)
         dp = _round_up(dim, _LANE)
         total = nlist * capacity
+        from photo_search_engine_tpu.core import capacity as capacity_mod
+
+        # layout coexists with the source corpus during the gather
+        capacity_mod.check_store_allocation(
+            total,
+            n,
+            dp,
+            jnp.dtype(corpus_dev.dtype).itemsize,
+            False,
+            what="device-resident IVF build",
+        )
         perm_np = np.clip(perm, 0, n - 1).astype(np.int32)
         live_np = (perm >= 0)
         laid_out = jnp.zeros((total, dp), corpus_dev.dtype)
