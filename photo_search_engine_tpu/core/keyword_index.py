@@ -530,6 +530,36 @@ class _NativeBM25:
         )
         return out[:n]
 
+    def phrase_hits_mask(
+        self,
+        flat: np.ndarray,
+        starts: np.ndarray,
+        lens: np.ndarray,
+        cand: np.ndarray,
+        pattern: np.ndarray,
+    ) -> np.ndarray:
+        """Per-candidate boolean phrase-hit mask (candidate order).  The
+        positional form lets the fused scorer apply the phrase bonus with
+        one fancy-index — no id-set intersection (bm25.cc
+        pse_phrase_hits_mask)."""
+        import ctypes
+
+        flat = np.ascontiguousarray(flat, np.int32)
+        starts = np.ascontiguousarray(starts, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        cand = np.ascontiguousarray(cand, np.int64)
+        pattern = np.ascontiguousarray(pattern, np.int32)
+        mask = np.zeros(max(len(cand), 1), np.uint8)
+        self._lib.pse_phrase_hits_mask(
+            self._ptr(flat, ctypes.c_int32), len(flat),
+            self._ptr(starts, ctypes.c_int64),
+            self._ptr(lens, ctypes.c_int64), len(starts),
+            self._ptr(cand, ctypes.c_int64), len(cand),
+            self._ptr(pattern, ctypes.c_int32), len(pattern),
+            self._ptr(mask, ctypes.c_uint8),
+        )
+        return mask[: len(cand)].view(np.bool_)
+
     def score_query(
         self,
         tids: Iterable[int],
@@ -1052,9 +1082,15 @@ class KeywordIndex:
         if phrase_possible and len(cand_pos):
             check_rows = rows[cand_pos]
             pattern = np.asarray(pattern_tids, np.int32)
-            hits = self._phrase_rows(pattern, check_rows)
-            if len(hits):
-                is_hit = np.isin(check_rows, hits, assume_unique=True)
+            # positional mask straight from the C walk: no id-set
+            # intersection (np.isin sorted ~40k candidates for ~4 ms at
+            # 1M docs).  Rows appended after the stream pack was built
+            # (index-while-serve) read as no-hit, matching _phrase_rows.
+            flat, starts, lens = self._packed_streams()
+            is_hit = self._native.phrase_hits_mask(
+                flat, starts, lens, check_rows, pattern
+            )
+            if is_hit.any():
                 fused[cand_pos[is_hit]] += _PHRASE_BOOST * cand_rt[is_hit]
         return rows, fused
 

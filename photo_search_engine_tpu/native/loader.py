@@ -164,6 +164,19 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p,              # out matching rows (capacity n candidates)
     ]
     lib.pse_phrase_hits.restype = ctypes.c_int64
+    lib.pse_phrase_hits_mask.argtypes = [
+        i32p,              # flat packed token streams (-1 separated)
+        ctypes.c_int64,    # flat length
+        i64p,              # per-row stream start offsets (-1 = no stream)
+        i64p,              # per-row stream lengths (incl. separator)
+        ctypes.c_int64,    # n rows
+        i64p,              # candidate rows
+        ctypes.c_int64,    # n candidates
+        i32p,              # pattern token ids
+        ctypes.c_int64,    # pattern length
+        ctypes.POINTER(ctypes.c_uint8),  # out per-candidate hit mask
+    ]
+    lib.pse_phrase_hits_mask.restype = ctypes.c_int64
 
 
 def native_available() -> bool:
