@@ -15,15 +15,37 @@
 // (token, doc, tf) plus per-doc lengths, so a saved index reloads without
 // re-tokenizing the corpus (the round-1 load() bottleneck).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <memory>
 #include <mutex>
 #include <shared_mutex>
 #include <unordered_map>
 #include <vector>
 #include <cmath>
+
+// Opt-in phase timing for the fused scorer (PSE_BM25_TIMING=1): prints a
+// per-call phase breakdown to stderr.  Dev observability only — when the
+// env var is unset the cost is one cached bool test per call.
+namespace {
+inline bool timing_enabled() {
+  static const bool on = [] {
+    const char* v = std::getenv("PSE_BM25_TIMING");
+    return v && v[0] && v[0] != '0';
+  }();
+  return on;
+}
+inline double now_s() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+}  // namespace
 
 namespace {
 
@@ -132,6 +154,12 @@ struct Index {
 // Rebuild the per-doc length norm if a mutation dirtied it.  Caller holds
 // the shared lock (so no mutation can interleave); double-checked under
 // norm_mu so exactly one reader rebuilds while others wait then reuse.
+// Also restores the doc-sorted posting invariant the blocked scoring walk
+// below depends on: adds append ascending (Python allocates dense rows in
+// order) but remove_doc's swap-with-back unsorts, and every mutation path
+// sets norm_dirty, so re-sorting here keeps the invariant with zero cost
+// on the append-only path (the sortedness check is fused into the
+// contrib rebuild pass that already touches every posting).
 void ensure_norm(Index* index, Field& field, int64_t slots, double avgdl) {
   if (!field.norm_dirty.load(std::memory_order_acquire) &&
       static_cast<int64_t>(field.norm.size()) == slots)
@@ -150,6 +178,30 @@ void ensure_norm(Index* index, Field& field, int64_t slots, double avgdl) {
   const double* norm = field.norm.data();
   for (auto& [token, pl] : field.postings) {
     const size_t n = pl.size();
+    bool sorted = true;
+    for (size_t i = 1; i < n; ++i) {
+      if (pl.docs[i - 1] > pl.docs[i]) {
+        sorted = false;
+        break;
+      }
+    }
+    if (!sorted) {
+      // each doc appears at most once per list, so a plain doc sort is a
+      // unique total order — per-doc scores are order-independent anyway
+      // (one contribution per (term, doc) pair)
+      std::vector<size_t> idx(n);
+      for (size_t i = 0; i < n; ++i) idx[i] = i;
+      std::sort(idx.begin(), idx.end(), [&pl](size_t a, size_t b) {
+        return pl.docs[a] < pl.docs[b];
+      });
+      std::vector<int32_t> docs2(n), tfs2(n);
+      for (size_t i = 0; i < n; ++i) {
+        docs2[i] = pl.docs[idx[i]];
+        tfs2[i] = pl.tfs[idx[i]];
+      }
+      pl.docs.swap(docs2);
+      pl.tfs.swap(tfs2);
+    }
     pl.contrib.resize(n);
     for (size_t i = 0; i < n; ++i) {
       const double tf = pl.tfs[i];
@@ -159,6 +211,75 @@ void ensure_norm(Index* index, Field& field, int64_t slots, double avgdl) {
     }
   }
   field.norm_dirty.store(false, std::memory_order_release);
+}
+
+// ---------------------------------------------------------------------------
+// Cache-blocked postings walk.
+//
+// The scoring walk's cost is the random-access RMW into the per-doc Cell
+// scratch: at 1M docs the cells array is 16 MB, every posting visit is an
+// L3 round-trip (~20 ns on this host), and a multi-term CJK query visits
+// ~1M postings — the whole 25-30 ms budget.  Walking the doc space in
+// kBlockDocs-sized stripes keeps each stripe's cells (1 MB, half of the
+// 2 MB L2) resident while every in-range posting hits it.  Correctness is
+// untouched: posting lists are doc-sorted (ensure_norm invariant), the
+// term loop stays inner, so for any given doc the per-term additions
+// happen in exactly the original term order — scores stay bit-identical
+// to both the unblocked walk and the Python fallback.  Emission order
+// (touched) changes, which is free: the Python side lexsorts the final
+// (-score, doc_id) order (keyword_index.py _hits_from_arrays).
+constexpr int64_t kBlockDocs = 64 * 1024;  // 1 MB of Cells, half of L2
+
+struct TermWalk {
+  const int32_t* docs;
+  const double* contrib;
+  size_t n;
+  size_t cursor;
+  double idf;
+};
+
+// Gathers the non-empty query terms of `field` as TermWalk cursors.
+void gather_walks(const Field& field, const int64_t* terms, int64_t n_terms,
+                  double n_docs, std::vector<TermWalk>& walks) {
+  walks.clear();
+  for (int64_t t = 0; t < n_terms; ++t) {
+    auto it = field.postings.find(terms[t]);
+    if (it == field.postings.end() || it->second.empty()) continue;
+    const PostingList& pl = it->second;
+    const double df = static_cast<double>(pl.size());
+    walks.push_back({pl.docs.data(), pl.contrib.data(), pl.size(), 0,
+                     std::log(1.0 + (n_docs - df + 0.5) / (df + 0.5))});
+  }
+}
+
+// One blocked accumulation pass over all walks into `cells`/`touched`.
+void walk_blocked(std::vector<TermWalk>& walks, Cell* cells,
+                  std::vector<int64_t>& touched, const uint8_t* allowed,
+                  int64_t allowed_len) {
+  for (int64_t block_end = kBlockDocs;; block_end += kBlockDocs) {
+    bool any_left = false;
+    for (TermWalk& w : walks) {
+      size_t i = w.cursor;
+      const size_t n = w.n;
+      const int32_t* docs_arr = w.docs;
+      const double* contrib = w.contrib;
+      const double idf = w.idf;
+      while (i < n && docs_arr[i] < block_end) {
+        const int32_t doc = docs_arr[i];
+        // never read allowed past the caller's buffer: a row appended
+        // after the caller snapshotted its mask counts as not-allowed
+        if (!allowed || (doc < allowed_len && allowed[doc])) {
+          Cell& cell = cells[doc];
+          cell.score += idf * contrib[i];
+          if (cell.matched++ == 0) touched.push_back(doc);
+        }
+        ++i;
+      }
+      w.cursor = i;
+      any_left |= (i < n);
+    }
+    if (!any_left) return;
+  }
 }
 
 }  // namespace
@@ -391,24 +512,10 @@ int64_t pse_bm25_score_field_masked(void* handle, int32_t field_id,
   Cell* cells = scratch->cells.data();
   std::vector<int64_t>& touched = scratch->touched;
   ensure_norm(index, field, slots, avgdl);
-  for (int64_t t = 0; t < n_terms; ++t) {
-    auto it = field.postings.find(terms[t]);
-    if (it == field.postings.end() || it->second.empty()) continue;
-    const PostingList& pl = it->second;
-    const double df = static_cast<double>(pl.size());
-    const double idf = std::log(1.0 + (n_docs - df + 0.5) / (df + 0.5));
-    const size_t n = pl.size();
-    const int32_t* docs_arr = pl.docs.data();
-    const double* contrib = pl.contrib.data();
-    for (size_t i = 0; i < n; ++i) {
-      const int32_t doc = docs_arr[i];
-      // see score_query: never read allowed past the caller's buffer
-      if (allowed && (doc >= allowed_len || !allowed[doc])) continue;
-      Cell& cell = cells[doc];
-      cell.score += idf * contrib[i];
-      if (cell.matched++ == 0) touched.push_back(doc);
-    }
-  }
+  std::vector<TermWalk> walks;
+  walks.reserve(n_terms);
+  gather_walks(field, terms, n_terms, n_docs, walks);
+  walk_blocked(walks, cells, touched, allowed, allowed_len);
 
   int64_t written = 0;
   int64_t qualifying = 0;
@@ -480,7 +587,12 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
   std::unique_ptr<Scratch> acc = index->acquire_scratch(slots);    // per-field
   std::unique_ptr<Scratch> fused = index->acquire_scratch(slots);  // fused max
   std::vector<std::pair<int64_t, double>> cands;  // (doc, raw rt score)
+  std::vector<TermWalk> walks;
+  walks.reserve(n_terms);
 
+  const bool timing = timing_enabled();
+  double t_walk = 0.0, t_merge = 0.0, t0 = 0.0;
+  size_t n_visits = 0, n_touched = 0;
   for (int32_t f = 0; f < n_fields; ++f) {
     const double boost = boosts[f];
     if (boost <= 0.0) continue;
@@ -492,24 +604,14 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
     ensure_norm(index, field, slots, avgdl);
     Cell* acc_cells = acc->cells.data();
     Cell* fused_cells = fused->cells.data();
-    for (int64_t t = 0; t < n_terms; ++t) {
-      auto it = field.postings.find(terms[t]);
-      if (it == field.postings.end() || it->second.empty()) continue;
-      const PostingList& pl = it->second;
-      const double df = static_cast<double>(pl.size());
-      const double idf = std::log(1.0 + (n_docs - df + 0.5) / (df + 0.5));
-      const size_t n = pl.size();
-      const int32_t* docs_arr = pl.docs.data();
-      const double* contrib = pl.contrib.data();
-      for (size_t i = 0; i < n; ++i) {
-        const int32_t doc = docs_arr[i];
-        // never read allowed past the caller's buffer: a row appended
-        // after the caller snapshotted its mask counts as not-allowed
-        if (allowed && (doc >= allowed_len || !allowed[doc])) continue;
-        Cell& cell = acc_cells[doc];
-        cell.score += idf * contrib[i];
-        if (cell.matched++ == 0) acc->touched.push_back(doc);
-      }
+    if (timing) t0 = now_s();
+    gather_walks(field, terms, n_terms, n_docs, walks);
+    walk_blocked(walks, acc_cells, acc->touched, allowed, allowed_len);
+    if (timing) {
+      t_walk += now_s() - t0;
+      for (const TermWalk& w : walks) n_visits += w.n;
+      n_touched += acc->touched.size();
+      t0 = now_s();
     }
     for (int64_t doc : acc->touched) {
       Cell& cell = acc_cells[doc];
@@ -531,7 +633,9 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
       cell.matched = 0;
     }
     acc->touched.clear();
+    if (timing) t_merge += now_s() - t0;
   }
+  if (timing) t0 = now_s();
 
   const int64_t qualifying = static_cast<int64_t>(fused->touched.size());
   if (qualifying <= capacity) {
@@ -566,6 +670,13 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
     }
   }
   fused->touched.clear();
+  if (timing) {
+    std::fprintf(stderr,
+                 "[bm25] walk %.3f ms (%zu visits, %zu touched)  "
+                 "merge %.3f ms  emit %.3f ms  qualifying %lld\n",
+                 t_walk * 1e3, n_visits, n_touched, t_merge * 1e3,
+                 (now_s() - t0) * 1e3, static_cast<long long>(qualifying));
+  }
   index->release_scratch(std::move(acc));
   index->release_scratch(std::move(fused));
   return qualifying;
