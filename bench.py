@@ -134,15 +134,39 @@ def main() -> None:
     align = 2048 if int8 else block_n
     capacity = -(-rows // align) * align
 
-    # build the corpus in chunks to bound normalization memory
-    chunks = []
-    for i in range(8):
-        chunks.append(
-            l2_normalize(jax.random.normal(jax.random.PRNGKey(i), (capacity // 8, dim), dtype))
-        )
-    corpus = jnp.concatenate(chunks)
-    del chunks
-    corpus.block_until_ready()
+    # Assemble the corpus IN PLACE: generate bounded chunks and write each
+    # into a pre-allocated buffer via a DONATED dynamic_update_slice.  The
+    # old jnp.concatenate held every chunk plus the result simultaneously —
+    # 2x the corpus, which is 24.6 GB at 4M x 1536 bf16 and OOM'd the
+    # round-5 capacity bench (docs/CHIP_SESSION_r05.log bench_4m).  With
+    # donation the transient is one chunk + its normalize temps (<1.5 GB).
+    # Chunk index and row offset are traced, so each distinct chunk shape
+    # compiles once, not once per chunk.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _fill(buf, chunk, row):
+        return jax.lax.dynamic_update_slice(buf, chunk, (row, jnp.int32(0)))
+
+    def _sync(arr):
+        # true barrier: a D2H fetch of one element cannot complete until
+        # the producing computation ran (block_until_ready returns early
+        # on this relay — see module docstring).  Without it the dispatch
+        # queue runs ahead and keeps many chunk temps live at once.
+        float(arr[0, 0].astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def _gen_chunk(i, m):
+        return l2_normalize(jax.random.normal(jax.random.PRNGKey(i), (m, dim), dtype))
+
+    chunk_rows = min(capacity, 131072)
+    corpus = jnp.zeros((capacity, dim), dtype)
+    row = 0
+    i = 0
+    while row < capacity:
+        m = min(chunk_rows, capacity - row)
+        corpus = _fill(corpus, _gen_chunk(jnp.int32(i), m), jnp.int32(row))
+        _sync(corpus)
+        row += m
+        i += 1
 
     count = jnp.full((1, 1), rows, jnp.int32)
     cnorms = jnp.zeros((1, capacity), jnp.float32)
@@ -155,19 +179,30 @@ def main() -> None:
     if int8:
         from photo_search_engine_tpu.ops.quantized import int8_search, quantize_rows
 
-        # quantize chunk-by-chunk: whole-corpus quantization materializes a
-        # f32 temp the size of the corpus ×2 and OOMs a 16GB chip at 1M
-        n_chunks = 8
-        step = capacity // n_chunks
-        i8_parts, sc_parts = [], []
-        for i in range(n_chunks):
-            qc, sc = quantize_rows(corpus[i * step : (i + 1) * step])
-            i8_parts.append(qc)
+        # quantize chunk-by-chunk into a pre-allocated donated buffer:
+        # whole-corpus quantization materializes f32 temps the size of the
+        # corpus and OOMs a 16GB chip at 1M; near the bf16+int8 capacity
+        # ceiling (~3.35M rows, docs/OPERATIONS.md) even an 1/8-corpus
+        # chunk + concat double-buffer does not fit, so chunks are 64k
+        # rows and the shadow is assembled in place like the corpus above
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def _quant_chunk(corpus, row, m):
+            return quantize_rows(
+                jax.lax.dynamic_slice(corpus, (row, jnp.int32(0)), (m, dim))
+            )
+
+        corpus_i8 = jnp.zeros((capacity, dim), jnp.int8)
+        sc_parts = []
+        row = 0
+        while row < capacity:
+            m = min(65536, capacity - row)
+            qc, sc = _quant_chunk(corpus, jnp.int32(row), m)
+            corpus_i8 = _fill(corpus_i8, qc, jnp.int32(row))
             sc_parts.append(sc)
-        corpus_i8 = jnp.concatenate(i8_parts)
+            _sync(corpus_i8)
+            row += m
         scales = jnp.concatenate(sc_parts)
-        del i8_parts, sc_parts
-        corpus_i8.block_until_ready()
+        del sc_parts
 
         # corpus_i8/scales MUST be explicit args: closing over multi-GB
         # device arrays embeds them as jaxpr constants, and XLA's constant
