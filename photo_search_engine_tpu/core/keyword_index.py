@@ -704,10 +704,11 @@ class KeywordIndex:
         self._vocab_list: List[str] = []
         self._doc_row: Dict[str, int] = {}
         self._row_doc: List[str] = []
-        # the cached numpy view of _row_doc is keyed only on length —
-        # drop it explicitly so a reload of a same-sized corpus cannot
-        # serve stale doc ids (round-3 advisor)
+        # the cached numpy view of _row_doc (and its doc-id rank twin) is
+        # keyed only on length — drop both explicitly so a reload of a
+        # same-sized corpus cannot serve stale doc ids (round-3 advisor)
         self._row_doc_arr: Optional[np.ndarray] = None
+        self._row_rank_arr: Optional[np.ndarray] = None
         self._alive: List[bool] = []
         # columnar filter state
         self._col_codes: Dict[str, List[int]] = {f: [] for f in FILTER_EXACT_FIELDS}
@@ -1149,6 +1150,24 @@ class KeywordIndex:
             cached = self._row_doc_arr = np.asarray(self._row_doc)
         return cached
 
+    def _row_rank_np(self) -> np.ndarray:
+        """Row → dense rank of its doc-id in ascending string order
+        (cached alongside _row_doc_np with the same length-keyed
+        invalidation — rows are append-only, overwrites append a new
+        row).  Doc ids are unique, so ranks are a total order and
+        sorting by rank IS sorting by doc-id string — but the tie-break
+        lexsort becomes all-numeric (unicode compares over a big
+        boundary-tie set were ~2 ms/query at 1M docs with 41k exact
+        score ties)."""
+        cached = getattr(self, "_row_rank_arr", None)
+        if cached is None or cached.shape[0] != len(self._row_doc):
+            ids = self._row_doc_np()
+            order = np.argsort(ids, kind="stable")
+            rank = np.empty(len(ids), np.int64)
+            rank[order] = np.arange(len(ids), dtype=np.int64)
+            cached = self._row_rank_arr = rank
+        return cached
+
     def _hits_from_arrays(
         self, rows: np.ndarray, scores: np.ndarray, top_k: int
     ) -> List[Dict[str, Any]]:
@@ -1163,9 +1182,8 @@ class KeywordIndex:
             kth = np.partition(scores, cut)[cut]
             sel = scores >= kth  # keeps boundary ties for exact ordering
             rows, scores = rows[sel], scores[sel]
-        doc_ids = self._row_doc_np()[rows]
-        order = np.lexsort((doc_ids, -scores))[:top_k]
-        top_docs = doc_ids[order].tolist()
+        order = np.lexsort((self._row_rank_np()[rows], -scores))[:top_k]
+        top_docs = self._row_doc_np()[rows[order]].tolist()
         top_scores = scores[order].tolist()
         max_score = top_scores[0] or 1.0
         return [
@@ -1399,6 +1417,7 @@ class KeywordIndex:
         self._vocab = {token: tid for tid, token in enumerate(self._vocab_list)}
         self._row_doc = list(row_doc)
         self._row_doc_arr = None
+        self._row_rank_arr = None
         self._alive = alive.tolist()
         self._doc_row = {row_doc[row]: int(row) for row in live_rows.tolist()}
         for field in FILTER_EXACT_FIELDS:

@@ -220,15 +220,19 @@ void ensure_norm(Index* index, Field& field, int64_t slots, double avgdl) {
 // scratch: at 1M docs the cells array is 16 MB, every posting visit is an
 // L3 round-trip (~20 ns on this host), and a multi-term CJK query visits
 // ~1M postings — the whole 25-30 ms budget.  Walking the doc space in
-// kBlockDocs-sized stripes keeps each stripe's cells (1 MB, half of the
-// 2 MB L2) resident while every in-range posting hits it.  Correctness is
+// kBlockDocs-sized stripes keeps each stripe's cells L2-resident while
+// every in-range posting hits it.  The fused scorer keeps TWO stripes hot
+// (per-field acc + fused max), so the block size targets 0.5 MB per
+// stripe — 1 MB of cells total, leaving the 2 MB L2 room for the posting
+// streams (A/B on the 1M 6-term query: 32k best 10.1 ms, 64k 14.0 ms,
+// 16k 11.0 ms).  Correctness is
 // untouched: posting lists are doc-sorted (ensure_norm invariant), the
 // term loop stays inner, so for any given doc the per-term additions
 // happen in exactly the original term order — scores stay bit-identical
 // to both the unblocked walk and the Python fallback.  Emission order
 // (touched) changes, which is free: the Python side lexsorts the final
 // (-score, doc_id) order (keyword_index.py _hits_from_arrays).
-constexpr int64_t kBlockDocs = 64 * 1024;  // 1 MB of Cells, half of L2
+constexpr int64_t kBlockDocs = 32 * 1024;  // 0.5 MB of Cells: acc + fused stripes fit 2 MB L2
 
 struct TermWalk {
   const int32_t* docs;
@@ -568,6 +572,20 @@ int64_t pse_bm25_score_field(void* handle, int32_t field_id,
 // nothing is written (callers re-call with a bigger buffer).  Results are
 // bit-identical to the per-field path: same walk order per field, same
 // accumulation order, fusion is an exact max of products.
+// Block-major pipeline: walk, merge, and emit all run stripe-by-stripe so
+// every Cell access lands while its 1 MB stripe is still L2-resident.  The
+// earlier shape (walk ALL blocks of a field, then merge, then one global
+// emit) re-read each stripe's cells ~16 MB of traffic later — the merge
+// and emit passes paid an L3 round-trip per touched doc and together cost
+// MORE than the walk itself (measured 6+4.4 ms vs 7.2 ms walk on the 1M
+// 6-term query).  Correctness is unchanged: a doc's per-field accumulation
+// completes entirely within its own block (posting lists are doc-sorted),
+// the field loop order inside a block matches the old global field order,
+// and per-doc fusion is an exact max — so every emitted score is
+// bit-identical to the per-field path and the Python fallback.  Emission
+// ORDER becomes block-major first-touch (the Python side lexsorts the
+// final (-score, doc_id) order, and candidate positions index the rows
+// array as emitted, so callers see the same contract).
 int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
                              int64_t n_terms, int64_t min_required,
                              const double* boosts, int32_t rt_field,
@@ -586,72 +604,109 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
   const int64_t slots = index->max_doc + 1;
   std::unique_ptr<Scratch> acc = index->acquire_scratch(slots);    // per-field
   std::unique_ptr<Scratch> fused = index->acquire_scratch(slots);  // fused max
-  std::vector<std::pair<int64_t, double>> cands;  // (doc, raw rt score)
-  std::vector<TermWalk> walks;
-  walks.reserve(n_terms);
+  Cell* acc_cells = acc->cells.data();
+  Cell* fused_cells = fused->cells.data();
 
-  const bool timing = timing_enabled();
-  double t_walk = 0.0, t_merge = 0.0, t0 = 0.0;
-  size_t n_visits = 0, n_touched = 0;
+  // Per-field term cursors, built once; cursors persist across blocks.
+  std::vector<std::vector<TermWalk>> field_walks(n_fields);
   for (int32_t f = 0; f < n_fields; ++f) {
-    const double boost = boosts[f];
-    if (boost <= 0.0) continue;
+    if (boosts[f] <= 0.0) continue;
     Field& field = index->fields[f];
     const double avgdl =
         field.doc_len.empty()
             ? 0.0
             : static_cast<double>(field.total_len) / field.doc_len.size();
     ensure_norm(index, field, slots, avgdl);
-    Cell* acc_cells = acc->cells.data();
-    Cell* fused_cells = fused->cells.data();
-    if (timing) t0 = now_s();
-    gather_walks(field, terms, n_terms, n_docs, walks);
-    walk_blocked(walks, acc_cells, acc->touched, allowed, allowed_len);
-    if (timing) {
-      t_walk += now_s() - t0;
-      for (const TermWalk& w : walks) n_visits += w.n;
-      n_touched += acc->touched.size();
-      t0 = now_s();
-    }
-    for (int64_t doc : acc->touched) {
-      Cell& cell = acc_cells[doc];
-      const int32_t m = cell.matched;
-      if (m >= min_required) {
-        const double boosted = cell.score * boost;
-        Cell& fc = fused_cells[doc];
-        if (fc.matched == 0) {
-          fc.matched = 1;
-          fc.score = boosted;
-          fused->touched.push_back(doc);
-        } else if (boosted > fc.score) {
-          fc.score = boosted;
-        }
-      }
-      if (f == rt_field && m >= full_match)
-        cands.emplace_back(doc, cell.score);
-      cell.score = 0.0;
-      cell.matched = 0;
-    }
-    acc->touched.clear();
-    if (timing) t_merge += now_s() - t0;
+    field_walks[f].reserve(n_terms);
+    gather_walks(field, terms, n_terms, n_docs, field_walks[f]);
   }
-  if (timing) t0 = now_s();
 
-  const int64_t qualifying = static_cast<int64_t>(fused->touched.size());
-  if (qualifying <= capacity) {
-    // emit fused rows; park each row's output position in acc's matched
-    // slots (guaranteed all-zero here) so candidate positions resolve O(1)
-    Cell* acc_cells = acc->cells.data();
-    Cell* fused_cells = fused->cells.data();
-    int64_t written = 0;
-    for (int64_t doc : fused->touched) {
-      out_rows[written] = doc;
-      out_scores[written] = fused_cells[doc].score;
-      acc_cells[doc].matched = static_cast<int32_t>(written + 1);
-      ++written;
+  const bool timing = timing_enabled();
+  double t_walk = 0.0, t_merge = 0.0, t_emit = 0.0, t0 = 0.0;
+  size_t n_visits = 0, n_touched = 0;
+
+  std::vector<std::pair<int64_t, double>> cand_block;  // rt full-matches
+  int64_t qualifying = 0;  // total across blocks (may exceed capacity)
+  int64_t written = 0;
+  int64_t n_cands = 0;
+  bool any_left = true;
+  for (int64_t block_end = kBlockDocs; any_left; block_end += kBlockDocs) {
+    any_left = false;
+    cand_block.clear();
+    for (int32_t f = 0; f < n_fields; ++f) {
+      std::vector<TermWalk>& walks = field_walks[f];
+      if (walks.empty()) continue;
+      // walk this field's in-block postings into the per-field scratch
+      if (timing) t0 = now_s();
+      for (TermWalk& w : walks) {
+        size_t i = w.cursor;
+        const size_t n = w.n;
+        const int32_t* docs_arr = w.docs;
+        const double* contrib = w.contrib;
+        const double idf = w.idf;
+        while (i < n && docs_arr[i] < block_end) {
+          const int32_t doc = docs_arr[i];
+          // never read allowed past the caller's buffer: a row appended
+          // after the caller snapshotted its mask counts as not-allowed
+          if (!allowed || (doc < allowed_len && allowed[doc])) {
+            Cell& cell = acc_cells[doc];
+            cell.score += idf * contrib[i];
+            if (cell.matched++ == 0) acc->touched.push_back(doc);
+          }
+          ++i;
+        }
+        w.cursor = i;
+        any_left |= (i < n);
+      }
+      if (timing) {
+        t_walk += now_s() - t0;
+        n_touched += acc->touched.size();
+        t0 = now_s();
+      }
+      // merge the block's per-field sums into the fused max (L2-hot)
+      const double boost = boosts[f];
+      for (int64_t doc : acc->touched) {
+        Cell& cell = acc_cells[doc];
+        const int32_t m = cell.matched;
+        if (m >= min_required) {
+          const double boosted = cell.score * boost;
+          Cell& fc = fused_cells[doc];
+          if (fc.matched == 0) {
+            fc.matched = 1;
+            fc.score = boosted;
+            fused->touched.push_back(doc);
+          } else if (boosted > fc.score) {
+            fc.score = boosted;
+          }
+        }
+        if (f == rt_field && m >= full_match)
+          cand_block.emplace_back(doc, cell.score);
+        cell.score = 0.0;
+        cell.matched = 0;
+      }
+      acc->touched.clear();
+      if (timing) t_merge += now_s() - t0;
     }
-    int64_t n_cands = 0;
-    for (const auto& [doc, raw] : cands) {
+    // emit the block's fused rows while the stripe is still resident.
+    // Past `capacity` nothing more is written but counting continues so
+    // the caller learns the required size (its buffers are corpus-sized,
+    // making overflow unreachable in practice; the Python wrapper raises).
+    if (timing) t0 = now_s();
+    for (int64_t doc : fused->touched) {
+      ++qualifying;
+      Cell& fc = fused_cells[doc];
+      if (written < capacity) {
+        out_rows[written] = doc;
+        out_scores[written] = fc.score;
+        // park the row's output position in acc's matched slot (all-zero
+        // here) so this block's candidates resolve O(1) below
+        acc_cells[doc].matched = static_cast<int32_t>(written + 1);
+        ++written;
+      }
+      fc.score = 0.0;
+      fc.matched = 0;
+    }
+    for (const auto& [doc, raw] : cand_block) {
       if (n_cands >= cand_capacity) break;
       const int32_t pos = acc_cells[doc].matched;
       if (pos == 0) continue;  // full match in rt but below min_required
@@ -659,23 +714,19 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
       out_cand_rt[n_cands] = raw;
       ++n_cands;
     }
-    *out_n_cands = n_cands;
     for (int64_t doc : fused->touched) acc_cells[doc].matched = 0;
+    fused->touched.clear();
+    if (timing) t_emit += now_s() - t0;
   }
-  {
-    Cell* fused_cells = fused->cells.data();
-    for (int64_t doc : fused->touched) {
-      fused_cells[doc].score = 0.0;
-      fused_cells[doc].matched = 0;
-    }
-  }
-  fused->touched.clear();
+  *out_n_cands = n_cands;
   if (timing) {
+    for (const auto& walks : field_walks)
+      for (const TermWalk& w : walks) n_visits += w.n;
     std::fprintf(stderr,
                  "[bm25] walk %.3f ms (%zu visits, %zu touched)  "
                  "merge %.3f ms  emit %.3f ms  qualifying %lld\n",
                  t_walk * 1e3, n_visits, n_touched, t_merge * 1e3,
-                 (now_s() - t0) * 1e3, static_cast<long long>(qualifying));
+                 t_emit * 1e3, static_cast<long long>(qualifying));
   }
   index->release_scratch(std::move(acc));
   index->release_scratch(std::move(fused));
