@@ -29,6 +29,10 @@
 #include <vector>
 #include <cmath>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 // Opt-in phase timing for the fused scorer (PSE_BM25_TIMING=1): prints a
 // per-call phase breakdown to stderr.  Dev observability only — when the
 // env var is unset the cost is one cached bool test per call.
@@ -256,31 +260,136 @@ void gather_walks(const Field& field, const int64_t* terms, int64_t n_terms,
   }
 }
 
+#if defined(__x86_64__)
+// AVX-512 inner walk over one term's in-block posting segment: 8 postings
+// per iteration — gather the 8 Cell scores, one fused multiply-add, scatter
+// back; gather/increment/scatter the 8 matched counters.  Safe because
+// docs are UNIQUE within one term's posting list, so the 8 lanes never
+// alias a cell.  Arithmetic is bit-identical to the scalar loop: the
+// scalar `score += idf * contrib[i]` already compiles to vfmadd231sd
+// under -O3 -march=native -ffp-contract=fast, and this kernel uses the
+// same single-rounding fmadd — the parity contract vs the Python
+// fallback (same order, scores to 1e-9, asserted by test_native /
+// test_fuzz_parity) is unchanged.  First-touch docs append to `touched`
+// via a mask-compressed scalar drain (at most 8 pushes; after the first
+// term most lanes are re-touches).
+__attribute__((target("avx512f,avx512vl")))
+size_t walk_segment_avx512(const int32_t* docs, const double* contrib,
+                           size_t i, size_t seg_end, double idf, Cell* cells,
+                           std::vector<int64_t>& touched) {
+  const __m512d vidf = _mm512_set1_pd(idf);
+  const __m256i vtwo = _mm256_set1_epi32(2);
+  const __m256i vone = _mm256_set1_epi32(1);
+  const __m256i vzero = _mm256_setzero_si256();
+  for (; i + 8 <= seg_end; i += 8) {
+    const __m256i vdoc =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(docs + i));
+    // score at Cell byte offset 0: 64-bit index doc*2, scale 8
+    const __m512i vq2 = _mm512_slli_epi64(_mm512_cvtepi32_epi64(vdoc), 1);
+    __m512d sc =
+        _mm512_i64gather_pd(vq2, reinterpret_cast<const double*>(cells), 8);
+    sc = _mm512_fmadd_pd(vidf, _mm512_loadu_pd(contrib + i), sc);
+    _mm512_i64scatter_pd(reinterpret_cast<double*>(cells), vq2, sc, 8);
+    // matched at Cell byte offset 8: 32-bit index doc*4 + 2, scale 4
+    // (callers gate this kernel on slots < 2^29 so doc*4+2 cannot
+    // overflow int32)
+    const __m256i vidx = _mm256_add_epi32(_mm256_slli_epi32(vdoc, 2), vtwo);
+    const __m256i vm =
+        _mm256_i32gather_epi32(reinterpret_cast<const int*>(cells), vidx, 4);
+    const __mmask8 was0 = _mm256_cmpeq_epi32_mask(vm, vzero);
+    _mm256_i32scatter_epi32(reinterpret_cast<int*>(cells), vidx,
+                            _mm256_add_epi32(vm, vone), 4);
+    unsigned m = was0;
+    while (m) {
+      const int lane = __builtin_ctz(m);
+      touched.push_back(docs[i + lane]);
+      m &= m - 1;
+    }
+  }
+  return i;
+}
+#endif
+
+// The compile-on-demand loader builds this .so with -march=native on the
+// host that runs it, but a copied _build/ directory must not crash on a
+// lesser machine — gate the vector kernel at runtime.
+inline bool avx512_usable() {
+#if defined(__x86_64__)
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512vl");
+  return ok;
+#else
+  return false;
+#endif
+}
+
+// Walks one term's postings within [w.cursor, first doc >= block_end) into
+// `cells`/`touched`.  Unfiltered walks take the AVX-512 segment kernel when
+// available (vec_ok); filtered walks and tails stay scalar.
+inline void walk_term_block(TermWalk& w, int64_t block_end, Cell* cells,
+                            std::vector<int64_t>& touched,
+                            const uint8_t* allowed, int64_t allowed_len,
+                            bool vec_ok) {
+  size_t i = w.cursor;
+  const size_t n = w.n;
+  const int32_t* docs_arr = w.docs;
+  const double* contrib = w.contrib;
+  const double idf = w.idf;
+#if defined(__x86_64__)
+  if (vec_ok && !allowed && i < n) {
+    // docs are sorted (ensure_norm invariant): binary-search the in-block
+    // segment end, vectorize the body, scalar the <8 tail
+    size_t seg_end;
+    if (block_end > INT32_MAX) {
+      seg_end = n;
+    } else {
+      seg_end = static_cast<size_t>(
+          std::lower_bound(docs_arr + i, docs_arr + n,
+                           static_cast<int32_t>(block_end)) -
+          docs_arr);
+    }
+    i = walk_segment_avx512(docs_arr, contrib, i, seg_end, idf, cells,
+                            touched);
+    while (i < seg_end) {
+      const int32_t doc = docs_arr[i];
+      Cell& cell = cells[doc];
+      cell.score += idf * contrib[i];
+      if (cell.matched++ == 0) touched.push_back(doc);
+      ++i;
+    }
+    w.cursor = i;
+    return;
+  }
+#endif
+  while (i < n && docs_arr[i] < block_end) {
+    const int32_t doc = docs_arr[i];
+    // never read allowed past the caller's buffer: a row appended
+    // after the caller snapshotted its mask counts as not-allowed
+    if (!allowed || (doc < allowed_len && allowed[doc])) {
+      Cell& cell = cells[doc];
+      cell.score += idf * contrib[i];
+      if (cell.matched++ == 0) touched.push_back(doc);
+    }
+    ++i;
+  }
+  w.cursor = i;
+}
+
+// The vector kernel's 32-bit matched-offset arithmetic (doc*4+2) bounds
+// the corpora it may serve; anything bigger falls back to scalar.
+constexpr int64_t kVecMaxSlots = int64_t(1) << 29;
+
 // One blocked accumulation pass over all walks into `cells`/`touched`.
 void walk_blocked(std::vector<TermWalk>& walks, Cell* cells,
                   std::vector<int64_t>& touched, const uint8_t* allowed,
-                  int64_t allowed_len) {
+                  int64_t allowed_len, int64_t slots) {
+  const bool vec_ok = avx512_usable() && slots < kVecMaxSlots;
   for (int64_t block_end = kBlockDocs;; block_end += kBlockDocs) {
     bool any_left = false;
     for (TermWalk& w : walks) {
-      size_t i = w.cursor;
-      const size_t n = w.n;
-      const int32_t* docs_arr = w.docs;
-      const double* contrib = w.contrib;
-      const double idf = w.idf;
-      while (i < n && docs_arr[i] < block_end) {
-        const int32_t doc = docs_arr[i];
-        // never read allowed past the caller's buffer: a row appended
-        // after the caller snapshotted its mask counts as not-allowed
-        if (!allowed || (doc < allowed_len && allowed[doc])) {
-          Cell& cell = cells[doc];
-          cell.score += idf * contrib[i];
-          if (cell.matched++ == 0) touched.push_back(doc);
-        }
-        ++i;
-      }
-      w.cursor = i;
-      any_left |= (i < n);
+      walk_term_block(w, block_end, cells, touched, allowed, allowed_len,
+                      vec_ok);
+      any_left |= (w.cursor < w.n);
     }
     if (!any_left) return;
   }
@@ -519,7 +628,7 @@ int64_t pse_bm25_score_field_masked(void* handle, int32_t field_id,
   std::vector<TermWalk> walks;
   walks.reserve(n_terms);
   gather_walks(field, terms, n_terms, n_docs, walks);
-  walk_blocked(walks, cells, touched, allowed, allowed_len);
+  walk_blocked(walks, cells, touched, allowed, allowed_len, slots);
 
   int64_t written = 0;
   int64_t qualifying = 0;
@@ -626,6 +735,7 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
   size_t n_visits = 0, n_touched = 0;
 
   std::vector<std::pair<int64_t, double>> cand_block;  // rt full-matches
+  const bool vec_ok = avx512_usable() && slots < kVecMaxSlots;
   int64_t qualifying = 0;  // total across blocks (may exceed capacity)
   int64_t written = 0;
   int64_t n_cands = 0;
@@ -639,24 +749,9 @@ int64_t pse_bm25_score_query(void* handle, const int64_t* terms,
       // walk this field's in-block postings into the per-field scratch
       if (timing) t0 = now_s();
       for (TermWalk& w : walks) {
-        size_t i = w.cursor;
-        const size_t n = w.n;
-        const int32_t* docs_arr = w.docs;
-        const double* contrib = w.contrib;
-        const double idf = w.idf;
-        while (i < n && docs_arr[i] < block_end) {
-          const int32_t doc = docs_arr[i];
-          // never read allowed past the caller's buffer: a row appended
-          // after the caller snapshotted its mask counts as not-allowed
-          if (!allowed || (doc < allowed_len && allowed[doc])) {
-            Cell& cell = acc_cells[doc];
-            cell.score += idf * contrib[i];
-            if (cell.matched++ == 0) acc->touched.push_back(doc);
-          }
-          ++i;
-        }
-        w.cursor = i;
-        any_left |= (i < n);
+        walk_term_block(w, block_end, acc_cells, acc->touched, allowed,
+                        allowed_len, vec_ok);
+        any_left |= (w.cursor < w.n);
       }
       if (timing) {
         t_walk += now_s() - t0;
