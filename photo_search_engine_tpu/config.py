@@ -20,31 +20,30 @@ except ImportError:  # pragma: no cover
 _CONFIG_CACHE: Optional[Dict[str, Any]] = None
 
 
-def _get_int(name: str, default: int) -> int:
-    value = os.getenv(name)
-    if value in (None, ""):
+_TRUTHY = frozenset({"1", "true", "yes", "on"})
+
+
+def _env(name, default, parse, kind):
+    """Read env var ``name``; empty/unset -> ``default``, else ``parse`` it."""
+    raw = os.getenv(name)
+    if raw is None or raw == "":
         return default
     try:
-        return int(value)
+        return parse(raw)
     except ValueError as exc:
-        raise ValueError(f"{name} must be an integer") from exc
+        raise ValueError(f"{name} must be {kind}") from exc
+
+
+def _get_int(name: str, default: int) -> int:
+    return _env(name, default, int, "an integer")
 
 
 def _get_float(name: str, default: float) -> float:
-    value = os.getenv(name)
-    if value in (None, ""):
-        return default
-    try:
-        return float(value)
-    except ValueError as exc:
-        raise ValueError(f"{name} must be a number") from exc
+    return _env(name, default, float, "a number")
 
 
 def _get_bool(name: str, default: bool) -> bool:
-    value = os.getenv(name)
-    if value in (None, ""):
-        return default
-    return value.lower() in {"1", "true", "yes", "on"}
+    return _env(name, default, lambda raw: raw.lower() in _TRUTHY, "a boolean")
 
 
 def load_config() -> Dict[str, Any]:
