@@ -106,17 +106,22 @@ def check_store_allocation(
     itemsize: int,
     quantized: bool,
     *,
+    extra_bytes: int = 0,
     what: str = "embedding store growth",
 ) -> None:
     """Raise :class:`DeviceCapacityError` if allocating ``new_capacity``
     rows (while ``old_capacity`` rows are still resident — the grow-copy
-    transient) would exceed the device budget."""
+    transient — plus any ``extra_bytes`` of other device-resident input,
+    e.g. the source rows of a device-corpus install) would exceed the
+    device budget."""
     budget = device_hbm_budget()
     if budget is None:
         return
     usable = int(budget * safety_factor())
-    needed = store_bytes(new_capacity, dim, itemsize, quantized) + store_bytes(
-        old_capacity, dim, itemsize, quantized
+    needed = (
+        store_bytes(new_capacity, dim, itemsize, quantized)
+        + store_bytes(old_capacity, dim, itemsize, quantized)
+        + extra_bytes
     )
     if needed <= usable:
         return
@@ -124,7 +129,8 @@ def check_store_allocation(
     raise DeviceCapacityError(
         f"{what} to {new_capacity} x {dim} rows needs ~{needed / 1e9:.2f} GB "
         f"device memory (incl. the old-buffer copy transient of "
-        f"{old_capacity} rows) but only ~{usable / 1e9:.2f} GB of the "
+        f"{old_capacity} rows and {extra_bytes / 1e9:.2f} GB of resident "
+        f"input) but only ~{usable / 1e9:.2f} GB of the "
         f"{budget / 1e9:.2f} GB budget is usable "
         f"(PSE_HBM_SAFETY={safety_factor():.2f}). Single-chip ceiling at "
         f"this config is ~{ceiling} rows. Options: shard over a mesh "

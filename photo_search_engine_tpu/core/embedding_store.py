@@ -204,17 +204,35 @@ class EmbeddingStore:
         if n == 0:
             return
         capacity = _round_up(n, self._capacity_align)
-        capacity_mod.check_store_allocation(
-            capacity,
-            0,
-            self.dimension,
-            self.store_dtype.itemsize,
-            self.quantized,
-            what="device-corpus install",
-        )
-        padded = jnp.zeros((capacity, self.dimension), self.store_dtype)
-        padded = _update_slice_jit(padded, rows_dev.astype(self.store_dtype), 0)
-        self._device = padded
+        if capacity == n and rows_dev.dtype == self.store_dtype:
+            # zero-copy install: the caller's rows ARE the store buffer
+            # (no padding copy, no source-coexistence transient)
+            capacity_mod.check_store_allocation(
+                capacity,
+                0,
+                self.dimension,
+                self.store_dtype.itemsize,
+                self.quantized,
+                what="device-corpus install",
+            )
+            self._device = rows_dev
+        else:
+            # the source rows stay device-resident while the padded store
+            # buffer is allocated and filled — charge that coexistence
+            # transient or a near-ceiling install dies with the device
+            # OOM abort this check exists to prevent
+            capacity_mod.check_store_allocation(
+                capacity,
+                0,
+                self.dimension,
+                self.store_dtype.itemsize,
+                self.quantized,
+                extra_bytes=int(rows_dev.size) * rows_dev.dtype.itemsize,
+                what="device-corpus install",
+            )
+            padded = jnp.zeros((capacity, self.dimension), self.store_dtype)
+            padded = _update_slice_jit(padded, rows_dev.astype(self.store_dtype), 0)
+            self._device = padded
         if self.quantized:
             # chunked like IVFIndex._ensure_quantized: a whole-capacity
             # quantize materializes an f32 temp the size of the corpus

@@ -28,7 +28,10 @@ class _BudgetEnv:
 
     def __enter__(self):
         self.saved = os.environ.get("PSE_HBM_BYTES")
-        os.environ["PSE_HBM_BYTES"] = str(self.value)
+        if self.value is None:
+            os.environ.pop("PSE_HBM_BYTES", None)
+        else:
+            os.environ["PSE_HBM_BYTES"] = str(self.value)
         return self
 
     def __exit__(self, *exc):
@@ -40,9 +43,11 @@ class _BudgetEnv:
 
 class BudgetModelTest(unittest.TestCase):
     def test_disabled_off_tpu_without_env(self):
-        os.environ.pop("PSE_HBM_BYTES", None)
-        # tests force the CPU backend; host RAM is the OS's problem there
-        self.assertIsNone(device_hbm_budget())
+        # unset via the restoring context manager — a bare pop would
+        # leak the removal to every later test in the process
+        with _BudgetEnv(None):
+            # tests force the CPU backend; host RAM is the OS's problem there
+            self.assertIsNone(device_hbm_budget())
 
     def test_env_budget_and_zero_disables(self):
         with _BudgetEnv(123456789):
@@ -108,6 +113,39 @@ class StoreCeilingTest(unittest.TestCase):
         with _BudgetEnv(10_000):
             with self.assertRaises(DeviceCapacityError):
                 store.load_device_rows(rows)
+
+    def test_install_zero_copy_at_exact_budget(self):
+        # rows already at capacity alignment + store dtype: the caller's
+        # array becomes the store buffer, so only the store itself is
+        # charged and an install exactly at budget succeeds
+        import jax.numpy as jnp
+
+        store = EmbeddingStore(64, metric="ip", block_rows=128)
+        rows = jnp.zeros((256, 64), jnp.float32)
+        need = store_bytes(256, 64, 4, False)
+        with _BudgetEnv(int(need / 0.9) + 2):
+            store.load_device_rows(rows)
+        self.assertIs(store._device, rows)
+        self.assertEqual(store.count, 256)
+
+    def test_install_padded_charges_source_transient(self):
+        # rows needing a padding copy coexist with the fresh store buffer
+        # while it is filled — a budget that fits the store alone must
+        # refuse the install cleanly (round-5 review finding #1: the old
+        # check charged new+0 and died with a device OOM near the ceiling)
+        import jax.numpy as jnp
+
+        rows = jnp.zeros((200, 64), jnp.float32)  # pads to capacity 256
+        need_store = store_bytes(256, 64, 4, False)
+        src_bytes = 200 * 64 * 4
+        store = EmbeddingStore(64, metric="ip", block_rows=128)
+        with _BudgetEnv(int(need_store / 0.9) + 2):
+            with self.assertRaises(DeviceCapacityError):
+                store.load_device_rows(rows)
+        store = EmbeddingStore(64, metric="ip", block_rows=128)
+        with _BudgetEnv(int((need_store + src_bytes) / 0.9) + 2):
+            store.load_device_rows(rows)
+        self.assertEqual(store.count, 200)
 
     def test_ivf_layout_past_capacity_raises(self):
         from photo_search_engine_tpu.models.ivf import IVFIndex
