@@ -709,6 +709,9 @@ class KeywordIndex:
         # same-sized corpus cannot serve stale doc ids (round-3 advisor)
         self._row_doc_arr: Optional[np.ndarray] = None
         self._row_rank_arr: Optional[np.ndarray] = None
+        # corpus length observed by the previous search — gates the rank
+        # rebuild so index-while-serve interleaves never pay it (_tie_key)
+        self._rank_len_seen: int = -1
         self._alive: List[bool] = []
         # columnar filter state
         self._col_codes: Dict[str, List[int]] = {f: [] for f in FILTER_EXACT_FIELDS}
@@ -1168,6 +1171,28 @@ class KeywordIndex:
             cached = self._row_rank_arr = rank
         return cached
 
+    def _tie_key(self, rows: np.ndarray) -> np.ndarray:
+        """Per-candidate tie-break key for the (-score, doc_id) lexsort.
+
+        Serving a static corpus uses the cached dense-rank array (numeric
+        compares).  While indexing interleaves with serving, the rank
+        cache is invalidated on every append; rebuilding it per query is
+        a full-corpus unicode argsort (seconds at 1M docs) to save the
+        ~2 ms candidate-set string compare it replaces — so a stale cache
+        falls back to the candidates' doc-id strings directly (bit-exact:
+        rank order IS string order) and the full rebuild is deferred
+        until the corpus length has been stable across two consecutive
+        searches, i.e. indexing has gone quiescent."""
+        n = len(self._row_doc)
+        cached = self._row_rank_arr
+        if cached is not None and cached.shape[0] == n:
+            return cached[rows]
+        if self._rank_len_seen == n:
+            return self._row_rank_np()[rows]
+        self._rank_len_seen = n
+        row_doc = self._row_doc
+        return np.asarray([row_doc[r] for r in rows.tolist()])
+
     def _hits_from_arrays(
         self, rows: np.ndarray, scores: np.ndarray, top_k: int
     ) -> List[Dict[str, Any]]:
@@ -1182,8 +1207,9 @@ class KeywordIndex:
             kth = np.partition(scores, cut)[cut]
             sel = scores >= kth  # keeps boundary ties for exact ordering
             rows, scores = rows[sel], scores[sel]
-        order = np.lexsort((self._row_rank_np()[rows], -scores))[:top_k]
-        top_docs = self._row_doc_np()[rows[order]].tolist()
+        order = np.lexsort((self._tie_key(rows), -scores))[:top_k]
+        row_doc = self._row_doc
+        top_docs = [row_doc[r] for r in rows[order].tolist()]
         top_scores = scores[order].tolist()
         max_score = top_scores[0] or 1.0
         return [
@@ -1418,6 +1444,7 @@ class KeywordIndex:
         self._row_doc = list(row_doc)
         self._row_doc_arr = None
         self._row_rank_arr = None
+        self._rank_len_seen = -1
         self._alive = alive.tolist()
         self._doc_row = {row_doc[row]: int(row) for row in live_rows.tolist()}
         for field in FILTER_EXACT_FIELDS:

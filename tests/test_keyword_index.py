@@ -89,6 +89,64 @@ class KeywordSearchTest(unittest.TestCase):
         self.assertEqual(self.ki.search("海边"), [])
 
 
+class TieKeyInterleaveTest(unittest.TestCase):
+    """Index-while-serve regression (round-5 review finding): an append
+    invalidates the length-keyed doc-id rank cache; the next search must
+    NOT pay the full-corpus unicode argsort rebuild (seconds at 1M docs)
+    — it tie-breaks on the candidates' doc-id strings directly — and the
+    rebuild happens only once the corpus is quiescent across two
+    consecutive searches.  Ordering stays bit-exact throughout."""
+
+    @staticmethod
+    def _build(n=40):
+        ki = KeywordIndex()
+        # identical text -> identical BM25 scores -> every hit is a tie,
+        # so the ordering below is decided purely by the tie-break key;
+        # filler docs keep the query term's IDF above the min_score floor
+        for i in range(n):
+            ki.add_document(f"doc-{i:03d}", _doc(f"/p/{i:03d}.jpg", "tied photo"))
+        for i in range(n):
+            ki.add_document(f"fill-{i:03d}", _doc(f"/f/{i:03d}.jpg", "其他 风景"))
+        return ki
+
+    def test_stale_cache_skips_rebuild_and_keeps_order(self):
+        ki = self._build()
+        first = [h["photo_path"] for h in ki.search("tied", top_k=10)]
+        self.assertEqual(first, [f"/p/{i:03d}.jpg" for i in range(10)])
+        # steady state: second search on the unchanged corpus builds the
+        # numeric rank cache
+        ki.search("tied", top_k=10)
+        self.assertIsNotNone(ki._row_rank_arr)
+        self.assertEqual(ki._row_rank_arr.shape[0], len(ki._row_doc))
+
+        # interleave: append invalidates; the very next search must not
+        # rebuild (stale shape persists) yet must keep exact tie order
+        ki.add_document("doc-999", _doc("/p/999.jpg", "unrelated"))
+        stale = [h["photo_path"] for h in ki.search("tied", top_k=10)]
+        self.assertEqual(stale, first)
+        cached = ki._row_rank_arr
+        self.assertTrue(
+            cached is None or cached.shape[0] != len(ki._row_doc),
+            "search during an indexing interleave rebuilt the full rank cache",
+        )
+
+        # quiescent: a second search with no append in between rebuilds
+        # once and returns to the numeric fast path, same order
+        again = [h["photo_path"] for h in ki.search("tied", top_k=10)]
+        self.assertEqual(again, first)
+        self.assertEqual(ki._row_rank_arr.shape[0], len(ki._row_doc))
+
+    def test_every_interleaved_search_is_correct(self):
+        ki = self._build(25)
+        expect = [f"/p/{i:03d}.jpg" for i in range(10)]
+        for round_no in range(5):
+            ki.add_document(
+                f"new-{round_no}", _doc(f"/p/new{round_no}.jpg", "unrelated")
+            )
+            hits = [h["photo_path"] for h in ki.search("tied", top_k=10)]
+            self.assertEqual(hits, expect, f"round {round_no}")
+
+
 class FilterTest(unittest.TestCase):
     def setUp(self):
         self.ki = KeywordIndex()
