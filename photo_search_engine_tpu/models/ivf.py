@@ -259,6 +259,7 @@ def _ivf_kernel(
     precision,
     metric: str = "ip",
     int8: bool = False,
+    int8_feed: str = "int8",
 ):
     offset = 0
     if int8:
@@ -281,12 +282,13 @@ def _ivf_kernel(
     is_live_block = j < count_ref[0, 0]
 
     if int8:
-        # feed resolved at trace time (process-level INT8_FEED knob —
-        # ops/quantized.resolve_int8_feed); IVF list blocks are small, so
-        # the bf16 dequant copy always fits the probe kernel's VMEM plan
-        acc = quant_ops._quant_block_dot(
-            q_ref[:], c_ref[:], quant_ops.resolve_int8_feed(None)
-        )
+        # feed pinned at IVFIndex construction (mirrors EmbeddingStore's
+        # self.int8_feed) and threaded here as a jit-static arg — reading
+        # the INT8_FEED env inside the kernel body would bake whichever
+        # value was set at first compile into the jit cache and silently
+        # ignore later toggles.  IVF list blocks are small, so the bf16
+        # dequant copy always fits the probe kernel's VMEM plan.
+        acc = quant_ops._quant_block_dot(q_ref[:], c_ref[:], int8_feed)
         scores = acc * qs_ref[:] * cs_ref[:]
     else:
         scores = jax.lax.dot_general(
@@ -326,7 +328,9 @@ def _ivf_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bq", "lrows", "s_max", "interpret", "metric", "int8"),
+    static_argnames=(
+        "k", "bq", "lrows", "s_max", "interpret", "metric", "int8", "int8_feed",
+    ),
 )
 def _ivf_pallas(
     corpus_ivf: jnp.ndarray,   # [nlist * L, DP] (int8 when int8=True)
@@ -345,6 +349,7 @@ def _ivf_pallas(
     interpret: bool,
     metric: str = "ip",
     int8: bool = False,
+    int8_feed: str = "int8",
 ):
     qp, dp = queries.shape
     kp = _round_up(max(k, 1), _LANE)
@@ -355,7 +360,7 @@ def _ivf_pallas(
     )
     kernel = functools.partial(
         _ivf_kernel, k=k, kp=kp, bq=bq, lrows=lrows, precision=precision,
-        metric=metric, int8=int8,
+        metric=metric, int8=int8, int8_feed=int8_feed,
     )
     in_specs = [
         pl.BlockSpec((1, 1), lambda qi, j, sel: (0, 0), memory_space=pltpu.SMEM),
@@ -487,6 +492,10 @@ class IVFIndex:
         quantized: bool = False,
     ) -> None:
         self.quantized = quant_ops.resolve_store_quantized(quantized)
+        # int8 MXU feed pinned at construction (mirrors
+        # EmbeddingStore.int8_feed) so the env knob cannot be silently
+        # frozen by whichever value was live at the first kernel compile
+        self.int8_feed = quant_ops.resolve_int8_feed(None)
         self.centroids = np.asarray(centroids, np.float32)
         self.nlist = self.centroids.shape[0]
         self.capacity = int(capacity)
@@ -926,6 +935,7 @@ class IVFIndex:
             corpus_i8 = jnp.zeros((1, 1), jnp.int8)
             cscales = jnp.zeros((1, 1), jnp.float32)
         dp = self._dp
+        int8_feed = self.int8_feed  # closure-bound: jit statics must not read env
 
         @jax.jit
         def run(corpus, corpus_i8, cscales, cents, row_valid, cnorms, queries):
@@ -965,6 +975,7 @@ class IVFIndex:
                     probe_p, row_valid, cnorms, qs, cscales,
                     k_kern, bq, capacity, s_max,
                     interpret=interpret, metric=metric, int8=True,
+                    int8_feed=int8_feed,
                 )
                 ci = idx[:batch, :k_kern]
                 live = jnp.logical_not(jnp.isneginf(vals[:batch, :k_kern]))
@@ -1115,6 +1126,7 @@ class IVFIndex:
                     interpret=interpret,
                     metric=metric,
                     int8=True,
+                    int8_feed=self.int8_feed,
                 )
                 ci = idx[:q, :k_kern]
                 live = jnp.logical_not(jnp.isneginf(vals[:q, :k_kern]))

@@ -75,7 +75,14 @@ def resolve_store_quantized(value) -> bool:
     :func:`photo_search_engine_tpu.ops.topk.resolve_store_dtype`."""
     if isinstance(value, bool):
         return value
-    text = (str(value) if value is not None else "auto").strip().lower()
+    if value is None:
+        # "not specified" — every constructor defaults to an explicit
+        # False and the config layer always supplies a string ("auto" by
+        # default), so a bare None means the caller opted out of the
+        # knob entirely; resolving it to auto would silently enable the
+        # int8 shadow (+~1.5 GB/1M rows HBM) on TPU backends.
+        return False
+    text = str(value).strip().lower()
     if text == "auto":
         return _on_tpu()
     if text in {"1", "true", "yes", "on"}:
