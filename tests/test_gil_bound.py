@@ -53,6 +53,27 @@ class GilFractionTest(unittest.TestCase):
         self.assertGreater(busy, idle)
         self.assertLess(idle, 0.2)
 
+    def test_noise_floor_calibration(self):
+        from scripts.gil_fraction import sampler_noise_floor
+
+        # GIL-released BLAS keeps the core busy with the GIL free; the
+        # recorded rate is the single-CPU scheduling-noise floor and must
+        # stay a fraction, well below a GIL-held spin's reading
+        floor = sampler_noise_floor(0.3)
+        self.assertGreaterEqual(floor, 0.0)
+        self.assertLessEqual(floor, 1.0)
+
+    def test_measure_reports_corrected_sampler(self):
+        from scripts.gil_fraction import measure
+
+        report = measure(self.ki, "海边 日落", n_queries=10)
+        self.assertIn("gil_sampler_noise_floor", report)
+        corrected = report["serial_fraction_gil_sampler_corrected"]
+        self.assertLessEqual(
+            corrected, report["serial_fraction_gil_sampler"] + 1e-9
+        )
+        self.assertGreaterEqual(corrected, 0.0)
+
 
 if __name__ == "__main__":
     unittest.main()
