@@ -12,28 +12,7 @@
 # Same rules as parts B/C/D: sequential, timeout-bounded, abort on first
 # failure, never concurrent with any other TPU process.
 
-set -u
-cd "$(dirname "$0")/.."
-REPO="$PWD"
-LOG="$REPO/docs/CHIP_SESSION_r05.log"
-STATE="/tmp/chip_watch.state"
-HEAD_SHA=$(git rev-parse HEAD)
-
-note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
-
-run_step() { # name timeout_s cmd...
-  local name="$1" tmo="$2"; shift 2
-  note "step $name: start ($*)"
-  local t0=$SECONDS
-  if timeout "$tmo" "$@" >> "$LOG" 2>&1; then
-    note "step $name: OK ($((SECONDS-t0))s)"
-    return 0
-  fi
-  local rc=$?
-  note "step $name: FAILED rc=$rc after $((SECONDS-t0))s — aborting session"
-  echo "failed:$name" > "$STATE"
-  exit "$rc"
-}
+. "$(dirname "$0")/chip_session_lib.sh" CHIP_SESSION_r05.log
 
 echo "running" > "$STATE"
 note "=== chip session r5 part E start, HEAD $HEAD_SHA ==="

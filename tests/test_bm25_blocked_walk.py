@@ -1,13 +1,14 @@
 """Block-boundary regression for the cache-blocked native BM25 walk.
 
 The C++ scoring walk (native/src/bm25.cc walk_blocked) strides the doc
-space in 64k-doc blocks with per-term cursors; the existing ScaleTest
-(50k docs) never crosses a block boundary, so this suite pins the
-multi-block behavior directly against a NumPy BM25 oracle and against
-itself under mutation orders that unsort the postings:
+space in kBlockDocs = 32k-doc blocks with per-term cursors; the existing
+ScaleTest (50k docs) crosses at most one boundary, so this suite pins
+the multi-block behavior directly against a NumPy BM25 oracle and
+against itself under mutation orders that unsort the postings:
 
-* docs spread over ~3 blocks (rows up to ~180k) score identically to an
-  oracle evaluating the exact expression shapes bm25.cc documents;
+* docs spread over six 32k blocks (rows up to ~180k, five boundary
+  crossings) score identically to an oracle evaluating the exact
+  expression shapes bm25.cc documents;
 * an index built in shuffled row order (postings arrive unsorted —
   ensure_norm must restore the doc-sorted invariant) produces BIT-EXACT
   scores vs the ascending build (the channel's contract: results are
@@ -32,7 +33,8 @@ except ImportError:  # pragma: no cover
     _NATIVE = False
 
 K1, B = 1.2, 0.75
-SPAN = 180_007  # max row — crosses two 64k block boundaries
+BLOCK = 32 * 1024  # bm25.cc kBlockDocs — keep in sync
+SPAN = 180_007  # max row — spans six 32k blocks (five boundary crossings)
 STEP = 9
 
 
@@ -108,9 +110,9 @@ class BlockedWalkTest(unittest.TestCase):
         rows, scores = self._score(self.asc, [0, 1, 2])
         want = _oracle(self.docs, [0, 1, 2])
         self.assertEqual(len(rows), len(want))
-        # hits land in all three 64k blocks
-        blocks = set(int(r) // 65536 for r in rows)
-        self.assertEqual(blocks, {0, 1, 2})
+        # hits land in all six 32k walk blocks
+        blocks = set(int(r) // BLOCK for r in rows)
+        self.assertEqual(blocks, {0, 1, 2, 3, 4, 5})
         for row, score in zip(rows.tolist(), scores.tolist()):
             self.assertAlmostEqual(score, want[row], places=10, msg=f"row {row}")
 
