@@ -190,6 +190,43 @@ class IVFQuantizedTest(unittest.TestCase):
         v_lax, i_lax = self.index.search(self.queries[:2], 80, nprobe=32, impl="lax")
         np.testing.assert_array_equal(i, i_lax)
 
+    def test_feed_pinned_at_construction(self):
+        # round-5 review finding: the kernel used to read INT8_FEED at
+        # trace time, so env toggles after the first compile were
+        # silently ignored.  The feed is now pinned at __init__ and
+        # threaded as a jit-static arg — an env flip after construction
+        # must neither change the pin nor the results.
+        import os
+
+        self.assertIn(self.index.int8_feed, ("int8", "bf16"))
+        pinned = self.index.int8_feed
+        v0, i0 = self.index.search(self.queries[:4], 5, nprobe=32, impl="pallas")
+        other = "bf16" if pinned == "int8" else "int8"
+        saved = os.environ.get("INT8_FEED")
+        os.environ["INT8_FEED"] = other
+        try:
+            self.assertEqual(self.index.int8_feed, pinned)
+            v1, i1 = self.index.search(
+                self.queries[:4], 5, nprobe=32, impl="pallas"
+            )
+            np.testing.assert_array_equal(i0, i1)
+            # a NEW index constructed under the flipped env picks it up
+            fresh = IVFIndex.build(
+                self.corpus, nlist=32, seed=0, quantized=True
+            )
+            self.assertEqual(fresh.int8_feed, other)
+            # both feeds dequantize the same int8 values: rescored top-1
+            # agrees on self-queries
+            _, i_fresh = fresh.search(
+                self.queries[:4], 5, nprobe=32, impl="pallas"
+            )
+            np.testing.assert_array_equal(i_fresh[:, 0], i0[:, 0])
+        finally:
+            if saved is None:
+                os.environ.pop("INT8_FEED", None)
+            else:
+                os.environ["INT8_FEED"] = saved
+
     def test_append_invalidates_shadow(self):
         self.index.search(self.queries[:2], 5, nprobe=32, impl="pallas")
         self.assertIsNotNone(self.index._corpus_i8)
