@@ -126,11 +126,15 @@ def check_store_allocation(
     if needed <= usable:
         return
     ceiling = max_rows_for_budget(dim, itemsize, quantized, budget)
+    resident_clause = (
+        f" and {extra_bytes / 1e9:.2f} GB of resident input"
+        if extra_bytes
+        else ""
+    )
     raise DeviceCapacityError(
         f"{what} to {new_capacity} x {dim} rows needs ~{needed / 1e9:.2f} GB "
         f"device memory (incl. the old-buffer copy transient of "
-        f"{old_capacity} rows and {extra_bytes / 1e9:.2f} GB of resident "
-        f"input) but only ~{usable / 1e9:.2f} GB of the "
+        f"{old_capacity} rows{resident_clause}) but only ~{usable / 1e9:.2f} GB of the "
         f"{budget / 1e9:.2f} GB budget is usable "
         f"(PSE_HBM_SAFETY={safety_factor():.2f}). Single-chip ceiling at "
         f"this config is ~{ceiling} rows. Options: shard over a mesh "

@@ -192,6 +192,12 @@ class EmbeddingStore:
         device store, so it carries store-dtype (possibly bfloat16)
         precision — do not treat such a store as an exact checkpoint
         source the way ``append``-built stores are.
+
+        When the rows already match the capacity alignment and store
+        dtype they are ADOPTED as the store buffer (zero-copy — no
+        install transient, full ceiling reachable).  The caller must not
+        reuse the array afterwards in any donating computation: deleting
+        its buffer deletes the store's corpus.
         """
         if self._count:
             raise RuntimeError("load_device_rows requires an empty store")
@@ -205,8 +211,11 @@ class EmbeddingStore:
             return
         capacity = _round_up(n, self._capacity_align)
         if capacity == n and rows_dev.dtype == self.store_dtype:
-            # zero-copy install: the caller's rows ARE the store buffer
-            # (no padding copy, no source-coexistence transient)
+            # Zero-copy install: the caller's rows ARE ADOPTED as the
+            # store buffer (no padding copy, no source-coexistence
+            # transient — reaching the full install ceiling is the
+            # point).  The caller must treat the array as surrendered:
+            # donating it into a later jit deletes the store's corpus.
             capacity_mod.check_store_allocation(
                 capacity,
                 0,
@@ -217,17 +226,22 @@ class EmbeddingStore:
             )
             self._device = rows_dev
         else:
-            # the source rows stay device-resident while the padded store
+            # The source rows stay device-resident while the padded store
             # buffer is allocated and filled — charge that coexistence
             # transient or a near-ceiling install dies with the device
-            # OOM abort this check exists to prevent
+            # OOM abort this check exists to prevent.  A dtype-mismatched
+            # source additionally materializes an eager astype copy in
+            # store dtype that coexists with both buffers.
+            src_bytes = int(rows_dev.size) * rows_dev.dtype.itemsize
+            if rows_dev.dtype != self.store_dtype:
+                src_bytes += int(rows_dev.size) * self.store_dtype.itemsize
             capacity_mod.check_store_allocation(
                 capacity,
                 0,
                 self.dimension,
                 self.store_dtype.itemsize,
                 self.quantized,
-                extra_bytes=int(rows_dev.size) * rows_dev.dtype.itemsize,
+                extra_bytes=src_bytes,
                 what="device-corpus install",
             )
             padded = jnp.zeros((capacity, self.dimension), self.store_dtype)

@@ -673,6 +673,9 @@ class IVFIndex:
         index._dp = dp
         index._corpus = laid_out
         index.quantized = bool(quantized)
+        # __init__ is bypassed here — pin the feed exactly like it does,
+        # or every kernel call site reading self.int8_feed breaks
+        index.int8_feed = quant_ops.resolve_int8_feed(None)
         index._centroids_dev = jnp.pad(
             centroids.astype(jnp.float32), ((0, 0), (0, dp - dim))
         )

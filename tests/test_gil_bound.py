@@ -54,14 +54,23 @@ class GilFractionTest(unittest.TestCase):
         self.assertLess(idle, 0.2)
 
     def test_noise_floor_calibration(self):
-        from scripts.gil_fraction import sampler_noise_floor
+        import time
+
+        from scripts.gil_fraction import GilWaitSampler, sampler_noise_floor
 
         # GIL-released BLAS keeps the core busy with the GIL free; the
         # recorded rate is the single-CPU scheduling-noise floor and must
-        # stay a fraction, well below a GIL-held spin's reading
+        # read clearly below a GIL-held pure-Python spin on the same host
+        # — if calibration ever reports spin-level readings, the
+        # floor-subtracted estimate would zero out and this must fail
         floor = sampler_noise_floor(0.3)
+        with GilWaitSampler() as sampler:
+            end = time.perf_counter() + 0.3
+            while time.perf_counter() < end:
+                sum(range(2000))
+        spin = sampler.gil_busy_fraction
         self.assertGreaterEqual(floor, 0.0)
-        self.assertLessEqual(floor, 1.0)
+        self.assertLess(floor, max(spin, 0.05) * 0.9)
 
     def test_measure_reports_corrected_sampler(self):
         from scripts.gil_fraction import measure

@@ -239,6 +239,52 @@ class IVFQuantizedTest(unittest.TestCase):
         np.testing.assert_array_equal(i[:, 0], np.arange(2000, 2004))
 
 
+class BuildOnDeviceTest(unittest.TestCase):
+    """build_on_device constructs via cls.__new__ (bypassing __init__),
+    so every attribute __init__ pins must be pinned there too — a missed
+    one (round-5 review: int8_feed) breaks bench.py's IVF branch and
+    recall_eval with an AttributeError the constructor-path tests never
+    see."""
+
+    def setUp(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        corpus = rng.normal(size=(1024, 64)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        self.corpus = corpus
+        self.index = IVFIndex.build_on_device(jnp.asarray(corpus), nlist=8, seed=0)
+
+    def test_has_constructor_pinned_attributes(self):
+        self.assertIn(self.index.int8_feed, ("int8", "bf16"))
+        self.assertFalse(self.index.quantized)
+
+    def test_device_search_fn_runs_and_matches_exact(self):
+        import jax.numpy as jnp
+
+        fn = self.index.device_search_fn(k=5, nprobe=8, batch=4)
+        queries = self.corpus[:4]
+        vals, slots = fn(jnp.asarray(queries))
+        # full probe: slot ids map through perm to the exact neighbors
+        rows = self.index.perm[np.asarray(slots)]
+        oracle = np.argsort(-(queries @ self.corpus.T), axis=1)[:, :5]
+        np.testing.assert_array_equal(np.sort(rows, 1), np.sort(oracle, 1))
+
+    def test_quantized_device_build_searches(self):
+        import jax.numpy as jnp
+
+        index = IVFIndex.build_on_device(
+            jnp.asarray(self.corpus), nlist=8, seed=0, quantized=True
+        )
+        v, i = index.search(self.corpus[:4], 5, nprobe=8, impl="pallas")
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))
+        # the exact bench path: quantized device_search_fn end-to-end
+        fn = index.device_search_fn(k=5, nprobe=8, batch=4)
+        vals, slots = fn(jnp.asarray(self.corpus[:4]))
+        rows = index.perm[np.asarray(slots)]
+        np.testing.assert_array_equal(rows[:, 0], np.arange(4))
+
+
 class IVFAppendTest(unittest.TestCase):
     """Incremental appends (FAISS IndexIVF.add analogue)."""
 
