@@ -428,8 +428,9 @@ class ScaleTest(unittest.TestCase):
         import numpy as np
 
         filters = {"season": "夏天", "year": 2019}
-        cand = self.ki._filter_rows(filters)
-        rows_pd, scores_pd = self.ki._text_scores("tok7 scene", cand)
+        cand_mask = self.ki._filter_rows(filters)
+        cand = np.nonzero(cand_mask)[0]
+        rows_pd, scores_pd = self.ki._text_scores("tok7 scene", cand_mask)
         rows_all, scores_all = self.ki._text_scores("tok7 scene", None)
         keep = np.isin(rows_all, cand)
         want = dict(zip(rows_all[keep].tolist(), scores_all[keep].tolist()))
