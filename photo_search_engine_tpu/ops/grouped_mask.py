@@ -142,15 +142,26 @@ def grouped_approx_large_k(
     if n == 0 or k == 0:
         q = queries.shape[0]
         return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    # Bucket the query axis (see topk.approx_search_large_k): organic
+    # micro-batch sizes otherwise compile one executable per batch size.
+    # Padded rows point at mask row 0 and are sliced off; per-row results
+    # are independent, so real rows are unchanged.
+    mask_ids = jnp.asarray(mask_ids, jnp.int32)
+    qn = queries.shape[0]
+    qp = bucket_queries(qn)
+    if qp != qn:
+        queries = jnp.pad(queries, ((0, qp - qn), (0, 0)))
+        mask_ids = jnp.pad(mask_ids, (0, qp - qn))
     count_arr = jnp.asarray(n if count is None else count, jnp.int32)
-    return _grouped_approx_impl(
+    vals, idx = _grouped_approx_impl(
         corpus,
         queries,
         jnp.asarray(mask_table),
-        jnp.asarray(mask_ids, jnp.int32),
+        mask_ids,
         count_arr,
         k,
     )
+    return vals[:qn], idx[:qn]
 
 
 def _grouped_kernel(

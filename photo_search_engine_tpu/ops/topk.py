@@ -234,8 +234,20 @@ def approx_search_large_k(
     if n == 0 or k == 0:
         q = queries.shape[0]
         return jnp.zeros((q, 0), jnp.float32), jnp.zeros((q, 0), jnp.int32)
+    # Bucket the query axis like every other serving kernel (pallas exact,
+    # int8, grouped, IVF): the micro-batcher produces organic batch sizes
+    # (1, 2, 3, ...) and each distinct shape is a fresh XLA compile — a
+    # multi-second stall on remote-attached runtimes that showed up as the
+    # p99 8-13s tail in the round-5 load tests while p90 sat at ~0.7-1.7s
+    # (docs/CHIP_SESSION_r05.log).  Zero-padded rows are sliced off below;
+    # row results are independent, so real rows are unchanged.
+    qn = queries.shape[0]
+    qp = bucket_queries(qn)
+    if qp != qn:
+        queries = jnp.pad(queries, ((0, qp - qn), (0, 0)))
     count_arr = jnp.asarray(n if count is None else count, jnp.int32)
     vals, idx = _approx_large_k_impl(corpus, queries, count_arr, mask, k, metric)
+    vals, idx = vals[:qn], idx[:qn]
     if metric == "l2":
         vals = jnp.where(jnp.isneginf(vals), jnp.inf, -vals)
     return vals, idx

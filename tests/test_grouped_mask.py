@@ -132,6 +132,51 @@ class GroupedMaskTest(unittest.TestCase):
                     f"count={count} row={row}",
                 )
 
+    def test_approx_large_k_buckets_query_axis(self):
+        # grouped mirror of test_topk.test_approx_large_k_buckets_query_axis:
+        # organic micro-batch sizes must share one compiled executable per
+        # power-of-two query bucket (padded rows point at mask row 0 and
+        # are sliced off), and padding must not change real-row results
+        from photo_search_engine_tpu.ops import grouped_mask as grouped_ops
+        from photo_search_engine_tpu.ops.grouped_mask import (
+            grouped_approx_large_k,
+        )
+        from photo_search_engine_tpu.ops.topk import bucket_queries
+
+        seen_shapes = []
+        orig = grouped_ops._grouped_approx_impl
+
+        def spy(corpus, queries, table, ids, count, k):
+            self.assertEqual(queries.shape[0], ids.shape[0])
+            seen_shapes.append(queries.shape[0])
+            return orig(corpus, queries, table, ids, count, k)
+
+        sizes = (1, 3, 9)
+        grouped_ops._grouped_approx_impl = spy
+        try:
+            for b in sizes:
+                q = jnp.asarray(self.queries[:b])
+                ids = jnp.asarray(self.ids[:b])
+                va, ia = grouped_approx_large_k(
+                    jnp.asarray(self.corpus), q,
+                    jnp.asarray(self.table), ids, 120,
+                )
+                self.assertEqual(va.shape, (b, 120))
+                vo, io = grouped_mask_oracle(
+                    jnp.asarray(self.corpus), q,
+                    jnp.asarray(self.table), ids, 120,
+                )
+                for row in range(b):
+                    self.assertEqual(
+                        set(np.asarray(ia)[row].tolist()),
+                        set(np.asarray(io)[row].tolist()),
+                        f"b={b} row={row}",
+                    )
+        finally:
+            grouped_ops._grouped_approx_impl = orig
+        self.assertEqual(seen_shapes, [bucket_queries(b) for b in sizes])
+        self.assertEqual(set(seen_shapes), {8, 16})
+
     def test_store_grouped_routing_and_fail_soft(self):
         from photo_search_engine_tpu.core.embedding_store import EmbeddingStore
         from photo_search_engine_tpu.ops import grouped_mask as grouped_ops

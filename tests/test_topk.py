@@ -160,6 +160,46 @@ class TopkParityTest(unittest.TestCase):
                     np.asarray(v_ref), np.asarray(v_apx), rtol=1e-6
                 )
 
+    def test_approx_large_k_buckets_query_axis(self):
+        # the micro-batcher produces organic batch sizes (1, 2, 3, ...);
+        # each distinct query shape is a fresh XLA compile — multi-second
+        # on remote-attached runtimes, the round-5 load tests' p99 8-13s
+        # tail (docs/CHIP_SESSION_r05.log).  The wrapper must pad the
+        # query axis to the power-of-two buckets every other serving
+        # kernel uses, and padding must not change real-row results.
+        from photo_search_engine_tpu.ops import topk as topk_ops
+        from photo_search_engine_tpu.ops.topk import (
+            approx_search_large_k,
+            bucket_queries,
+        )
+
+        rng = np.random.default_rng(5)
+        corpus = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+        seen_shapes = []
+        orig = topk_ops._approx_large_k_impl
+
+        def spy(corpus, queries, count, mask, k, metric):
+            seen_shapes.append(queries.shape[0])
+            return orig(corpus, queries, count, mask, k, metric)
+
+        sizes = (1, 2, 3, 5, 8, 9)
+        topk_ops._approx_large_k_impl = spy
+        try:
+            for b in sizes:
+                q = jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32))
+                vals, idx = approx_search_large_k(corpus, q, 70)
+                self.assertEqual(vals.shape, (b, 70))
+                v_ref, i_ref = exact_search(corpus, q, 70, impl="lax")
+                np.testing.assert_array_equal(np.asarray(idx), np.asarray(i_ref))
+                np.testing.assert_allclose(
+                    np.asarray(vals), np.asarray(v_ref), rtol=1e-6
+                )
+        finally:
+            topk_ops._approx_large_k_impl = orig
+        self.assertEqual(seen_shapes, [bucket_queries(b) for b in sizes])
+        # the whole organic range shares two compiled shapes, not six
+        self.assertEqual(set(seen_shapes), {8, 16})
+
     def test_approx_large_k_gate(self):
         # the store's auto-route sends k>64 scans to ApproxTopK only on
         # TPU at large counts; off-TPU (this suite) the gate must be
